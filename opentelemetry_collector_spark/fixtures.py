@@ -1,0 +1,216 @@
+"""Deterministic synthetic transcripts table (the pipeline's input).
+
+Shape is the authoritative input_hint from BASELINE.json:
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+
+Mirrors the reference's deterministic test-data generators
+(pdata/testdata/log.go:15-46 GenerateLogs(count) — fixed seed, fixed
+attribute values) and the contract-checker unique-ID convention
+(exporter/exportertest/contract_checker.go:27-28): here the unique id
+is (conv_id, turn_idx), embedded byte-exactly in the text payload.
+
+Properties (FIXTURES.md §1):
+- Zipf-ish hot-key skew: ~1% of conv_ids own ~30% of turns (exercises
+  salting / AQE skew-join);
+- rows are emitted in shuffled order so stable-ordering via a window
+  over (conv_id, turn_idx) is actually exercised;
+- ~2% of rows are malformed (quarantine-path coverage, the analog of
+  permanent errors in retry_sender.go:100-102);
+- zero wall-clock dependence: everything derives from seed 42.
+
+The parquet file is written once under /root/repo/fixtures/<sfname>/
+and then read by BOTH the Spark queries and the DuckDB oracle — the two
+engines consume identical bytes, so correctness comparisons can never
+drift on generator details.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIXTURE_ROOT = Path(os.environ.get("OTELCOL_SPARK_FIXTURES", "/root/repo/fixtures"))
+
+SEED = 42
+TURNS_PER_SF = 6_000_000  # sf0.001 → 6k turns, sf0.01 → 60k, sf0.1 → 600k
+AVG_TURNS_PER_CONV = 12
+BASE_TS_US = np.datetime64("2025-01-01T00:00:00", "us").astype("int64")
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["search", "python", "browser", "editor"])
+LEVELS = np.array(["DEBUG", "INFO", "WARN", "ERROR"])
+SERVICES = np.array(["api", "auth", "ingest", "billing", "search", "frontend"])
+WORDS = np.array(
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango".split()
+)
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def sf_name_of(sf_dir: str) -> str:
+    """'/root/testdata/sf0.01' → 'sf0.01'."""
+    return Path(sf_dir).name
+
+
+def sf_value_of(sf_dir: str) -> float:
+    name = sf_name_of(sf_dir)
+    return float(name[2:]) if name.startswith("sf") else 0.01
+
+
+def transcripts_path(sf_dir: str) -> Path:
+    return FIXTURE_ROOT / sf_name_of(sf_dir) / "transcripts.parquet"
+
+
+def role_dim_path() -> Path:
+    return FIXTURE_ROOT / "dims" / "role_dim.parquet"
+
+
+def tool_dim_path() -> Path:
+    return FIXTURE_ROOT / "dims" / "tool_dim.parquet"
+
+
+def _turn_counts(n_turns: int, rng: np.random.RandomState) -> np.ndarray:
+    """Per-conversation turn counts with hot-key skew.
+
+    ~1% of convs are 'hot' and own ~30% of all turns; the rest share 70%.
+    """
+    n_convs = max(4, n_turns // AVG_TURNS_PER_CONV)
+    n_hot = max(1, n_convs // 100)
+    hot_turns = int(n_turns * 0.30)
+    cold_turns = n_turns - hot_turns
+
+    hot = rng.multinomial(hot_turns, np.ones(n_hot) / n_hot)
+    n_cold = n_convs - n_hot
+    cold = rng.multinomial(cold_turns, np.ones(n_cold) / n_cold)
+    counts = np.concatenate([hot, cold])
+    # every conversation has at least 1 turn: steal from the largest
+    zero = counts == 0
+    if zero.any():
+        need = int(zero.sum())
+        counts[zero] = 1
+        big = np.argmax(counts)
+        counts[big] -= need
+    assert counts.sum() == n_turns
+    return counts.astype("int64")
+
+
+def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    counts = _turn_counts(n_turns, rng)
+    n_convs = len(counts)
+
+    conv_ix = np.repeat(np.arange(n_convs, dtype="int64"), counts)
+    # per-conversation 0..k-1 sequence
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    turn_idx = (np.arange(n_turns, dtype="int64") - np.repeat(offsets, counts)).astype(
+        "int32"
+    )
+
+    h = (conv_ix * 1_000_003 + turn_idx * 7919) & 0x7FFFFFFF
+    role = ROLES[h % 4]
+    tool = np.where(role == "tool", TOOLS[(h // 4) % 4], "")
+    level = LEVELS[(h // 16) % 4]
+    svc = SERVICES[(h // 64) % 6]
+    latency = (h % 9973).astype("int64")
+    w1 = WORDS[(h // 128) % len(WORDS)]
+    w2 = WORDS[(h // 2048) % len(WORDS)]
+
+    conv_id = np.char.add("conv-", np.char.zfill(conv_ix.astype("U8"), 8))
+    turn_s = turn_idx.astype("U6")
+
+    # "[{level}] svc={svc} latency_ms={n} req_id={conv_id}:{turn_idx} msg={lorem}"
+    text = np.char.add("[", level)
+    text = np.char.add(text, "] svc=")
+    text = np.char.add(text, svc)
+    text = np.char.add(text, " latency_ms=")
+    text = np.char.add(text, latency.astype("U5"))
+    text = np.char.add(text, " req_id=")
+    text = np.char.add(text, conv_id)
+    text = np.char.add(text, ":")
+    text = np.char.add(text, turn_s)
+    text = np.char.add(text, " msg=")
+    text = np.char.add(text, np.char.add(np.char.add(w1, "-"), w2))
+
+    # ~2% malformed rows (deterministic by hash, not by rng order)
+    bad = (h % 50) == 17
+    junk = np.char.add("!!corrupt ", np.char.add(w2, turn_s))
+    text = np.where(bad, junk, text)
+
+    # ts = base + f(conv) + turn_idx * 1s   (microseconds)
+    ts_us = BASE_TS_US + (conv_ix % 86_400) * 1_000_000 + turn_idx.astype("int64") * 1_000_000
+    ts = ts_us.astype("datetime64[us]")
+
+    perm = rng.permutation(n_turns)
+    return pa.table(
+        {
+            "conv_id": conv_id[perm],
+            "turn_idx": turn_idx[perm],
+            "role": role[perm],
+            "text": text[perm],
+            "tool": tool[perm],
+            "ts": ts[perm],
+        },
+        schema=TRANSCRIPT_SCHEMA,
+    )
+
+
+def ensure_transcripts(sf_dir: str) -> str:
+    """Generate (once) and return the transcripts parquet path for sf_dir."""
+    path = transcripts_path(sf_dir)
+    if not path.exists():
+        n = max(1000, int(TURNS_PER_SF * sf_value_of(sf_dir)))
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.parquet")
+        pq.write_table(generate_transcripts(n), tmp)
+        os.replace(tmp, path)
+    return str(path)
+
+
+def ensure_dims() -> tuple[str, str]:
+    """Enrichment lookup tables (FIXTURES.md §2, broadcast-join side)."""
+    rp, tp = role_dim_path(), tool_dim_path()
+    rp.parent.mkdir(parents=True, exist_ok=True)
+    if not rp.exists():
+        pq.write_table(
+            pa.table(
+                {
+                    "role": ["user", "assistant", "system", "tool"],
+                    "role_kind": ["human", "model", "config", "machine"],
+                    "is_human": [True, False, False, False],
+                }
+            ),
+            rp,
+        )
+    if not tp.exists():
+        pq.write_table(
+            pa.table(
+                {
+                    "tool": ["", "search", "python", "browser", "editor"],
+                    "tool_family": ["none", "retrieval", "code", "web", "code"],
+                    "sink_hint": [
+                        "sink_default",
+                        "sink_default",
+                        "sink_py",
+                        "sink_default",
+                        "sink_py",
+                    ],
+                }
+            ),
+            tp,
+        )
+    return str(rp), str(tp)

@@ -1,0 +1,51 @@
+"""Parse stage: native vs arrow equality, quarantine, plan hygiene."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.functions import parse
+
+
+def _sorted_rows(df):
+    cols = ["conv_id", "turn_idx", "level", "svc", "latency_ms", "req_id", "msg", "valid"]
+    return df.select(cols).orderBy("conv_id", "turn_idx").collect()
+
+
+def test_native_arrow_equivalence(transcripts):
+    a = _sorted_rows(parse.with_parsed(transcripts, "native"))
+    b = _sorted_rows(parse.with_parsed(transcripts, "arrow"))
+    assert a == b
+
+
+def test_malformed_quarantined(transcripts):
+    parsed = parse.with_parsed(transcripts, "native")
+    bad = parsed.filter(~F.col("valid"))
+    n_bad = bad.count()
+    assert n_bad > 0
+    # all invalid rows are exactly the corrupt ones, with all-null attrs
+    assert bad.filter(~F.col("text").startswith("!!corrupt")).count() == 0
+    assert bad.filter(F.col("latency_ms").isNotNull()).count() == 0
+
+
+def test_parsed_fields_roundtrip(transcripts):
+    """req_id embeds the unique ID — per-turn text-equality invariant."""
+    parsed = parse.with_parsed(transcripts, "native").filter(F.col("valid"))
+    mismatch = parsed.filter(
+        F.col("req_id")
+        != F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    )
+    assert mismatch.count() == 0
+
+
+def test_native_plan_has_no_python(transcripts):
+    """SURVEY.md §7: no per-row Python; native path has no Python eval at all."""
+    plan = parse.with_parsed(transcripts, "native")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_arrow_plan_is_vectorized(transcripts):
+    plan = parse.with_parsed(transcripts, "arrow")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    assert "ArrowEvalPython" in plan

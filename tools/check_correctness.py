@@ -1,0 +1,80 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every queries() entry at sf0.01 in Spark, runs the matching
+oracle_sql() in DuckDB against the same parquet files, compares
+(row count, column names, order-insensitive values).
+
+Usage: python tools/check_correctness.py [key ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from opentelemetry_collector_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+    return df.sort_values(list(df.columns), ignore_index=True).fillna("∅NULL")
+
+
+def main(keys: list[str]) -> int:
+    spark = get_spark("correctness-check")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    keys = keys or list(qs)
+    failed = []
+    for k in keys:
+        try:
+            got = normalize(qs[k](spark, SF_DIR).toPandas())
+            if k not in oracles:
+                print(f"{k}: rows-only check, {len(got)} rows")
+                continue
+            want = normalize(duckdb.sql(oracles[k]).df())
+            if list(got.columns) != list(want.columns):
+                failed.append(k)
+                print(f"{k}: COLUMN MISMATCH spark={list(got.columns)} oracle={list(want.columns)}")
+                continue
+            if len(got) != len(want):
+                failed.append(k)
+                print(f"{k}: ROWCOUNT MISMATCH spark={len(got)} oracle={len(want)}")
+                continue
+            eq = got.values == want.values
+            if not eq.all():
+                failed.append(k)
+                import numpy as np
+
+                bad = np.argwhere(~eq)[:5]
+                print(f"{k}: VALUE MISMATCH at {len(np.argwhere(~eq))} cells; first:")
+                for r, c in bad:
+                    col = got.columns[c]
+                    print(f"   row {r} col {col}: spark={got.iloc[r, c]!r} oracle={want.iloc[r, c]!r}")
+                continue
+            print(f"{k}: OK ({len(got)} rows, {len(got.columns)} cols)")
+        except Exception as e:  # noqa: BLE001
+            failed.append(k)
+            print(f"{k}: ERROR {type(e).__name__}: {e}")
+    print(f"\n{len(keys) - len(failed)}/{len(keys)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
