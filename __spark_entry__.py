@@ -24,10 +24,24 @@ from opentelemetry_collector_spark.operators import (
     order as order_mod,
     route as route_mod,
 )
+from opentelemetry_collector_spark.functions import text as text_oracle
+from opentelemetry_collector_spark.operators import dedup as dedup_oracle
+from opentelemetry_collector_spark.operators import similarity as sim_oracle
 from opentelemetry_collector_spark.plans import pipeline
 from opentelemetry_collector_spark.sources import tables
 
 ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver runs correctness at sf0.01
+
+ANN_THRESHOLD = 0.3
+
+
+def _query_vec(sf_dir: str) -> list[float]:
+    """Deterministic ANN query vector: embedding of vec_id 0."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_pylist()
+    return t.column("embedding")[vid.index(0)].as_py()
 
 
 def _transcripts_cte() -> str:
@@ -146,6 +160,134 @@ def _q_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_mod.batch_counts(df, send_batch_size=512)
 
 
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+
+    return dedup.exact_dedup_keepers(tables.read_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+
+    return dedup.normalized_dedup_keepers(tables.read_table(spark, sf_dir, "documents"))
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return dedup.with_minhash(docs).select(
+        "doc_id", F.concat_ws("#", F.col("minhash")).alias("minhash_sig")
+    )
+
+
+def _q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return dedup.neardup_pairs_minhash(docs, threshold=0.5)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=8)
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.functions import text as T
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.lang_id(c).alias("lang_pred"),
+        T.quality_score_ppm(c).alias("quality_ppm"),
+        T.fingerprint(c).alias("fp"),
+    )
+
+
+def _q_ann_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = tables.read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_threshold(emb, _query_vec(sf_dir), ANN_THRESHOLD)
+
+
+def _q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = tables.read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(sf_dir), k=10)
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = tables.read_table(spark, sf_dir, "embeddings")
+    q = _query_vec(sf_dir)
+    bucketed = similarity.with_ann_bucket(emb, dim=len(q), bits=8)
+    return similarity.ann_topk(bucketed, q, k=10, bits=8, n_probes=8)
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables.read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # ntz → ltz → seconds
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("_new", new_sess)
+    return sess.groupBy("user_id").agg(
+        F.sum("_new").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain: orders ⋈ customer ⋈ nation, grouped."""
+    o = tables.read_table(spark, sf_dir, "orders")
+    c = tables.read_table(spark, sf_dir, "customer")
+    n = tables.read_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_e2e": _q_pipeline_e2e,
@@ -162,7 +304,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_strict": _q_filter_strict,
         "filter_regexp": _q_filter_regexp,
         "batch_counts": _q_batch_counts,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
+        "minhash_signatures": _q_minhash_signatures,
+        "neardup_minhash": _q_neardup_minhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "text_stats": _q_text_stats,
+        "ann_cosine_threshold": _q_ann_cosine_threshold,
+        "ann_topk_bruteforce": _q_ann_topk_bruteforce,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "orders_by_nation": _q_orders_by_nation,
     }
+
+
+def _oracle_topk(vec: list[float], k: int) -> str:
+    v = "[" + ", ".join(f"{float(x)!r}" for x in vec) + "]"
+    cos = (
+        f"list_dot_product(cast(embedding AS double[]), {v}) / "
+        f"(sqrt(list_dot_product(cast(embedding AS double[]), cast(embedding AS double[]))) "
+        f"* sqrt(list_dot_product({v}, {v})))"
+    )
+    return (
+        f"SELECT vec_id, round({cos}, 4) AS cos_sim FROM embeddings "
+        f"ORDER BY {cos} DESC, vec_id LIMIT {k}"
+    )
 
 
 # ---------------------------------------------------------------- oracles
@@ -213,6 +381,56 @@ def oracle_sql() -> dict[str, str]:
         "filter_regexp": f"""{_transcripts_cte()}
             SELECT conv_id, turn_idx FROM transcripts
             WHERE regexp_matches(text, '^\\[ERROR\\]')""",
+        "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
+        "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
+        "minhash_signatures": f"""
+            SELECT doc_id,
+                   array_to_string({dedup_oracle.oracle_minhash(dedup_oracle.oracle_shingles('text'))}, '#')
+                   AS minhash_sig
+            FROM documents""",
+        "text_stats": f"""
+            SELECT doc_id,
+                   {text_oracle.oracle_token_count('text')} AS n_tokens,
+                   {text_oracle.oracle_lang_id('text')} AS lang_pred,
+                   {text_oracle.oracle_quality_score_ppm('text')} AS quality_ppm,
+                   {text_oracle.oracle_fingerprint('text')} AS fp
+            FROM documents""",
+        "ann_cosine_threshold": sim_oracle.oracle_cosine_threshold(
+            _query_vec(ORACLE_SF_DIR), ANN_THRESHOLD
+        ),
+        "ann_topk_bruteforce": _oracle_topk(_query_vec(ORACLE_SF_DIR), 10),
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   cast(count(*) AS bigint) AS n_events,
+                   round(sum(value), 4) AS value_sum
+            FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          OR lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, cast(sum(new_sess) AS bigint) AS n_sessions,
+                   cast(count(*) AS bigint) AS n_events
+            FROM g GROUP BY 1""",
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(l_quantity) AS double) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   cast(count(*) AS bigint) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2""",
+        "orders_by_nation": """
+            SELECT n_name, cast(count(*) AS bigint) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1""",
         "batch_counts": f"""{_transcripts_cte()}, seqd AS (
             SELECT role, tool,
                    cast(floor((row_number() OVER (

@@ -1,0 +1,294 @@
+"""Deduplication operators over the `documents` table.
+
+Exact + near-dup family for training-data pipelines:
+- exact:       groupBy(md5(text)) keep min doc_id — one shuffle on a
+               16-byte key, the 100 TB-safe baseline;
+- normalized:  same on normalize_text;
+- minhash+LSH: word-shingles → k minhash signatures → banded bucket
+               keys → self-join per bucket. The self-join is on the
+               band key ONLY (tiny buckets), never all-pairs; shuffle
+               is O(docs·bands), candidate verification is per-bucket;
+- n-gram Jaccard: exact similarity on LSH candidates (array_intersect
+               over distinct shingle sets);
+- simhash:     64-bit sign-of-sums fingerprint (vectorized pandas UDF),
+               near-dups = hamming ≤ t via 4×16-bit chunk banding.
+
+Engine-portable hashing: minhash uses md5 hex strings and LEXICOGRAPHIC
+min — hex of fixed length preserves numeric order, so this is a valid
+uniform minhash AND the DuckDB oracle can reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from opentelemetry_collector_spark.functions.text import normalize_text, oracle_fingerprint
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands × 4 rows
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One surviving doc_id per distinct text (min id wins)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def normalized_dedup_keepers(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    words = F.split(normalize_text(text), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(grams)
+
+
+def _seeded_md5(seed: int):
+    # NB: the lambda must take exactly ONE arg — F.transform passes the
+    # array index to a second parameter, which would silently override a
+    # default-arg seed binding.
+    prefix = f"{seed}|"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Array of num_hashes minhash values (md5-hex strings, lexic. min)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_md5(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_n)
+    return df.withColumn("shingles", sh).withColumn(
+        "minhash", minhash_signature(F.col("shingles"), num_hashes)
+    )
+
+
+def band_keys(sig: Column, bands: int = DEFAULT_BANDS, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "#", F.lit(str(b)), *[sig[b * rows + r] for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
+
+    Scale: explode to (band_key, id), self-join per bucket — shuffle on
+    band_key. Hot buckets (boilerplate docs) are the skew risk; AQE
+    skew-join splitting handles them, and the bucket join never
+    materializes cross-bucket pairs.
+    """
+    m = with_minhash(df, text_col, num_hashes, shingle_n)
+    keyed = m.select(
+        F.col(id_col).alias("id"),
+        F.col("shingles"),
+        F.explode(band_keys(F.col("minhash"), bands, num_hashes)).alias("bk"),
+    )
+    a = keyed.select(F.col("bk"), F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = keyed.select(F.col("bk"), F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, on="bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.round(inter / F.greatest(union, F.lit(1)), 6)
+
+
+def neardup_pairs_minhash(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact shingle Jaccard."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, **kw)
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def neardup_pairs_bruteforce(
+    df: DataFrame, threshold: float = 0.7, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All-pairs exact Jaccard — O(n²), the small-scale oracle for LSH
+    recall tests only. Never the scale path."""
+    s = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+@pandas_udf(LongType())
+def _simhash64(text: pd.Series) -> pd.Series:
+    """Vectorized 64-bit simhash over whitespace tokens (Arrow batches).
+
+    Per batch: token → stable 64-bit hash (md5-derived), sign-sum per
+    bit, sign → fingerprint. numpy throughout, no per-row Python loops
+    beyond the tokenization split.
+    """
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text.fillna("")):
+        toks = t.lower().split()
+        if not toks:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            )
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            acc += 2 * bits - 1
+        fp = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                fp |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(fp.astype("int64"))
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", _simhash64(F.col(text_col)))
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Scale path: band the 64-bit fingerprint into 4×16-bit chunks; any
+    pair within hamming ≤ 3 shares ≥1 exact chunk (pigeonhole), so the
+    join is on chunk equality, never all-pairs.
+    """
+    sh = with_simhash(df, "text").select(F.col(id_col).alias("id"), "simhash")
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(c)),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    a = chunks.select(F.col("chunk"), F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = chunks.select(F.col("chunk"), F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, on="chunk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+
+def oracle_exact_dedup(table: str = "documents") -> str:
+    return f"""
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               cast(count(*) AS bigint) AS n_dups
+        FROM {table} GROUP BY 1"""
+
+
+def oracle_normalized_dedup(table: str = "documents") -> str:
+    return f"""
+        SELECT {oracle_fingerprint('text')} AS text_hash,
+               min(doc_id) AS keep_id, cast(count(*) AS bigint) AS n_dups
+        FROM {table} GROUP BY 1"""
+
+
+def oracle_shingles(col: str = "text", n: int = 3) -> str:
+    words = f"string_split(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')), ' ')"
+    return (
+        f"list_distinct(CASE WHEN len({words}) >= {n} THEN "
+        f"list_transform(range(1, len({words}) - {n - 2}), "
+        f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({words}, ' ')] END)"
+    )
+
+
+def oracle_minhash(shingles_expr: str, num_hashes: int = DEFAULT_NUM_HASHES) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({shingles_expr}, s -> md5('{i}|' || s)))"
+        for i in range(num_hashes)
+    )
+    return f"[{mins}]"

@@ -1,0 +1,152 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- Brute-force cosine (threshold + top-k): F.zip_with/F.aggregate dot
+  products — JVM higher-order functions, no Python. The baseline and
+  the verifier for the approximate path.
+- LSH-bucketed ANN (random hyperplanes, fixed seed): the scale path —
+  a query probes only its bucket(s), so the scan is
+  O(n / 2^bits · probes) instead of O(n). Recall is tested against
+  brute force.
+
+Scale note: brute-force top-k per query is a map + TakeOrdered (no
+shuffle of the embedding table); batch-of-queries ANN is a broadcast
+join of the (tiny) query set against bucketed vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ANN_SEED = 42
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_to_query(
+    df: DataFrame, query_vec: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return df.withColumn("cos", cosine(F.col(vec_col), q))
+
+
+def cosine_threshold(
+    df: DataFrame,
+    query_vec: list[float],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vectors with cosine ≥ threshold vs the query (set semantics —
+    engine-comparison-safe, no float-tie ordering)."""
+    return (
+        cosine_to_query(df, query_vec, vec_col)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(id_col), F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine, ties broken by id (deterministic)."""
+    scored = cosine_to_query(df, query_vec, vec_col)
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+# ----------------------------------------------------------------- LSH ANN
+
+def hyperplanes(dim: int, bits: int, seed: int = ANN_SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim)).astype("float64")
+
+
+def bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id: bit b set ⟺ dot(vec, plane_b) > 0."""
+    acc = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        acc = acc + F.when(_dot(vec, p) > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return acc
+
+
+def with_ann_bucket(
+    df: DataFrame, dim: int, bits: int = 8, vec_col: str = "embedding", seed: int = ANN_SEED
+) -> DataFrame:
+    planes = hyperplanes(dim, bits, seed)
+    return df.withColumn("ann_bucket", bucket_expr(F.col(vec_col), planes))
+
+
+def ann_topk(
+    df_bucketed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket + n_probes-1 nearest
+    buckets (hamming-1 flips of the lowest-margin bits first).
+
+    df_bucketed must carry ann_bucket (with_ann_bucket) — at scale this
+    column is precomputed and the table is partitioned/bucketed by it,
+    so a probe is a partition-pruned scan.
+    """
+    q = np.asarray(query_vec, dtype="float64")
+    planes = hyperplanes(len(q), bits, seed)
+    margins = planes @ q
+    qbucket = int(sum(2**b for b, m in enumerate(margins) if m > 0))
+    flip_order = np.argsort(np.abs(margins))  # least-confident bits first
+    probes = [qbucket] + [qbucket ^ (1 << int(b)) for b in flip_order[: max(0, n_probes - 1)]]
+    cand = df_bucketed.filter(F.col("ann_bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ------------------------------------------------------------- oracle SQL
+
+def oracle_cosine_threshold(
+    query_vec: list[float], threshold: float, table: str = "embeddings"
+) -> str:
+    vec = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]"
+    return f"""
+        SELECT vec_id,
+               round(list_dot_product(cast(embedding AS double[]), {vec})
+                     / (sqrt(list_dot_product(cast(embedding AS double[]),
+                                              cast(embedding AS double[])))
+                        * sqrt(list_dot_product({vec}, {vec}))), 4) AS cos_sim
+        FROM {table}
+        WHERE list_dot_product(cast(embedding AS double[]), {vec})
+              / (sqrt(list_dot_product(cast(embedding AS double[]),
+                                       cast(embedding AS double[])))
+                 * sqrt(list_dot_product({vec}, {vec}))) >= {threshold}"""

@@ -1,0 +1,73 @@
+"""The service: run the full pipeline with fan-out writes, durable
+progress, and obsreport metrics.
+
+This is the Collector.Run analog (otelcol/collector.go:415 →
+service/internal/graph.StartAll): evaluate the routed frame once
+(persist — the fanoutconsumer obligation), then execute one
+unit-of-work per sink under the lineage manifest so a killed run
+resumes without duplicating routed rows, then write the metrics table.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import route as route_mod
+from opentelemetry_collector_spark.plans import pipeline
+from opentelemetry_collector_spark.sinks import writers
+from opentelemetry_collector_spark.state import checkpoint, metrics as metrics_mod
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    run_id: str = "run0",
+    cfg: pipeline.PipelineConfig | None = None,
+    crash_after: str | None = None,
+    rows_per_file: int = 8192,
+) -> dict[str, str]:
+    """Execute parse→enrich→route, fan out to per-sink tables, write
+    metrics + aggregate. Returns {sink: output_path}.
+
+    crash_after=<sink> injects a failure after that sink's write but
+    before its commit record — the CheckConsumeContract kill scenario
+    (exporter/exportertest/contract_checker.go:45-83).
+    """
+    cfg = cfg or pipeline.PipelineConfig()
+    routed = pipeline.routed_frame(spark, sf_dir, cfg).persist()
+    try:
+        sinks = route_mod.all_sinks(list(cfg.routes))
+        manifest = checkpoint.LineageManifest(str(Path(out_dir) / "_checkpoint"), run_id)
+        paths: dict[str, str] = {
+            s: writers.sink_path(out_dir, run_id, s) for s in sinks
+        }
+
+        def execute(sink: str) -> None:
+            writers.write_sink(
+                routed.filter(F.col("sink") == sink),
+                out_dir,
+                run_id,
+                sink,
+                rows_per_file=rows_per_file,
+            )
+
+        checkpoint.run_with_resume(manifest, sinks, execute, crash_after=crash_after)
+
+        # aggregate + metrics land only after all sinks committed
+        agg = pipeline.aggregate_frame(routed, cfg)
+        agg.write.mode("overwrite").parquet(str(Path(out_dir) / f"run_id={run_id}" / "agg"))
+        m = metrics_mod.collect_pipeline_metrics(routed)
+        m.to_df(spark).write.mode("overwrite").parquet(
+            str(Path(out_dir) / f"run_id={run_id}" / "metrics")
+        )
+        return paths
+    finally:
+        routed.unpersist()
+
+
+def read_sink(spark: SparkSession, out_dir: str, run_id: str, sink: str) -> DataFrame:
+    return spark.read.parquet(writers.sink_path(out_dir, run_id, sink))

@@ -1,0 +1,113 @@
+"""Sinks (the exporter analog).
+
+- ``write_sink``: the otlpexporter analog — append/overwrite a table per
+  sink (exporter/otlpexporter/otlp.go:133-151). Writes are **idempotent
+  per (run_id, sink)**: a deterministic output path written with
+  overwrite mode, so a replayed partition/sink replaces rather than
+  duplicates — the Spark-native replace-where. Combined with the
+  lineage manifest (state/checkpoint.py) this reproduces the persistent
+  queue's at-least-once-replay + exactly-once-effect contract
+  (exporter/exporterhelper/internal/queue/persistent_queue.go:50-73).
+- ``debug_sink``: debugexporter (exporter/debugexporter/exporter.go) —
+  verbosity levels + sampling.
+- ``nop_sink``: nopexporter — count-only action.
+- ``retry_commit``: retry_sender analog (exporter/exporterhelper/
+  internal/retry_sender.go:71-152): exponential backoff around the
+  commit, permanent errors short-circuit.
+
+Scale note: per-sink writes repartition on the sink's shard keys and
+cap records per file (batch.shape_for_write) — the batchprocessor's
+send_batch_max_size split expressed as physical file shaping. On a
+real cluster the same call sites target Iceberg
+(write.format("iceberg"), replaceWhere) — parquet-dir fallback here.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from opentelemetry_collector_spark.operators import batch as batch_mod
+
+
+class PermanentError(Exception):
+    """Non-retryable (consumer/consumererror/permanent.go analog)."""
+
+
+@dataclass
+class RetryConfig:
+    """retry_sender.go:71-152 config surface."""
+
+    initial_interval: float = 0.05
+    multiplier: float = 1.5
+    max_interval: float = 2.0
+    max_elapsed: float = 30.0
+
+
+def retry_commit(fn, cfg: RetryConfig | None = None, sleep=time.sleep):
+    """Run fn() with exponential backoff; PermanentError short-circuits."""
+    cfg = cfg or RetryConfig()
+    interval = cfg.initial_interval
+    elapsed = 0.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            return fn()
+        except PermanentError:
+            raise
+        except Exception:
+            if elapsed + interval > cfg.max_elapsed:
+                raise
+            sleep(interval)
+            elapsed += interval
+            interval = min(interval * cfg.multiplier, cfg.max_interval)
+
+
+def sink_path(base_dir: str, run_id: str, sink: str) -> str:
+    return str(Path(base_dir) / f"run_id={run_id}" / f"sink={sink}")
+
+
+def write_sink(
+    df: DataFrame,
+    base_dir: str,
+    run_id: str,
+    sink: str,
+    rows_per_file: int = batch_mod.DEFAULT_SEND_BATCH_SIZE,
+    retry: RetryConfig | None = None,
+) -> str:
+    """Idempotent per-(run_id, sink) write: overwrite a deterministic path.
+
+    Replaying the same logical write produces byte-equivalent state
+    instead of duplicates (replace-where semantics on the parquet
+    fallback; on Iceberg this is an overwritePartitions commit).
+    """
+    path = sink_path(base_dir, run_id, sink)
+    shaped, opts = batch_mod.shape_for_write(df, rows_per_file, shard_keys=("conv_id",))
+
+    def _commit() -> None:
+        w = shaped.write.mode("overwrite")
+        w = batch_mod.apply_write_options(w, opts)
+        w.parquet(path)
+
+    retry_commit(_commit, retry)
+    return path
+
+
+def debug_sink(df: DataFrame, verbosity: str = "basic", sample: int = 20) -> int:
+    """debugexporter: basic → count only; normal → sampled rows;
+    detailed → sampled rows, untruncated."""
+    n = df.count()
+    if verbosity == "normal":
+        df.show(sample)
+    elif verbosity == "detailed":
+        df.show(sample, truncate=False)
+    return n
+
+
+def nop_sink(df: DataFrame) -> int:
+    """nopexporter: consume and discard (count-only action)."""
+    return df.count()

@@ -1,0 +1,78 @@
+"""Dedup family: exact, normalized, minhash-LSH, simhash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "The  quick  brown fox jumps over the lazy dog near the river bank"),  # normalized dup
+    (3, "the quick brown fox jumps over the lazy cat near the river bank"),  # near dup (1 word)
+    (4, "completely different text about spark adaptive query execution engines"),
+    (5, "another unrelated document mentioning parquet files and shuffles"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    keep = dedup.exact_dedup_keepers(docs)
+    assert keep.count() == 5  # 0/1 collapse
+    assert keep.agg(F.sum("n_dups")).collect()[0][0] == 6
+    dup = keep.filter(F.col("n_dups") == 2).collect()[0]
+    assert dup["keep_id"] == 0
+
+
+def test_normalized_dedup(docs):
+    keep = dedup.normalized_dedup_keepers(docs)
+    assert keep.count() == 4  # 0/1/2 collapse
+    assert keep.filter(F.col("n_dups") == 3).collect()[0]["keep_id"] == 0
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found and (0, 2) in found and (1, 2) in found
+    assert (0, 3) in found  # one-word-off near dup
+    assert not any(4 in p or 5 in p for p in found)  # unrelated docs stay out
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH candidates must recover ≥90% of true pairs at the threshold
+    (16 hashes / 4 bands ⇒ s-curve threshold ≈ 0.7^(1/4)≈0.5^... —
+    verified empirically on the documents table)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.neardup_pairs_bruteforce(docs, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.neardup_pairs_minhash(docs, threshold=0.7).collect()
+    }
+    assert lsh.issubset(truth)  # verification step removes false positives
+    if truth:
+        assert len(lsh & truth) / len(truth) >= 0.9
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_neardup_pairs(docs, max_hamming=12).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # identical text → hamming 0
+    h01 = [r["hamming"] for r in pairs if (r["id_a"], r["id_b"]) == (0, 1)][0]
+    assert h01 == 0
+    assert not any((a in (4, 5)) != (b in (4, 5)) for a, b in found if (a, b) != (0, 1))
+
+
+def test_simhash_deterministic(docs):
+    a = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs.repartition(3)).collect()}
+    assert a == b
+    assert a[0] == a[1]  # identical text → identical fingerprint

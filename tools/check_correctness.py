@@ -36,8 +36,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True).fillna("∅NULL")
 
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
 def main(keys: list[str]) -> int:
     spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:  # mirror the driver's pre-registered views
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     keys = keys or list(qs)
@@ -48,7 +56,7 @@ def main(keys: list[str]) -> int:
             if k not in oracles:
                 print(f"{k}: rows-only check, {len(got)} rows")
                 continue
-            want = normalize(duckdb.sql(oracles[k]).df())
+            want = normalize(con.sql(oracles[k]).df())
             if list(got.columns) != list(want.columns):
                 failed.append(k)
                 print(f"{k}: COLUMN MISMATCH spark={list(got.columns)} oracle={list(want.columns)}")
