@@ -288,6 +288,29 @@ def _q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_attrs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pcommon.Map surface: build attrs map, upsert, rename, scrub,
+    JSON round-trip — all Catalyst map expressions."""
+    from opentelemetry_collector_spark.operators import transform as tr
+
+    df = tables.read_transcripts(spark, sf_dir)
+    df = parse_mod.with_parsed(df, "native").filter(F.col("valid"))
+    df = tr.attrs_from_parsed(df)
+    attrs = F.col("attrs")
+    attrs = tr.put(attrs, "env", F.lit("prod"))
+    attrs = tr.rename_key(attrs, "svc", "service")
+    attrs = tr.remove(attrs, "msg")
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        tr.get(attrs, "service").alias("service"),
+        tr.get(attrs, "env").alias("env"),
+        tr.get(attrs, "msg").alias("msg_gone"),
+        F.sha2(F.col("req_id"), 256).alias("req_id_hash"),
+        F.size(attrs).cast("int").alias("n_attrs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_e2e": _q_pipeline_e2e,
@@ -317,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "orders_by_nation": _q_orders_by_nation,
+        "attrs_transform": _q_attrs_transform,
     }
 
 
@@ -381,6 +405,13 @@ def oracle_sql() -> dict[str, str]:
         "filter_regexp": f"""{_transcripts_cte()}
             SELECT conv_id, turn_idx FROM transcripts
             WHERE regexp_matches(text, '^\\[ERROR\\]')""",
+        "attrs_transform": f"""{_parsed_cte()}
+            SELECT conv_id, turn_idx,
+                   svc AS service, 'prod' AS env,
+                   CAST(NULL AS varchar) AS msg_gone,
+                   sha256(req_id) AS req_id_hash,
+                   5 AS n_attrs
+            FROM parsed WHERE valid""",
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
         "minhash_signatures": f"""

@@ -1,0 +1,160 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+    python bench.py              # driver mode: one JSON line to stdout
+    python bench.py --scaling    # run flagship at local[8] AND local[32]
+                                 # (separate JVMs), report efficiency,
+                                 # rewrite BENCH/BASELINE.md
+
+Metric: end-to-end wall seconds of the flagship parse→enrich→route→
+aggregate DAG (value/unit per driver contract), plus turns/sec and
+per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+ITERATIONS = int(os.environ.get("BENCH_ITERATIONS", "3"))
+
+
+def _force(df) -> int:
+    """Execute the full DAG; return row count without driver collect of
+    payload (a final global agg keeps the action cheap)."""
+    from pyspark.sql import functions as F
+
+    return df.agg(F.count(F.lit(1))).collect()[0][0]
+
+
+def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    from opentelemetry_collector_spark.plans import pipeline
+    from opentelemetry_collector_spark.sources import tables
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    bench_keys = [
+        "pipeline_e2e",
+        "pipeline_e2e_arrow",
+        "parse_turns",
+        "routed_rows",
+        "batch_counts",
+        "dedup_exact",
+        "minhash_signatures",
+        "text_stats",
+        "ann_topk_bruteforce",
+        "events_hourly",
+    ]
+    # warm-up: JVM, codegen, parquet footers (small sf)
+    _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for k in bench_keys:
+        _force(qs[k](spark, sf_dir))  # per-query warm-up: codegen + page cache
+        samples = []
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            n = _force(qs[k](spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        times[k] = round(statistics.median(samples), 4)
+        rows[k] = n
+    return times, rows
+
+
+def run_once(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
+    from opentelemetry_collector_spark import fixtures
+    from opentelemetry_collector_spark.session import get_spark
+
+    path = fixtures.ensure_transcripts(sf_dir)
+    import pyarrow.parquet as pq
+
+    n_turns = pq.read_metadata(path).num_rows
+    spark = get_spark("otelcol-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    times, rows = _bench_queries(spark, sf_dir)
+    e2e = times["pipeline_e2e"]
+    return {
+        "metric": "pipeline_e2e_wall_seconds",
+        "value": e2e,
+        "unit": "sec",
+        "queries": times,
+        "sf": fixtures.sf_value_of(sf_dir),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / e2e, 1),
+        "cpus": int(cpus),
+        "rows_out": rows,
+    }
+
+
+def _flagship_seconds_subprocess(cpus: int, sf_dir: str) -> tuple[float, int]:
+    """Time the flagship in a fresh JVM at the given parallelism."""
+    code = f"""
+import json, sys, time, statistics
+sys.path.insert(0, "/root/repo")
+from opentelemetry_collector_spark.session import get_spark
+from opentelemetry_collector_spark.plans import pipeline
+from pyspark.sql import functions as F
+spark = get_spark("scaling-{cpus}", master="local[{cpus}]",
+                  shuffle_partitions={cpus})
+spark.sparkContext.setLogLevel("ERROR")
+def force(df):
+    return df.agg(F.count(F.lit(1))).collect()[0][0]
+force(pipeline.flagship(spark, "/root/testdata/sf0.001"))  # warm-up
+force(pipeline.flagship(spark, {sf_dir!r}))  # target-scale warm-up
+samples = []
+for _ in range({ITERATIONS}):
+    t0 = time.perf_counter()
+    n = force(pipeline.flagship(spark, {sf_dir!r}))
+    samples.append(time.perf_counter() - t0)
+print("RESULT " + json.dumps({{"sec": statistics.median(samples), "rows": n}}))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            d = json.loads(line[len("RESULT "):])
+            return d["sec"], d["rows"]
+    raise RuntimeError(f"scaling subprocess failed:\n{out.stdout}\n{out.stderr}")
+
+
+def run_scaling(sf_dir: str = SF_DIR, low: int = 8, high: int = 32) -> dict:
+    from opentelemetry_collector_spark import fixtures
+    import pyarrow.parquet as pq
+
+    path = fixtures.ensure_transcripts(sf_dir)
+    n_turns = pq.read_metadata(path).num_rows
+    sec_low, rows_low = _flagship_seconds_subprocess(low, sf_dir)
+    sec_high, rows_high = _flagship_seconds_subprocess(high, sf_dir)
+    assert rows_low == rows_high, "results differ across parallelism levels!"
+    tp_low, tp_high = n_turns / sec_low, n_turns / sec_high
+    eff = (tp_high / tp_low) / (high / low)
+    return {
+        "sf_dir": sf_dir,
+        "turns": n_turns,
+        "low_cpus": low,
+        "high_cpus": high,
+        "sec_low": round(sec_low, 4),
+        "sec_high": round(sec_high, 4),
+        "turns_per_sec_low": round(tp_low, 1),
+        "turns_per_sec_high": round(tp_high, 1),
+        "scaling_efficiency": round(eff, 4),
+        "rows_out": rows_low,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        res = run_scaling()
+        print(json.dumps(res))
+    else:
+        print(json.dumps(run_once()))

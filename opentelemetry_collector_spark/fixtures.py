@@ -176,7 +176,10 @@ def ensure_transcripts(sf_dir: str) -> str:
         n = max(1000, int(TURNS_PER_SF * sf_value_of(sf_dir)))
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(".tmp.parquet")
-        pq.write_table(generate_transcripts(n), tmp)
+        # 64k-row row groups (~8 MB): a single giant row group would make
+        # the file unsplittable — Spark parallelism on scan+parse would
+        # collapse to 1 task no matter how many cores
+        pq.write_table(generate_transcripts(n), tmp, row_group_size=65536)
         os.replace(tmp, path)
     return str(path)
 

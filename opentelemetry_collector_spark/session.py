@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # local files are small: keep scan splits ≤16 MB so map-side
+        # parallelism matches the core count (on a real cluster the
+        # default 128 MB is right — there the files are many and large)
+        builder = builder.config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,88 @@
+"""Streaming mode: incremental micro-batches match batch-mode results;
+checkpoint gives exactly-once across restarts (the streaming analog of
+the persistent-queue contract)."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+from opentelemetry_collector_spark import fixtures
+from opentelemetry_collector_spark.streaming import micro
+
+
+def _split_fixture(sf_dir: str, dst: Path, parts: int = 3) -> list[Path]:
+    """Split the transcripts fixture into N files (arriving 'requests')."""
+    src = fixtures.ensure_transcripts(sf_dir)
+    t = pq.read_table(src)
+    n = t.num_rows
+    step = -(-n // parts)
+    dst.mkdir(parents=True, exist_ok=True)
+    files = []
+    for i in range(parts):
+        chunk = t.slice(i * step, step)
+        p = dst / f"part-{i}.parquet"
+        pq.write_table(chunk, p)
+        files.append(p)
+    return files
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = tmp_path / "src"
+    _split_fixture(sf_dir, src)
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    q = micro.run_to_sinks(spark, str(src), str(out), str(ck))
+    q.awaitTermination(120)
+
+    got = spark.read.option("basePath", str(out)).parquet(str(out))
+    from opentelemetry_collector_spark.plans import pipeline
+
+    want = pipeline.routed_frame(spark, sf_dir)
+    g = got.groupBy("sink").count().collect()
+    w = want.groupBy("sink").count().collect()
+    assert {r["sink"]: r["count"] for r in g} == {r["sink"]: r["count"] for r in w}
+
+
+def test_stream_incremental_exactly_once(spark, sf_dir, tmp_path):
+    src = tmp_path / "src"
+    files = _split_fixture(sf_dir, tmp_path / "stage", parts=3)
+    src.mkdir()
+    shutil.copy(files[0], src / files[0].name)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    q = micro.run_to_sinks(spark, str(src), str(out), str(ck))
+    q.awaitTermination(120)
+    n1 = spark.read.option("basePath", str(out)).parquet(str(out)).count()
+
+    # restart with one new file: only the new file is processed
+    shutil.copy(files[1], src / files[1].name)
+    q2 = micro.run_to_sinks(spark, str(src), str(out), str(ck))
+    q2.awaitTermination(120)
+    df = spark.read.option("basePath", str(out)).parquet(str(out))
+    n2 = df.count()
+    expected1 = pq.read_metadata(files[0]).num_rows
+    expected2 = pq.read_metadata(files[1]).num_rows
+    assert n1 == expected1
+    assert n2 == expected1 + expected2
+    # no duplicate (conv_id, turn_idx) ids anywhere
+    assert df.select("conv_id", "turn_idx").distinct().count() == n2
+
+
+def test_windowed_counts_stream_runs(spark, sf_dir, tmp_path):
+    src = tmp_path / "src"
+    _split_fixture(sf_dir, src)
+    routed = micro.routed_stream(spark, str(src))
+    agg = micro.windowed_counts_stream(routed)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select sum(n_turns) s from wincounts").collect()
+    assert rows[0]["s"] == pq.read_metadata(fixtures.ensure_transcripts(sf_dir)).num_rows
