@@ -311,6 +311,71 @@ def _q_attrs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_severity_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.functions import pdata
+
+    df = tables.read_transcripts(spark, sf_dir)
+    parsed = parse_mod.with_parsed(df, "native")
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("level"), F.lit("")).alias("severity_text"),
+        pdata.severity_number(F.col("level")).alias("severity_number"),
+    )
+
+
+def _q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nest→flatten is lossless: output must equal the raw table's
+    (conv_id, role, text) — the pdata proto↔JSON round-trip analog."""
+    from opentelemetry_collector_spark.functions import pdata
+
+    df = tables.read_transcripts(spark, sf_dir)
+    parsed = parse_mod.with_parsed(df, "native")
+    return pdata.flatten_from_otlp(pdata.nest_to_otlp(parsed)).select(
+        "conv_id", "role", "text"
+    )
+
+
+def _q_forward_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forwardconnector fan-in: two pipelines' outputs unioned
+    (connector/forwardconnector/forward.go:77-90 ≙ unionByName)."""
+    routed = pipeline.routed_frame(spark, sf_dir)
+    py = routed.filter(F.col("sink") == "sink_py")
+    llm = routed.filter(F.col("sink") == "sink_llm")
+    return py.unionByName(llm).select("sink", "conv_id", "turn_idx")
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.read_table(spark, sf_dir, "embeddings")
+    return sim_oracle.embedding_neardup_pairs_exact(emb, threshold=0.5)
+
+
+def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.read_table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(sf_dir))
+    return sim_oracle.embedding_neardup_pairs_lsh(emb, threshold=0.5, dim=dim, bits=4)
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media → mapInPandas features.
+    No SQL oracle (binary decode stub) — determinism tested in pytest."""
+    from opentelemetry_collector_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=96)
+    return mm.extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "sha256"
+    )
+
+
+def _q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Obsreport counters derived from the routed frame
+    (receiver/receiverhelper/obsreport.go:181-201 name scheme)."""
+    from opentelemetry_collector_spark.state import metrics as metrics_mod
+
+    routed = pipeline.routed_frame(spark, sf_dir)
+    return metrics_mod.collect_pipeline_metrics(routed).to_df(spark)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_e2e": _q_pipeline_e2e,
@@ -341,7 +406,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "orders_by_nation": _q_orders_by_nation,
         "attrs_transform": _q_attrs_transform,
+        "severity_turns": _q_severity_turns,
+        "otlp_roundtrip": _q_otlp_roundtrip,
+        "forward_merge": _q_forward_merge,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "media_features": _q_media_features,
+        "stage_metrics": _q_stage_metrics,
     }
+
+
+def _parsedcte_sev() -> str:
+    from opentelemetry_collector_spark.functions import pdata
+
+    return f"""{_parsed_cte()}
+        SELECT conv_id, turn_idx,
+               coalesce(level, '') AS severity_text,
+               {pdata.oracle_severity_number('level')} AS severity_number
+        FROM parsed"""
 
 
 def _oracle_topk(vec: list[float], k: int) -> str:
@@ -412,6 +494,30 @@ def oracle_sql() -> dict[str, str]:
                    sha256(req_id) AS req_id_hash,
                    5 AS n_attrs
             FROM parsed WHERE valid""",
+        "stage_metrics": f"""{_routed_cte()}, c AS (
+              SELECT cast(count(*) AS bigint) AS total,
+                     cast(sum(CASE WHEN sink = 'sink_quarantine' THEN 1 ELSE 0 END)
+                          AS bigint) AS dropped
+              FROM routed)
+            SELECT 'receiver' AS stage, 'accepted_log_records' AS metric, total AS value FROM c
+            UNION ALL SELECT 'receiver', 'refused_log_records', 0 FROM c
+            UNION ALL SELECT 'processor_parse', 'incoming_items', total FROM c
+            UNION ALL SELECT 'processor_parse', 'outgoing_items', total - dropped FROM c
+            UNION ALL SELECT 'processor_parse', 'dropped_items', dropped FROM c
+            UNION ALL SELECT 'processor_enrich', 'incoming_items', total FROM c
+            UNION ALL SELECT 'processor_enrich', 'outgoing_items', total FROM c
+            UNION ALL SELECT 'exporter_' || sink, 'sent_log_records',
+                             cast(count(*) AS bigint)
+                      FROM routed GROUP BY sink
+            UNION ALL SELECT 'exporter_' || sink, 'send_failed_log_records', 0
+                      FROM routed GROUP BY sink""",
+        "severity_turns": f"""{_parsedcte_sev()}""",
+        "otlp_roundtrip": f"""{_transcripts_cte()}
+            SELECT conv_id, role, text FROM transcripts""",
+        "forward_merge": f"""{_routed_cte()}
+            SELECT sink, conv_id, turn_idx FROM routed
+            WHERE sink IN ('sink_py', 'sink_llm')""",
+        "embedding_neardup": sim_oracle.oracle_embedding_neardup(0.5),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
         "minhash_signatures": f"""

@@ -1,0 +1,190 @@
+"""pdata model mapping: severity, OTLP-JSON nesting, counts.
+
+Concretely reproduces the reference's data-model surface on flat rows:
+
+- severity: 24-level SeverityNumber enum (pdata/plog/severity_number.go:
+  10-17 — Trace1..Fatal4; text levels map to the first slot of their
+  band: DEBUG→5, INFO→9, WARN→13, ERROR→17).
+- OTLP/JSON: plog's nested Resource→Scope→LogRecord envelope
+  (pdata/plog/generated_logs.go hierarchy, JSON codec pdata/plog/
+  json.go:13-56). ``nest_to_otlp`` rebuilds the envelope from flat rows
+  (resource = conversation, scope = role, record = turn);
+  ``flatten_from_otlp`` inverts it. Round-trip is lossless
+  (tested), mirroring the generated proto↔pdata↔JSON round-trip tests
+  (pdata/plog/json_test.go).
+- record counts: LogRecordCount's triple-nested loop
+  (pdata/plog/logs.go:16-29) is count(*) on flat rows; per-envelope
+  counts fall out of the nesting aggregation.
+
+Scale note: nesting uses collect_list per (conv_id, role) — bounded by
+conversation size (the same bound the reference's in-memory batches
+have), never a global collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# text → SeverityNumber (first slot of each band)
+SEVERITY_NUMBER = {
+    "TRACE": 1,
+    "DEBUG": 5,
+    "INFO": 9,
+    "WARN": 13,
+    "ERROR": 17,
+    "FATAL": 21,
+}
+
+
+def severity_number(level: Column) -> Column:
+    expr = F.lit(0)  # SEVERITY_NUMBER_UNSPECIFIED
+    out = None
+    for text, num in SEVERITY_NUMBER.items():
+        out = (out.when if out is not None else F.when)(
+            level == text, F.lit(num)
+        )
+    return out.otherwise(expr).cast("int")
+
+
+def oracle_severity_number(col: str = "level") -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{t}' THEN {n}" for t, n in SEVERITY_NUMBER.items()
+    )
+    return f"cast(CASE {whens} ELSE 0 END AS int)"
+
+
+def log_record(df_cols: dict[str, Column]) -> Column:
+    """One LogRecord struct (generated_logrecord.go:52-158 fields)."""
+    return F.struct(
+        df_cols["ts"].alias("timeUnixNano"),
+        df_cols["observed_ts"].alias("observedTimeUnixNano"),
+        df_cols["severity_number"].alias("severityNumber"),
+        df_cols["severity_text"].alias("severityText"),
+        df_cols["body"].alias("body"),
+        df_cols["attributes"].alias("attributes"),
+        df_cols["event_name"].alias("eventName"),
+    )
+
+
+def nest_to_otlp(parsed: DataFrame) -> DataFrame:
+    """Flat parsed turns → one OTLP-JSON document per conversation.
+
+    resource = conversation (conv_id as resource attribute), scope =
+    role (instrumentation-scope analog), logRecords = turns in stable
+    turn_idx order (arrival order within a pdata slice).
+    """
+    rec = log_record(
+        {
+            "ts": F.unix_micros(F.col("ts").cast("timestamp")) * 1000,
+            "observed_ts": F.unix_micros(F.col("ts").cast("timestamp")) * 1000,
+            "severity_number": severity_number(F.col("level")),
+            "severity_text": F.coalesce(F.col("level"), F.lit("")),
+            "body": F.col("text"),
+            "attributes": F.map_filter(
+                F.create_map(
+                    F.lit("svc"), F.col("svc"),
+                    F.lit("latency_ms"), F.col("latency_ms").cast("string"),
+                    F.lit("req_id"), F.col("req_id"),
+                ),
+                lambda k, v: v.isNotNull(),
+            ),
+            "event_name": F.concat_ws(":", F.col("role"), F.col("tool")),
+        }
+    )
+    with_rec = parsed.select(
+        "conv_id", "role", "turn_idx", rec.alias("record")
+    )
+    def _by(key):
+        # comparator: structs holding maps are not naturally orderable
+        return lambda l, r: (
+            F.when(l[key] < r[key], -1).when(l[key] > r[key], 1).otherwise(0)
+        ).cast("int")
+
+    scopes = (
+        with_rec.groupBy("conv_id", "role")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("turn_idx"), F.col("record"))),
+                _by("turn_idx"),
+            ).alias("_recs")
+        )
+        .select(
+            "conv_id",
+            F.struct(
+                F.struct(F.col("role").alias("name")).alias("scope"),
+                F.transform(F.col("_recs"), lambda r: r["record"]).alias(
+                    "logRecords"
+                ),
+            ).alias("scopeLogs"),
+        )
+    )
+    by_scope_name = lambda l, r: (  # noqa: E731
+        F.when(l["scope"]["name"] < r["scope"]["name"], -1)
+        .when(l["scope"]["name"] > r["scope"]["name"], 1)
+        .otherwise(0)
+    ).cast("int")
+    return (
+        scopes.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("scopeLogs"), by_scope_name).alias("scopeLogs"))
+        .select(
+            "conv_id",
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.create_map(
+                            F.lit("conv_id"), F.col("conv_id")
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.col("scopeLogs"),
+                )
+            ).alias("otlp_json"),
+        )
+    )
+
+
+OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeLogs:array<struct<scope:struct<name:string>,"
+    "logRecords:array<struct<timeUnixNano:bigint,"
+    "observedTimeUnixNano:bigint,severityNumber:int,severityText:string,"
+    "body:string,attributes:map<string,string>,eventName:string>>>>>"
+)
+
+
+def flatten_from_otlp(nested: DataFrame, json_col: str = "otlp_json") -> DataFrame:
+    """Inverse of nest_to_otlp: OTLP-JSON docs → flat records."""
+    d = nested.select(F.from_json(F.col(json_col), OTLP_SCHEMA).alias("d"))
+    sl = d.select(
+        F.col("d.resource.attributes")["conv_id"].alias("conv_id"),
+        F.explode("d.scopeLogs").alias("s"),
+    )
+    recs = sl.select(
+        "conv_id",
+        F.col("s.scope.name").alias("role"),
+        F.explode("s.logRecords").alias("r"),
+    )
+    return recs.select(
+        "conv_id",
+        "role",
+        F.timestamp_micros((F.col("r.timeUnixNano") / 1000).cast("long")).alias("ts"),
+        F.col("r.severityNumber").alias("severity_number"),
+        F.col("r.severityText").alias("severity_text"),
+        F.col("r.body").alias("text"),
+        F.col("r.attributes").alias("attributes"),
+        F.col("r.eventName").alias("event_name"),
+    )
+
+
+def log_record_count(nested: DataFrame) -> int:
+    """LogRecordCount over the nested form (logs.go:16-29 triple loop →
+    one sum of array sizes)."""
+    d = nested.select(F.from_json(F.col("otlp_json"), OTLP_SCHEMA).alias("d"))
+    n = d.select(
+        F.aggregate(
+            F.col("d.scopeLogs"),
+            F.lit(0),
+            lambda acc, s: acc + F.size(s["logRecords"]),
+        ).alias("n")
+    )
+    return n.agg(F.sum("n")).collect()[0][0]

@@ -1,0 +1,178 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Spark-side plumbing for a training-data pipeline's media handling:
+- media columns are `binary` with a typed metadata struct
+  (media_type, width/height or sample_rate/duration, codec);
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — the schema, partitioning, UDF signature and
+  batch shape are real and tested; the actual codec call is STUBBED
+  (this container has no image/audio libraries) behind
+  ``_decode_stub``: a deterministic fake that derives pseudo-pixels
+  from the payload bytes, with the real-library call site marked.
+
+Scale notes: mapInPandas streams Arrow batches (no full-partition
+materialization); media work is embarrassingly parallel so the only
+plan concern is batch sizing (spark.sql.execution.arrow.
+maxRecordsPerBatch) and skew from very large blobs — both handled by
+repartitioning on a size bucket before the decode stage
+(``partition_by_size``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, media_type string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, codec:string>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, sha256 string, "
+    "feature array<float>, decoded_shape array<int>"
+)
+
+RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
+
+
+def synthetic_media(
+    spark: SparkSession, n: int = 64, seed: int = 42
+) -> DataFrame:
+    """Deterministic fake media table (binary payloads from a seeded
+    hash chain) — the pdata/testdata GenerateLogs analog for media."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        mt = ("image/png", "audio/wav", "video/mp4")[i % 3]
+        meta = {
+            "width": 64 + (i % 8) * 16 if mt.startswith("image") else None,
+            "height": 64 + (i % 5) * 16 if mt.startswith("image") else None,
+            "sample_rate": 16000 if mt.startswith("audio") else None,
+            "duration_ms": 1000 + i * 10 if not mt.startswith("image") else None,
+            "codec": {"image/png": "png", "audio/wav": "pcm_s16le", "video/mp4": "h264"}[mt],
+        }
+        rows.append((i, mt, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB for the real decoder.
+
+    Real implementation would be e.g.:
+        from PIL import Image; arr = np.asarray(Image.open(io.BytesIO(payload)))
+        import soundfile; arr, sr = soundfile.read(io.BytesIO(payload))
+    Neither library ships in this container, so we derive a
+    deterministic pseudo-decode from the payload bytes: same
+    signature, same dtype/shape contract, fully testable plumbing.
+    """
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if media_type.startswith("image"):
+        side = max(1, int(len(raw) ** 0.5) // 2)
+        return raw[: side * side].reshape(side, side).astype(np.float32)
+    return raw.astype(np.float32)
+
+
+def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: payload → small float vector.
+
+    Arrow batches in, Arrow batches out; pure function of payload bytes.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shapes, hashes, nbytes = [], [], [], []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                arr = _decode_stub(bytes(payload), mt)
+                flat = arr.ravel()
+                chunks = np.array_split(flat, feature_dim)
+                feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+                shapes.append(list(arr.shape))
+                hashes.append(hashlib.sha256(bytes(payload)).hexdigest())
+                nbytes.append(len(bytes(payload)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": nbytes,
+                    "sha256": hashes,
+                    "feature": feats,
+                    "decoded_shape": shapes,
+                }
+            )
+
+    return df.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """mapInPandas resize: nearest-neighbor over the stubbed decode
+    (real impl: PIL Image.resize). Non-images pass through untouched
+    dimensions (None)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, ws, hs = [], [], []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                if mt.startswith("image"):
+                    arr = _decode_stub(bytes(payload), mt)
+                    yi = (np.linspace(0, arr.shape[0] - 1, height)).astype(int)
+                    xi = (np.linspace(0, arr.shape[1] - 1, width)).astype(int)
+                    small = arr[np.ix_(yi, xi)].astype(np.uint8)
+                    out_payload.append(small.tobytes())
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    out_payload.append(bytes(payload))
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (real impl: pyav/ffmpeg seek; stub derives frame bytes from the
+    payload hash chain). Explodes rows — the canonical fan-out shape."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, frames = [], [], []
+            for mid, payload, mt, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                if not mt.startswith("video"):
+                    continue
+                dur = (meta or {}).get("duration_ms") or 0
+                for t in range(0, int(dur), every_ms):
+                    ids.append(mid)
+                    ts.append(t)
+                    frames.append(
+                        hashlib.sha256(bytes(payload) + t.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ms": ts, "frame": frames}
+            )
+
+    return df.mapInPandas(gen, "media_id long, frame_ms int, frame binary")
+
+
+def partition_by_size(df: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """Spread large blobs: repartition by (size bucket, media_id hash) so
+    one partition never accumulates all the biggest payloads."""
+    bucket = F.pmod(
+        F.xxhash64(F.col("media_id")) + F.octet_length("payload"), F.lit(n_buckets)
+    )
+    return df.repartition(n_buckets, bucket)

@@ -133,7 +133,69 @@ def ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def embedding_neardup_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs embedding near-dups (cosine ≥ threshold), a < b.
+
+    O(n²): the small-scale verification baseline for the LSH variant —
+    never the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Scale path: candidates share a hyperplane-sign bucket (high-cosine
+    pairs almost surely do), verified by exact cosine. Shuffle is on the
+    bucket id, never all-pairs."""
+    bucketed = with_ann_bucket(df, dim, bits, vec_col, seed)
+    a = bucketed.select(
+        F.col("ann_bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = bucketed.select(
+        F.col("ann_bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    return (
+        a.join(b, on="ann_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
+
+def oracle_embedding_neardup(threshold: float, table: str = "embeddings") -> str:
+    cos = (
+        "list_dot_product(cast(a.embedding AS double[]), cast(b.embedding AS double[])) / "
+        "(sqrt(list_dot_product(cast(a.embedding AS double[]), cast(a.embedding AS double[]))) * "
+        "sqrt(list_dot_product(cast(b.embedding AS double[]), cast(b.embedding AS double[]))))"
+    )
+    return f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 4) AS cos_sim
+        FROM {table} a, {table} b
+        WHERE a.vec_id < b.vec_id AND {cos} >= {threshold}"""
+
 
 def oracle_cosine_threshold(
     query_vec: list[float], threshold: float, table: str = "embeddings"

@@ -1,0 +1,185 @@
+"""Config-driven pipeline assembly: the otelcol config surface.
+
+The reference resolves a YAML config into a typed Config tree, then
+builds the component graph in reverse topological order
+(otelcol/collector.go:183-200 config resolution; confmap expansion
+confmap/resolver.go:164; graph build service/internal/graph/
+graph.go:78-97). This module reproduces that lifecycle Spark-first:
+
+    dict (parsed YAML) → validated PipelineSpec → PipelineGraph
+    (cycle/orphan checks) → composed DataFrame plan
+
+Component types mirror the collector's registry; ``${env:VAR}``
+expansion mirrors the confmap env provider (confmap/provider/
+envprovider). Unknown component names fail at build time with the
+component name in the error — the collector's readable-error contract.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opentelemetry_collector_spark.functions import parse as parse_mod
+from opentelemetry_collector_spark.operators import (
+    batch as batch_mod,
+    enrich as enrich_mod,
+    filter as filter_mod,
+    order as order_mod,
+    route as route_mod,
+)
+from opentelemetry_collector_spark.plans.graph import GraphError, PipelineGraph
+from opentelemetry_collector_spark.sources import tables
+
+_ENV_REF = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
+
+
+def expand_env(value: Any) -> Any:
+    """${env:VAR} / ${env:VAR:-default} expansion (confmap env provider)."""
+    if isinstance(value, str):
+
+        def sub(m: re.Match) -> str:
+            return os.environ.get(m.group(1), m.group(2) or "")
+
+        return _ENV_REF.sub(sub, value)
+    if isinstance(value, dict):
+        return {k: expand_env(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [expand_env(v) for v in value]
+    return value
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    receivers: dict[str, dict] = field(default_factory=dict)
+    processors: dict[str, dict] = field(default_factory=dict)
+    exporters: dict[str, dict] = field(default_factory=dict)
+    pipeline: list[str] = field(default_factory=list)  # processor order
+
+
+class ConfigError(ValueError):
+    pass
+
+
+RECEIVER_TYPES = ("transcripts", "nop", "table")
+PROCESSOR_TYPES = ("parse", "enrich", "filter", "order", "batch", "route")
+EXPORTER_TYPES = ("parquet", "debug", "nop")
+
+
+def _ctype(name: str) -> str:
+    """'parse/custom' → 'parse' (type/name instance convention)."""
+    return name.split("/", 1)[0]
+
+
+def load_spec(raw: dict) -> PipelineSpec:
+    raw = expand_env(raw)
+    for section, types in (
+        ("receivers", RECEIVER_TYPES),
+        ("processors", PROCESSOR_TYPES),
+        ("exporters", EXPORTER_TYPES),
+    ):
+        for name in raw.get(section, {}):
+            if _ctype(name) not in types:
+                raise ConfigError(
+                    f"unknown {section[:-1]} type {_ctype(name)!r} "
+                    f"(component {name!r}); known: {types}"
+                )
+    svc = raw.get("service", {}).get("pipelines", {}).get("logs", {})
+    spec = PipelineSpec(
+        receivers=raw.get("receivers", {}),
+        processors=raw.get("processors", {}),
+        exporters=raw.get("exporters", {}),
+        pipeline=svc.get("processors", list(raw.get("processors", {}))),
+    )
+    if not spec.receivers:
+        raise ConfigError("config declares no receivers")
+    if not spec.exporters:
+        raise ConfigError("config declares no exporters")
+    for p in spec.pipeline:
+        if p not in spec.processors:
+            raise ConfigError(f"pipeline references undeclared processor {p!r}")
+    return spec
+
+
+def build_graph(spec: PipelineSpec) -> PipelineGraph:
+    """Validated component DAG (cycle/orphan errors before any Spark)."""
+    g = PipelineGraph()
+    for r in spec.receivers:
+        g.add(r, "receiver")
+    for p in spec.pipeline:
+        g.add(p, "processor")
+    for e in spec.exporters:
+        g.add(e, "exporter")
+    chain = list(spec.pipeline)
+    heads = chain[0] if chain else None
+    for r in spec.receivers:
+        if heads:
+            g.connect(r, heads)
+    for a, b in zip(chain, chain[1:]):
+        g.connect(a, b)
+    tail = chain[-1] if chain else None
+    for e in spec.exporters:
+        if tail:
+            g.connect(tail, e)
+        else:
+            for r in spec.receivers:
+                g.connect(r, e)
+    g.validate()
+    return g
+
+
+def _apply_processor(df: DataFrame, name: str, cfg: dict, spark: SparkSession) -> DataFrame:
+    t = _ctype(name)
+    if t == "parse":
+        return parse_mod.with_parsed(df, method=cfg.get("method", "native"))
+    if t == "enrich":
+        return enrich_mod.enrich_with_defaults(df, spark)
+    if t == "filter":
+        fs = filter_mod.FilterSet(
+            column=cfg["column"],
+            strict=tuple(cfg.get("strict", ())),
+            regexp=tuple(cfg.get("regexp", ())),
+        )
+        action = cfg.get("action", "include")
+        return (filter_mod.include if action == "include" else filter_mod.exclude)(df, fs)
+    if t == "order":
+        return order_mod.with_turn_order(df)
+    if t == "batch":
+        return batch_mod.assign_batches(
+            df,
+            send_batch_size=cfg.get("send_batch_size", batch_mod.DEFAULT_SEND_BATCH_SIZE),
+            shard_keys=tuple(cfg.get("shard_keys", ("role", "tool"))),
+        )
+    if t == "route":
+        routes = [
+            route_mod.Route(r["route_id"], r["predicate"], r["sink"])
+            for r in cfg.get("routes", [])
+        ] or None
+        return route_mod.with_sink(df, routes)
+    raise ConfigError(f"unknown processor type {t!r}")
+
+
+def build_frame(spark: SparkSession, spec: PipelineSpec, sf_dir: str) -> DataFrame:
+    """Compose the configured stages into one lazy DataFrame plan.
+
+    Reverse-topological construction in the reference (each component
+    gets its downstream consumer first) is naturally expressed as
+    forward chaining of lazy transformations — no starting order exists
+    until an action runs.
+    """
+    build_graph(spec)  # validate topology first (collector Build step)
+    rname, rcfg = next(iter(spec.receivers.items()))
+    t = _ctype(rname)
+    if t == "transcripts":
+        df = tables.read_transcripts(spark, sf_dir)
+    elif t == "table":
+        df = tables.read_table(spark, sf_dir, rcfg["name"])
+    else:
+        df = tables.nop_source(spark)
+    for p in spec.pipeline:
+        df = _apply_processor(df, p, spec.processors.get(p, {}), spark)
+    return df

@@ -1,0 +1,71 @@
+"""Config-driven pipeline assembly (otelcol config lifecycle analog)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.plans import config as cfg_mod
+from opentelemetry_collector_spark.plans import pipeline
+
+RAW = {
+    "receivers": {"transcripts": {}},
+    "processors": {
+        "parse": {"method": "native"},
+        "enrich": {},
+        "route": {},
+    },
+    "exporters": {"parquet/sinks": {}},
+    "service": {"pipelines": {"logs": {"processors": ["parse", "enrich", "route"]}}},
+}
+
+
+def test_config_pipeline_matches_handwritten(spark, sf_dir):
+    spec = cfg_mod.load_spec(RAW)
+    got = cfg_mod.build_frame(spark, spec, sf_dir).select("conv_id", "turn_idx", "sink")
+    want = pipeline.routed_frame(spark, sf_dir).select("conv_id", "turn_idx", "sink")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_unknown_component_rejected():
+    bad = dict(RAW, processors={"frobnicate": {}})
+    bad["service"] = {"pipelines": {"logs": {"processors": ["frobnicate"]}}}
+    with pytest.raises(cfg_mod.ConfigError, match="frobnicate"):
+        cfg_mod.load_spec(bad)
+
+
+def test_missing_sections_rejected():
+    with pytest.raises(cfg_mod.ConfigError, match="no receivers"):
+        cfg_mod.load_spec({"exporters": {"nop": {}}})
+    with pytest.raises(cfg_mod.ConfigError, match="no exporters"):
+        cfg_mod.load_spec({"receivers": {"nop": {}}})
+
+
+def test_undeclared_processor_in_pipeline_rejected():
+    bad = dict(RAW)
+    bad["service"] = {"pipelines": {"logs": {"processors": ["parse", "ghost"]}}}
+    with pytest.raises(cfg_mod.ConfigError, match="ghost"):
+        cfg_mod.load_spec(bad)
+
+
+def test_env_expansion(monkeypatch):
+    monkeypatch.setenv("OTEL_METHOD", "arrow")
+    raw = cfg_mod.expand_env({"a": "${env:OTEL_METHOD}", "b": "${env:MISSING:-dflt}"})
+    assert raw == {"a": "arrow", "b": "dflt"}
+
+
+def test_configured_filter_and_batch(spark, sf_dir):
+    raw = {
+        "receivers": {"transcripts": {}},
+        "processors": {
+            "filter/errors": {"column": "text", "regexp": [r"^\[ERROR\]"]},
+            "batch": {"send_batch_size": 64, "shard_keys": ["role"]},
+        },
+        "exporters": {"debug": {}},
+        "service": {
+            "pipelines": {"logs": {"processors": ["filter/errors", "batch"]}}
+        },
+    }
+    df = cfg_mod.build_frame(spark, cfg_mod.load_spec(raw), sf_dir)
+    assert df.filter(~F.col("text").startswith("[ERROR]")).count() == 0
+    assert df.groupBy("role", "batch_id").count().agg(F.max("count")).collect()[0][0] <= 64

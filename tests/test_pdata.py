@@ -1,0 +1,45 @@
+"""pdata mapping: severity enum, OTLP-JSON nesting round-trip, counts
+(pdata/plog generated round-trip test analog, json_test.go/pb_test.go)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.functions import parse, pdata
+
+
+def _parsed(transcripts):
+    return parse.with_parsed(transcripts, "native")
+
+
+def test_severity_mapping(transcripts):
+    df = _parsed(transcripts).select(
+        "level", pdata.severity_number(F.col("level")).alias("sn")
+    )
+    rows = {(r["level"], r["sn"]) for r in df.distinct().collect()}
+    assert ("DEBUG", 5) in rows and ("INFO", 9) in rows
+    assert ("WARN", 13) in rows and ("ERROR", 17) in rows
+    assert (None, 0) in rows  # malformed → UNSPECIFIED
+
+
+def test_otlp_roundtrip_lossless(transcripts):
+    parsed = _parsed(transcripts)
+    nested = pdata.nest_to_otlp(parsed)
+    flat = pdata.flatten_from_otlp(nested)
+    # body (the original text) survives byte-exactly per (conv, ts-derived id)
+    want = parsed.select("conv_id", "role", "text", F.col("ts").cast("timestamp").alias("ts"))
+    got = flat.select("conv_id", "role", "text", "ts")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_log_record_count(transcripts):
+    nested = pdata.nest_to_otlp(_parsed(transcripts))
+    assert pdata.log_record_count(nested) == transcripts.count()
+
+
+def test_envelope_shape(transcripts):
+    nested = pdata.nest_to_otlp(_parsed(transcripts))
+    assert nested.count() == transcripts.select("conv_id").distinct().count()
+    one = nested.limit(1).collect()[0]["otlp_json"]
+    assert '"resource"' in one and '"scopeLogs"' in one and '"logRecords"' in one

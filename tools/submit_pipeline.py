@@ -1,0 +1,48 @@
+"""spark-submit entry point for the pipeline.
+
+Cluster usage (the production shape; north_rule contract):
+
+    zip -r otelcol_spark.zip opentelemetry_collector_spark
+    spark-submit --master <cluster> \
+        --py-files otelcol_spark.zip \
+        tools/submit_pipeline.py \
+        --sf-dir <input dir> --out-dir <output dir> --run-id run42
+
+Sandbox evidence: spark-submit --master 'local[N]' with the same
+flags. The script builds NO SparkSession config of its own beyond app
+name — master/executors/memory come from spark-submit, as they must on
+a real cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--parse-method", default="native", choices=["native", "arrow"])
+    ap.add_argument("--salted", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("otelcol-spark-pipeline").getOrCreate()
+
+    from opentelemetry_collector_spark.plans import pipeline, runner
+
+    cfg = pipeline.PipelineConfig(parse_method=args.parse_method, salted=args.salted)
+    paths = runner.run_pipeline(
+        spark, args.sf_dir, args.out_dir, run_id=args.run_id, cfg=cfg
+    )
+    counts = {s: spark.read.parquet(p).count() for s, p in paths.items()}
+    print("PIPELINE_RESULT " + json.dumps({"run_id": args.run_id, "sink_rows": counts}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
