@@ -367,6 +367,59 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_metrics_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.functions import signals
+
+    ev = tables.read_table(spark, sf_dir, "events")
+    out = signals.delta_to_cumulative(
+        ev, series_keys=("event_type",), time_col="event_id", value_col="value"
+    )
+    return out.select(
+        "event_type", "event_id", F.round("cumulative", 4).alias("cumulative")
+    )
+
+
+def _q_metrics_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.functions import signals
+
+    ev = tables.read_table(spark, sf_dir, "events")
+    out = signals.cumulative_to_delta(
+        ev, series_keys=("event_type",), time_col="event_id", value_col="value"
+    )
+    return out.select("event_type", "event_id", F.round("delta", 4).alias("delta"))
+
+
+def _q_metrics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.functions import signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    return signals.histogram_datapoints(parsed)
+
+
+def _q_metrics_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.functions import signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    return signals.exp_histogram_datapoints(parsed)
+
+
+def _q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.functions import signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    return signals.summary_datapoints(parsed)
+
+
+def _q_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.functions import signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    return signals.spans_from_turns(parsed).select(
+        "conv_id", "turn_idx", "trace_id", "span_id", "parent_span_id",
+        "name", "kind", "status", "start_ts", "end_ts",
+    )
+
+
 def _q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Obsreport counters derived from the routed frame
     (receiver/receiverhelper/obsreport.go:181-201 name scheme)."""
@@ -413,6 +466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "media_features": _q_media_features,
         "stage_metrics": _q_stage_metrics,
+        "metrics_cumulative": _q_metrics_cumulative,
+        "metrics_delta": _q_metrics_delta,
+        "metrics_histogram": _q_metrics_histogram,
+        "metrics_exp_histogram": _q_metrics_exp_histogram,
+        "metrics_summary": _q_metrics_summary,
+        "trace_spans": _q_trace_spans,
     }
 
 
@@ -511,6 +570,61 @@ def oracle_sql() -> dict[str, str]:
                       FROM routed GROUP BY sink
             UNION ALL SELECT 'exporter_' || sink, 'send_failed_log_records', 0
                       FROM routed GROUP BY sink""",
+        "metrics_cumulative": """
+            SELECT event_type, event_id,
+                   round(sum(value) OVER (PARTITION BY event_type
+                         ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS cumulative
+            FROM events""",
+        "metrics_delta": """
+            SELECT event_type, event_id,
+                   round(value - coalesce(lag(value) OVER (
+                         PARTITION BY event_type ORDER BY event_id), 0), 4)
+                   AS delta
+            FROM events""",
+        "metrics_histogram": f"""{_parsed_cte()}
+            SELECT svc,
+                   cast(CASE WHEN latency_ms <= 10 THEN 0
+                             WHEN latency_ms <= 100 THEN 1
+                             WHEN latency_ms <= 500 THEN 2
+                             WHEN latency_ms <= 1000 THEN 3
+                             WHEN latency_ms <= 5000 THEN 4
+                             ELSE 5 END AS int) AS bucket_idx,
+                   cast(count(*) AS bigint) AS bucket_count,
+                   cast(sum(latency_ms) AS bigint) AS value_sum,
+                   min(latency_ms) AS value_min,
+                   max(latency_ms) AS value_max
+            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1, 2""",
+        "metrics_exp_histogram": f"""{_parsed_cte()}
+            SELECT svc,
+                   cast(CASE WHEN latency_ms > 0 THEN floor(log2(latency_ms))
+                        END AS int) AS bucket_idx,
+                   cast(count(*) AS bigint) AS bucket_count
+            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1, 2""",
+        "metrics_summary": f"""{_parsed_cte()}
+            SELECT svc, cast(count(*) AS bigint) AS n,
+                   cast(sum(latency_ms) AS bigint) AS value_sum,
+                   round(quantile_cont(latency_ms, 0.5), 4) AS q5,
+                   round(quantile_cont(latency_ms, 0.9), 4) AS q9,
+                   round(quantile_cont(latency_ms, 0.99), 4) AS q99
+            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1""",
+        "trace_spans": f"""{_parsed_cte()}, spans AS (
+            SELECT conv_id, turn_idx,
+                   md5(conv_id) AS trace_id,
+                   substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
+                   tool || '/' || coalesce(svc, '') AS name,
+                   'SPAN_KIND_CLIENT' AS kind,
+                   CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
+                        ELSE 'STATUS_CODE_OK' END AS status,
+                   ts AS start_ts,
+                   ts + to_microseconds(coalesce(latency_ms, 0) * 1000) AS end_ts
+            FROM parsed WHERE role = 'tool')
+            SELECT conv_id, turn_idx, trace_id, span_id,
+                   lag(span_id) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     AS parent_span_id,
+                   name, kind, status, start_ts, end_ts
+            FROM spans""",
         "severity_turns": f"""{_parsedcte_sev()}""",
         "otlp_roundtrip": f"""{_transcripts_cte()}
             SELECT conv_id, role, text FROM transcripts""",
