@@ -420,6 +420,15 @@ def _q_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data cleaning: lang+quality filter → exact
+    dedup → minhash-LSH near-dup removal → kept doc ids."""
+    from opentelemetry_collector_spark.plans import docs_pipeline
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return docs_pipeline.clean_documents(docs).select("doc_id")
+
+
 def _q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Obsreport counters derived from the routed frame
     (receiver/receiverhelper/obsreport.go:181-201 name scheme)."""
@@ -472,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_exp_histogram": _q_metrics_exp_histogram,
         "metrics_summary": _q_metrics_summary,
         "trace_spans": _q_trace_spans,
+        "docs_clean_pipeline": _q_docs_clean_pipeline,
     }
 
 
@@ -483,6 +493,12 @@ def _parsedcte_sev() -> str:
                coalesce(level, '') AS severity_text,
                {pdata.oracle_severity_number('level')} AS severity_number
         FROM parsed"""
+
+
+def _docs_clean_oracle() -> str:
+    from opentelemetry_collector_spark.plans import docs_pipeline
+
+    return docs_pipeline.oracle_clean_documents()
 
 
 def _oracle_topk(vec: list[float], k: int) -> str:
@@ -632,6 +648,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT sink, conv_id, turn_idx FROM routed
             WHERE sink IN ('sink_py', 'sink_llm')""",
         "embedding_neardup": sim_oracle.oracle_embedding_neardup(0.5),
+        "neardup_minhash": dedup_oracle.oracle_neardup_pairs(0.5),
+        "docs_clean_pipeline": _docs_clean_oracle(),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
         "minhash_signatures": f"""

@@ -286,6 +286,23 @@ def oracle_shingles(col: str = "text", n: int = 3) -> str:
     )
 
 
+def oracle_neardup_pairs(threshold: float, table: str = "documents") -> str:
+    """Exact all-pairs shingle-Jaccard (the LSH path's ground truth;
+    valid as the LSH query's oracle because the banding config achieves
+    100% recall at this threshold on the fixture — asserted in tests)."""
+    sh = oracle_shingles("text")
+    jac = (
+        "round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0e0 / "
+        "greatest(len(list_distinct(a.sh || b.sh)), 1), 6)"
+    )
+    return f"""
+        WITH sh AS (SELECT doc_id, {sh} AS sh FROM {table})
+        SELECT * FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jac} AS jaccard
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        ) WHERE jaccard >= {threshold}"""
+
+
 def oracle_minhash(shingles_expr: str, num_hashes: int = DEFAULT_NUM_HASHES) -> str:
     mins = ", ".join(
         f"list_min(list_transform({shingles_expr}, s -> md5('{i}|' || s)))"
