@@ -39,6 +39,14 @@ def salted_sink_window_counts(
 ) -> DataFrame:
     """Two-phase (salted) variant for pathological hot keys.
 
+    Measured finding (BENCH/BASELINE.md): for *algebraic* aggregates
+    like count, map-side partial aggregation already collapses a hot
+    conv_id to ≤(windows × sinks) rows per task before the shuffle, so
+    plain == salted even when one conv owns 30% of 6M rows. Salting
+    earns its keep for non-combinable aggregations (collect_list/
+    collect_set state) and skewed *joins*; it is kept here as the
+    documented escape hatch and for parity with the north_star contract.
+
     Phase 1 aggregates (key, salt) — spreads one hot key over
     ``salt_buckets`` reducers; phase 2 sums the partials. The salt is a
     pure function of row columns (turn_idx) so replays stay

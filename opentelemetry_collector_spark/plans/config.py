@@ -53,6 +53,16 @@ def expand_env(value: Any) -> Any:
     return value
 
 
+def load_yaml(path: str) -> "PipelineSpec":
+    """File provider (confmap/provider/fileprovider analog): YAML file →
+    spec, with env expansion applied after parse."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return load_spec(raw)
+
+
 @dataclass(frozen=True)
 class PipelineSpec:
     receivers: dict[str, dict] = field(default_factory=dict)

@@ -1,0 +1,50 @@
+"""Plan hygiene across the whole driver query surface.
+
+SURVEY.md §7 hard requirements, enforced mechanically for EVERY
+registered query:
+- no row-at-a-time Python anywhere (BatchEvalPython);
+- ArrowEvalPython / mapInPandas only in the queries that declare a
+  vectorized-UDF stage;
+- no CartesianProduct except the documented brute-force verification
+  baselines (embedding_neardup);
+- transcripts scans must prune columns (never read all 6 columns when
+  fewer are needed).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+ARROW_OK = {
+    "pipeline_e2e_arrow",
+    "parse_turns_arrow",
+    "simhash_pairs",
+    "media_features",
+}
+CARTESIAN_OK = {"embedding_neardup"}  # documented O(n²) baseline
+
+_QUERIES = sorted(entry.queries())
+
+
+@pytest.mark.parametrize("key", _QUERIES)
+def test_plan_hygiene(spark, sf_dir, key):
+    df = entry.queries()[key](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{key}: row-at-a-time Python UDF"
+    if key not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{key}: undeclared Python stage"
+        )
+    if key not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{key}: accidental cross join"
+
+
+def test_transcript_scan_prunes_columns(spark, sf_dir):
+    """A 3-column projection must not read all 6 transcript columns."""
+    df = entry.queries()["filter_regexp"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l and "transcripts" in l]
+    assert scan, "no transcripts scan found"
+    assert "role" not in scan[0] and "tool" not in scan[0], scan[0]
