@@ -203,6 +203,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.token_count(c).alias("n_tokens"),
+        T.bpe_ish_token_count(c).alias("n_tokens_bpe"),
         T.lang_id(c).alias("lang_pred"),
         T.quality_score_ppm(c).alias("quality_ppm"),
         T.fingerprint(c).alias("fp"),
@@ -660,6 +661,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": f"""
             SELECT doc_id,
                    {text_oracle.oracle_token_count('text')} AS n_tokens,
+                   cast(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bigint)
+                     AS n_tokens_bpe,
                    {text_oracle.oracle_lang_id('text')} AS lang_pred,
                    {text_oracle.oracle_quality_score_ppm('text')} AS quality_ppm,
                    {text_oracle.oracle_fingerprint('text')} AS fp

@@ -29,9 +29,15 @@ def run_pipeline(
     cfg: pipeline.PipelineConfig | None = None,
     crash_after: str | None = None,
     rows_per_file: int = 8192,
+    single_pass: bool = False,
 ) -> dict[str, str]:
     """Execute parse→enrich→route, fan out to per-sink tables, write
     metrics + aggregate. Returns {sink: output_path}.
+
+    single_pass=True uses write_fanout_single_pass (partitionBy sink,
+    one scan, zero extra shuffles — the 100 TB default) with the whole
+    fan-out as one lineage unit; False keeps per-sink units
+    (persistent-queue-grade resume granularity).
 
     crash_after=<sink> injects a failure after that sink's write but
     before its commit record — the CheckConsumeContract kill scenario
@@ -42,20 +48,30 @@ def run_pipeline(
     try:
         sinks = route_mod.all_sinks(list(cfg.routes))
         manifest = checkpoint.LineageManifest(str(Path(out_dir) / "_checkpoint"), run_id)
-        paths: dict[str, str] = {
-            s: writers.sink_path(out_dir, run_id, s) for s in sinks
-        }
+        if single_pass:
+            paths = {s: f"{out_dir}/run_id={run_id}/sink={s}" for s in sinks}
 
-        def execute(sink: str) -> None:
-            writers.write_sink(
-                routed.filter(F.col("sink") == sink),
-                out_dir,
-                run_id,
-                sink,
-                rows_per_file=rows_per_file,
+            def execute_all(unit: str) -> None:
+                writers.write_fanout_single_pass(
+                    routed, out_dir, run_id, rows_per_file=rows_per_file
+                )
+
+            checkpoint.run_with_resume(
+                manifest, ["fanout"], execute_all, crash_after=crash_after
             )
+        else:
+            paths = {s: writers.sink_path(out_dir, run_id, s) for s in sinks}
 
-        checkpoint.run_with_resume(manifest, sinks, execute, crash_after=crash_after)
+            def execute(sink: str) -> None:
+                writers.write_sink(
+                    routed.filter(F.col("sink") == sink),
+                    out_dir,
+                    run_id,
+                    sink,
+                    rows_per_file=rows_per_file,
+                )
+
+            checkpoint.run_with_resume(manifest, sinks, execute, crash_after=crash_after)
 
         # aggregate + metrics land only after all sinks committed
         agg = pipeline.aggregate_frame(routed, cfg)

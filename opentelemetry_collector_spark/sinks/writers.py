@@ -97,6 +97,37 @@ def write_sink(
     return path
 
 
+def write_fanout_single_pass(
+    routed: DataFrame,
+    base_dir: str,
+    run_id: str,
+    rows_per_file: int = batch_mod.DEFAULT_SEND_BATCH_SIZE,
+) -> str:
+    """One-pass fan-out: write.partitionBy('sink') — every sink's table
+    materializes in a single scan of the routed frame with ZERO extra
+    shuffles (vs one repartition per sink in the per-unit mode).
+
+    Tradeoff vs write_sink units: resume granularity is the whole
+    fan-out (one lineage unit), not per sink. At 100 TB this is the
+    default — the scan dominates and re-running one idempotent
+    overwrite of the whole epoch is cheaper than 5 extra shuffles on
+    every healthy run. The per-sink mode remains for fine-grained
+    resume (persistent-queue parity).
+    """
+    path = str(Path(base_dir) / f"run_id={run_id}")
+
+    def _commit() -> None:
+        (
+            routed.write.mode("overwrite")
+            .option("maxRecordsPerFile", str(rows_per_file))
+            .partitionBy("sink")
+            .parquet(path)
+        )
+
+    retry_commit(_commit)
+    return path
+
+
 def debug_sink(df: DataFrame, verbosity: str = "basic", sample: int = 20) -> int:
     """debugexporter: basic → count only; normal → sampled rows;
     detailed → sampled rows, untruncated."""

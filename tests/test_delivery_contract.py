@@ -80,6 +80,21 @@ def test_repeat_resume_idempotent(spark, sf_dir, tmp_path):
     assert _collect_ids(spark, out, "r1") == before
 
 
+def test_single_pass_fanout_equals_per_sink(spark, sf_dir, tmp_path):
+    """partitionBy(sink) single-pass mode writes the same routed-row
+    sets as per-sink unit writes (the 100 TB default vs the
+    fine-resume mode)."""
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    runner.run_pipeline(spark, sf_dir, out_a, run_id="r1")
+    runner.run_pipeline(spark, sf_dir, out_b, run_id="r1", single_pass=True)
+    a = _collect_ids(spark, out_a, "r1")
+    got = {}
+    for s in route.all_sinks():
+        df = spark.read.parquet(f"{out_b}/run_id=r1/sink={s}")
+        got[s] = {(r["conv_id"], r["turn_idx"]) for r in df.select("conv_id", "turn_idx").collect()}
+    assert got == a
+
+
 def test_metrics_contract(spark, sf_dir, transcripts, tmp_path):
     out = str(tmp_path / "m")
     runner.run_pipeline(spark, sf_dir, out, run_id="r1")
