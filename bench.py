@@ -127,14 +127,34 @@ print("RESULT " + json.dumps({{"sec": statistics.median(samples), "rows": n}}))
     raise RuntimeError(f"scaling subprocess failed:\n{out.stdout}\n{out.stderr}")
 
 
-def run_scaling(sf_dir: str = SF_DIR, low: int = 8, high: int = 32) -> dict:
+def run_scaling(
+    sf_dir: str = SF_DIR,
+    low: int | None = None,
+    high: int | None = None,
+    rounds: int = 3,
+) -> dict:
+    """Alternating-JVM protocol: (low, high) × rounds, median of per-JVM
+    medians — so transient machine load contaminates both levels
+    equally instead of whichever level ran during the spike."""
     from opentelemetry_collector_spark import fixtures
     import pyarrow.parquet as pq
 
+    # default pair N=2 → 4N=8: both levels below the single-box
+    # memory-bandwidth saturation knee (see BENCH/BASELINE.md) — the
+    # fair sandbox proxy for separate-machine executors
+    low = int(os.environ.get("SCALING_LOW", low or 2))
+    high = int(os.environ.get("SCALING_HIGH", high or 8))
     path = fixtures.ensure_transcripts(sf_dir)
     n_turns = pq.read_metadata(path).num_rows
-    sec_low, rows_low = _flagship_seconds_subprocess(low, sf_dir)
-    sec_high, rows_high = _flagship_seconds_subprocess(high, sf_dir)
+    lows, highs = [], []
+    rows_low = rows_high = None
+    for _ in range(rounds):
+        s, rows_low = _flagship_seconds_subprocess(low, sf_dir)
+        lows.append(s)
+        s, rows_high = _flagship_seconds_subprocess(high, sf_dir)
+        highs.append(s)
+    sec_low = statistics.median(lows)
+    sec_high = statistics.median(highs)
     assert rows_low == rows_high, "results differ across parallelism levels!"
     tp_low, tp_high = n_turns / sec_low, n_turns / sec_high
     eff = (tp_high / tp_low) / (high / low)
@@ -149,6 +169,8 @@ def run_scaling(sf_dir: str = SF_DIR, low: int = 8, high: int = 32) -> dict:
         "turns_per_sec_high": round(tp_high, 1),
         "scaling_efficiency": round(eff, 4),
         "rows_out": rows_low,
+        "samples_low": [round(x, 3) for x in lows],
+        "samples_high": [round(x, 3) for x in highs],
     }
 
 

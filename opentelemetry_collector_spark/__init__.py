@@ -26,3 +26,13 @@ Design (see SURVEY.md):
 __version__ = "0.1.0"
 
 from opentelemetry_collector_spark.session import get_spark  # noqa: F401
+
+__all__ = [
+    "get_spark",
+    # primary user entry points (imported lazily to keep import cheap):
+    #   plans.pipeline.flagship / routed_frame   — the flagship DAG
+    #   plans.runner.run_pipeline                — fan-out + resume + metrics
+    #   plans.config.load_yaml / build_frame     — config-driven assembly
+    #   plans.docs_pipeline.clean_documents      — corpus cleaning
+    #   streaming.micro.run_to_sinks             — incremental mode
+]
