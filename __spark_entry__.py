@@ -421,6 +421,23 @@ def _q_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation response-gap stats (ordered window over turns):
+    the scrape-interval/latency-style derived metric."""
+    from pyspark.sql import Window
+
+    df = tables.read_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    gaps = df.withColumn("_gap", gap)
+    return gaps.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_gap").cast("long").alias("gap_sum"),
+        F.max("_gap").cast("long").alias("gap_max"),
+    )
+
+
 def _q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data cleaning: lang+quality filter → exact
     dedup → minhash-LSH near-dup removal → kept doc ids."""
@@ -483,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_summary": _q_metrics_summary,
         "trace_spans": _q_trace_spans,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
+        "turn_gaps": _q_turn_gaps,
     }
 
 
@@ -587,6 +605,15 @@ def oracle_sql() -> dict[str, str]:
                       FROM routed GROUP BY sink
             UNION ALL SELECT 'exporter_' || sink, 'send_failed_log_records', 0
                       FROM routed GROUP BY sink""",
+        "turn_gaps": f"""{_transcripts_cte()}, g AS (
+            SELECT conv_id,
+                   epoch(ts)::bigint - lag(epoch(ts)::bigint) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx) AS gap
+            FROM transcripts)
+            SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
+                   cast(sum(gap) AS bigint) AS gap_sum,
+                   cast(max(gap) AS bigint) AS gap_max
+            FROM g GROUP BY 1""",
         "metrics_cumulative": """
             SELECT event_type, event_id,
                    round(sum(value) OVER (PARTITION BY event_type

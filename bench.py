@@ -59,14 +59,19 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for k in bench_keys:
-        _force(qs[k](spark, sf_dir))  # per-query warm-up: codegen + page cache
-        samples = []
-        for _ in range(ITERATIONS):
-            t0 = time.perf_counter()
-            n = _force(qs[k](spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        times[k] = round(statistics.median(samples), 4)
-        rows[k] = n
+        try:
+            _force(qs[k](spark, sf_dir))  # per-query warm-up: codegen + page cache
+            samples = []
+            for _ in range(ITERATIONS):
+                t0 = time.perf_counter()
+                n = _force(qs[k](spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            times[k] = round(statistics.median(samples), 4)
+            rows[k] = n
+        except Exception as e:  # one broken query must not sink the report
+            times[k] = -1.0
+            rows[k] = -1
+            print(f"BENCH_QUERY_ERROR {k}: {type(e).__name__}", file=sys.stderr)
     return times, rows
 
 

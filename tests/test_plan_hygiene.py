@@ -42,7 +42,12 @@ def test_plan_hygiene(spark, sf_dir, key):
 
 
 def test_transcript_scan_prunes_columns(spark, sf_dir):
-    """A 3-column projection must not read all 6 transcript columns."""
+    """A 3-column projection must not read all 6 transcript columns.
+
+    clearCache first: a cached full-column transcripts frame (other
+    tests' session-scoped fixture) would otherwise substitute an
+    InMemoryRelation whose inner scan reads every column."""
+    spark.catalog.clearCache()
     df = entry.queries()["filter_regexp"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [l for l in plan.splitlines() if "FileScan" in l and "transcripts" in l]
