@@ -421,6 +421,14 @@ def _q_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_first_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key top-k (first 3 turns of each conversation)."""
+    df = tables.read_transcripts(spark, sf_dir)
+    return order_mod.first_turns(df, n=3).select(
+        "conv_id", "turn_idx", "turn_seq", "role"
+    )
+
+
 def _q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation response-gap stats (ordered window over turns):
     the scrape-interval/latency-style derived metric."""
@@ -501,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_spans": _q_trace_spans,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
+        "first_turns": _q_first_turns,
     }
 
 
@@ -605,6 +614,11 @@ def oracle_sql() -> dict[str, str]:
                       FROM routed GROUP BY sink
             UNION ALL SELECT 'exporter_' || sink, 'send_failed_log_records', 0
                       FROM routed GROUP BY sink""",
+        "first_turns": f"""{_transcripts_cte()}
+            SELECT conv_id, turn_idx,
+                   cast(row_number() OVER (PARTITION BY conv_id
+                        ORDER BY turn_idx) AS int) AS turn_seq, role
+            FROM transcripts QUALIFY turn_seq <= 3""",
         "turn_gaps": f"""{_transcripts_cte()}, g AS (
             SELECT conv_id,
                    epoch(ts)::bigint - lag(epoch(ts)::bigint) OVER (

@@ -52,6 +52,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "text_stats",
         "ann_topk_bruteforce",
         "events_hourly",
+        "turn_gaps",
+        "trace_spans",
+        "metrics_histogram",
+        "neardup_minhash",
+        "docs_clean_pipeline",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))
