@@ -24,6 +24,7 @@ real cluster the same call sites target Iceberg
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -126,6 +127,43 @@ def write_fanout_single_pass(
 
     retry_commit(_commit)
     return path
+
+
+def compact_sink(
+    spark,
+    path: str,
+    target_rows_per_file: int = batch_mod.DEFAULT_SEND_BATCH_SIZE,
+) -> tuple[int, int]:
+    """Small-file compaction (Iceberg rewrite_data_files analog).
+
+    Streaming fan-out appends many small files per epoch; batch
+    re-reads then pay per-file open costs. Compaction rewrites a sink
+    table to ⌈rows / target⌉ files. Safe protocol on the parquet
+    fallback: write to a shadow dir, then atomically swap directories
+    (Iceberg does this as a metadata-only commit).
+
+    Returns (files_before, files_after).
+    """
+    import shutil
+    from pathlib import Path as P
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files_before = len(list(P(path).rglob("*.parquet")))
+    n_files = max(1, -(-n // target_rows_per_file))
+    shadow = path.rstrip("/") + "__compact"
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(target_rows_per_file))
+        .parquet(shadow)
+    )
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(shadow, path)
+    shutil.rmtree(old)
+    files_after = len(list(P(path).rglob("*.parquet")))
+    return files_before, files_after
 
 
 def debug_sink(df: DataFrame, verbosity: str = "basic", sample: int = 20) -> int:

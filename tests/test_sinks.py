@@ -1,0 +1,45 @@
+"""Sink utilities: debug/nop exporters, compaction, shared intermediate
+frames (connector-as-exporter+receiver analog)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.plans import pipeline
+from opentelemetry_collector_spark.sinks import writers
+
+
+def test_debug_and_nop_sinks(transcripts):
+    n = transcripts.count()
+    assert writers.debug_sink(transcripts, verbosity="basic") == n
+    assert writers.nop_sink(transcripts) == n
+
+
+def test_compaction_preserves_rows(spark, transcripts, tmp_path):
+    path = str(tmp_path / "sink")
+    # deliberately tiny files
+    transcripts.repartition(16).write.option("maxRecordsPerFile", "100").parquet(path)
+    before = len(list(Path(path).rglob("*.parquet")))
+    n = spark.read.parquet(path).count()
+    fb, fa = writers.compact_sink(spark, path, target_rows_per_file=2000)
+    assert fb == before and fa < fb
+    after = spark.read.parquet(path)
+    assert after.count() == n
+    # row set identical (compaction is physical only)
+    assert after.exceptAll(transcripts).count() == 0
+    assert transcripts.exceptAll(after).count() == 0
+
+
+def test_shared_intermediate_frame(spark, sf_dir):
+    """Connector-as-exporter+receiver (graph.go:144-201): one pipeline's
+    output is another's input via a named temp view over a persisted
+    frame — both consumers see identical rows, evaluated once."""
+    routed = pipeline.routed_frame(spark, sf_dir).persist()
+    routed.createOrReplaceTempView("pipeline_a_out")
+    consumer1 = spark.table("pipeline_a_out").groupBy("sink").count()
+    consumer2 = spark.table("pipeline_a_out").filter(F.col("sink") == "sink_llm")
+    c1 = {r["sink"]: r["count"] for r in consumer1.collect()}
+    assert c1["sink_llm"] == consumer2.count()
+    routed.unpersist()
