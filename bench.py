@@ -92,6 +92,10 @@ def run_once(sf_dir: str = SF_DIR, cpus: str = CPUS) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     times, rows = _bench_queries(spark, sf_dir)
     e2e = times["pipeline_e2e"]
+    if e2e <= 0:
+        # the headline metric failing must be LOUD, not a plausible-
+        # looking negative measurement in an otherwise-valid report
+        raise RuntimeError("flagship pipeline_e2e failed during bench")
     return {
         "metric": "pipeline_e2e_wall_seconds",
         "value": e2e,

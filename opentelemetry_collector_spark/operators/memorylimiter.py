@@ -55,13 +55,21 @@ def check_admission(
 
 
 def admit_in_chunks(
-    df: DataFrame, cfg: MemoryLimiterConfig, chunk_col: str = "conv_id"
+    df: DataFrame,
+    cfg: MemoryLimiterConfig,
+    chunk_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
     """Deterministic chunking for oversized inputs: assign an admission
-    wave (pure function of the key hash) so each wave fits the limit.
-    The batch-mode analog of retrying refused data in smaller pieces."""
+    wave (pure function of the row's unique-id hash) so waves stay
+    balanced. Hashing per ROW (not per key) matters: a per-key hash
+    under hot-key skew can put one wave over the limit — the fixture
+    itself puts ~30% of rows in ~1% of convs. Row-hash waves are
+    binomially balanced regardless of key skew. 25% headroom covers the
+    binomial tail. The batch-mode analog of retrying refused data in
+    smaller pieces."""
     n = df.count()
-    waves = max(1, -(-n // max(1, cfg.soft_limit_rows)))
+    waves = max(1, -(-(n * 5) // max(1, cfg.soft_limit_rows * 4)))
     return df.withColumn(
-        "admission_wave", F.pmod(F.xxhash64(F.col(chunk_col)), F.lit(waves))
+        "admission_wave",
+        F.pmod(F.xxhash64(*[F.col(c) for c in chunk_cols]), F.lit(waves)),
     )

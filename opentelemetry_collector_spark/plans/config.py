@@ -182,14 +182,22 @@ def build_frame(spark: SparkSession, spec: PipelineSpec, sf_dir: str) -> DataFra
     until an action runs.
     """
     build_graph(spec)  # validate topology first (collector Build step)
-    rname, rcfg = next(iter(spec.receivers.items()))
-    t = _ctype(rname)
-    if t == "transcripts":
-        df = tables.read_transcripts(spark, sf_dir)
-    elif t == "table":
-        df = tables.read_table(spark, sf_dir, rcfg["name"])
-    else:
-        df = tables.nop_source(spark)
+
+    def _read(rname: str, rcfg: dict) -> DataFrame:
+        t = _ctype(rname)
+        if t == "transcripts":
+            return tables.read_transcripts(spark, sf_dir)
+        if t == "table":
+            return tables.read_table(spark, sf_dir, rcfg["name"])
+        return tables.nop_source(spark)
+
+    # fan-in: ALL declared receivers feed the pipeline (the collector
+    # unions every receiver of a pipeline; using only the first would
+    # silently drop data)
+    frames = [_read(r, c) for r, c in spec.receivers.items()]
+    df = frames[0]
+    for extra in frames[1:]:
+        df = df.unionByName(extra)
     for p in spec.pipeline:
         df = _apply_processor(df, p, spec.processors.get(p, {}), spark)
     return df

@@ -59,16 +59,13 @@ def oracle_clean_documents(
     jaccard_threshold: float = DEFAULT_JACCARD,
     table: str = "documents",
 ) -> str:
-    """DuckDB mirror (exact all-pairs in place of LSH — equal by the
-    100%-recall property asserted in tests)."""
+    """DuckDB mirror. The near-dup stage reproduces the LSH banding
+    itself in SQL (dedup.oracle_lsh_cte) — parity does not depend on
+    the LSH achieving full recall of the exact pair set."""
     lang_e = T.oracle_lang_id("text")
     q_e = T.oracle_quality_score_ppm("text")
     fp = T.oracle_fingerprint("text")
-    sh = dedup.oracle_shingles("text")
-    jac = (
-        "len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0e0 / "
-        "greatest(len(list_distinct(a.sh || b.sh)), 1)"
-    )
+    lsh_cte = dedup.oracle_lsh_cte("uniq")
     return f"""
         WITH filtered AS (
             SELECT * FROM {table}
@@ -79,10 +76,10 @@ def oracle_clean_documents(
                                              ORDER BY doc_id) AS rn
                 FROM filtered
             ) WHERE rn = 1
-        ), sh AS (SELECT doc_id, {sh} AS sh FROM uniq),
+        ), {lsh_cte},
         drops AS (
-            SELECT DISTINCT b.doc_id FROM sh a, sh b
-            WHERE a.doc_id < b.doc_id AND {jac} >= {jaccard_threshold}
+            SELECT DISTINCT id_b AS doc_id FROM scored
+            WHERE jaccard >= {jaccard_threshold}
         )
         SELECT doc_id FROM uniq
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)"""

@@ -56,8 +56,14 @@ def run_pipeline(
                     routed, out_dir, run_id, rows_per_file=rows_per_file
                 )
 
+            # single-pass mode has one unit: any requested crash point
+            # maps to it (crash_after=<sink name> would otherwise be a
+            # silent no-op)
             checkpoint.run_with_resume(
-                manifest, ["fanout"], execute_all, crash_after=crash_after
+                manifest,
+                ["fanout"],
+                execute_all,
+                crash_after="fanout" if crash_after is not None else None,
             )
         else:
             paths = {s: writers.sink_path(out_dir, run_id, s) for s in sinks}

@@ -147,18 +147,30 @@ def compact_sink(
     import shutil
     from pathlib import Path as P
 
+    shadow = path.rstrip("/") + "__compact"
+    old = path.rstrip("/") + "__old"
+    # crash recovery: a previous run may have died between its two
+    # renames (sink moved to __old, shadow not yet promoted) — restore,
+    # then clear any stale work dirs before starting
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in (shadow, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
     df = spark.read.parquet(path)
     n = df.count()
     files_before = len(list(P(path).rglob("*.parquet")))
     n_files = max(1, -(-n // target_rows_per_file))
-    shadow = path.rstrip("/") + "__compact"
     (
         df.repartition(n_files)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", str(target_rows_per_file))
         .parquet(shadow)
     )
-    old = path.rstrip("/") + "__old"
+    # the shadow is fully written before the sink is touched, so a crash
+    # in the window between these renames is recoverable (see above);
+    # on Iceberg this whole swap is a single metadata commit
     os.rename(path, old)
     os.rename(shadow, path)
     shutil.rmtree(old)

@@ -40,8 +40,15 @@ def _tracker(send_batch_size: int, timeout_ms: int):
         (conv_id,) = key
         if state.hasTimedOut:
             pending, emitted = state.get if state.exists else (0, 0)
-            state.remove()
             if pending > 0:
+                # keep the emitted counter: removing state here would
+                # restart batch_seq at 0 if the conversation resumes,
+                # emitting duplicate (conv_id, batch_seq) keys. State for
+                # idle convs is GC'd only once nothing was pending
+                # (mirrors the reference's idle-shard GC after N cycles,
+                # partition_batcher.go).
+                state.update((0, emitted + 1))
+                state.setTimeoutDuration(timeout_ms)
                 yield pd.DataFrame(
                     {
                         "conv_id": [conv_id],
@@ -50,6 +57,13 @@ def _tracker(send_batch_size: int, timeout_ms: int):
                         "flush_reason": ["timeout"],
                     }
                 )
+            elif emitted == 0:
+                state.remove()  # nothing ever emitted: safe to forget
+            else:
+                # idle but has history: keep the counter so a resumed
+                # conversation cannot reuse an already-emitted batch_seq
+                state.update((0, emitted))
+                state.setTimeoutDuration(timeout_ms)
             return
 
         pending, emitted = state.get if state.exists else (0, 0)

@@ -32,6 +32,25 @@ def test_compaction_preserves_rows(spark, transcripts, tmp_path):
     assert transcripts.exceptAll(after).count() == 0
 
 
+def test_compaction_crash_recovery(spark, transcripts, tmp_path):
+    """A crash between the two swap renames leaves the sink under
+    __old; the next compaction must restore and complete."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "sink")
+    transcripts.repartition(8).write.option("maxRecordsPerFile", "200").parquet(path)
+    n = spark.read.parquet(path).count()
+    # simulate: previous run moved the sink away and died; a stale
+    # shadow dir is also lying around
+    os.rename(path, path + "__old")
+    os.makedirs(path + "__compact")
+    fb, fa = writers.compact_sink(spark, path, target_rows_per_file=3000)
+    assert spark.read.parquet(path).count() == n
+    assert not Path(path + "__old").exists()
+    assert not Path(path + "__compact").exists()
+
+
 def test_shared_intermediate_frame(spark, sf_dir):
     """Connector-as-exporter+receiver (graph.go:144-201): one pipeline's
     output is another's input via a named temp view over a persisted
