@@ -354,7 +354,9 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.read_table(spark, sf_dir, "embeddings")
     dim = len(_query_vec(sf_dir))
-    return sim_oracle.embedding_neardup_pairs_lsh(emb, threshold=0.5, dim=dim, bits=4)
+    return sim_oracle.embedding_neardup_pairs_lsh(
+        emb, threshold=0.5, dim=dim, bits=4, n_bands=8
+    )
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,7 +658,8 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1, 2""",
         "metrics_exp_histogram": f"""{_parsed_cte()}
             SELECT svc,
-                   cast(CASE WHEN latency_ms > 0 THEN floor(log2(latency_ms))
+                   cast(CASE WHEN latency_ms > 0
+                        THEN ceil(log2(latency_ms)) - 1
                         END AS int) AS bucket_idx,
                    cast(count(*) AS bigint) AS bucket_count
             FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1, 2""",

@@ -73,6 +73,11 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
     resource = conversation (conv_id as resource attribute), scope =
     role (instrumentation-scope analog), logRecords = turns in stable
     turn_idx order (arrival order within a pdata slice).
+
+    Round-trip fidelity: body/ids/timestamps are lossless (tested). A
+    NULL level maps to severityText "" — intentionally matching proto3,
+    where string fields have no null and "" is the zero value the
+    reference emits for unset severity.
     """
     rec = log_record(
         {
@@ -167,7 +172,9 @@ def flatten_from_otlp(nested: DataFrame, json_col: str = "otlp_json") -> DataFra
     return recs.select(
         "conv_id",
         "role",
-        F.timestamp_micros((F.col("r.timeUnixNano") / 1000).cast("long")).alias("ts"),
+        # integer division: `/ 1000` goes through double, whose 2^53
+        # exact-integer range corrupts ~1.6% of ns-era timestamps by 1µs
+        F.timestamp_micros(F.expr("r.timeUnixNano div 1000")).alias("ts"),
         F.col("r.severityNumber").alias("severity_number"),
         F.col("r.severityText").alias("severity_text"),
         F.col("r.body").alias("text"),
@@ -187,4 +194,5 @@ def log_record_count(nested: DataFrame) -> int:
             lambda acc, s: acc + F.size(s["logRecords"]),
         ).alias("n")
     )
-    return n.agg(F.sum("n")).collect()[0][0]
+    # coalesce: sum over zero rows is NULL, but LogRecordCount() == 0
+    return n.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]

@@ -92,10 +92,13 @@ def exp_histogram_datapoints(
     value_col: str = "latency_ms",
     series_keys: tuple[str, ...] = ("svc",),
 ) -> DataFrame:
-    """Scale-0 exponential histogram: bucket index = floor(log2(v)),
-    zero bucket counted separately (zerocount field)."""
+    """Scale-0 exponential histogram, OTel bucket contract: buckets are
+    lower-EXCLUSIVE / upper-INCLUSIVE, index = ceil(log2(v)) - 1 (the
+    reference's MapToIndex; floor(log2) would put exact powers of two —
+    common for integer latencies — one bucket too high). Zero values
+    are the separate zerocount bucket."""
     v = F.col(value_col)
-    idx = F.floor(F.log2(v)).cast("int")
+    idx = (F.ceil(F.log2(v)) - 1).cast("int")
     return (
         df.filter(v.isNotNull())
         .withColumn("bucket_idx", F.when(v > 0, idx).otherwise(F.lit(None)))
@@ -138,9 +141,14 @@ def spans_from_turns(parsed: DataFrame) -> DataFrame:
         ).alias("span_id"),
         F.col("conv_id"),
         F.col("turn_idx"),
-        # NB: concat (not concat_ws) — concat_ws silently skips NULL svc
-        # (malformed rows) and would drop the separator
-        F.concat(F.col("tool"), F.lit("/"), F.coalesce(F.col("svc"), F.lit(""))).alias("name"),
+        # NB: concat (not concat_ws) — concat_ws silently skips NULL
+        # operands and their separators; both sides coalesced so a NULL
+        # in either never nulls the whole name
+        F.concat(
+            F.coalesce(F.col("tool"), F.lit("")),
+            F.lit("/"),
+            F.coalesce(F.col("svc"), F.lit("")),
+        ).alias("name"),
         F.lit("SPAN_KIND_CLIENT").alias("kind"),
         F.col("ts").alias("start_ts"),
         (F.col("ts") + F.make_interval(secs=F.coalesce(F.col("latency_ms"), F.lit(0)) / 1000.0)).alias("end_ts"),

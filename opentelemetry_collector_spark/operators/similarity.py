@@ -154,32 +154,63 @@ def embedding_neardup_pairs_exact(
     )
 
 
+def validate_dim(df: DataFrame, dim: int, vec_col: str = "embedding") -> None:
+    """Fail fast on vector/plane length mismatch: zip_with pads the
+    shorter array with NULL, which would silently send every row to
+    bucket 0 instead of erroring."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is not None and row["n"] != dim:
+        raise ValueError(
+            f"embedding dimension {row['n']} != configured dim {dim}"
+        )
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.95,
     dim: int = 64,
     bits: int = 8,
+    n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = ANN_SEED,
 ) -> DataFrame:
-    """Scale path: candidates share a hyperplane-sign bucket (high-cosine
-    pairs almost surely do), verified by exact cosine. Shuffle is on the
-    bucket id, never all-pairs."""
-    bucketed = with_ann_bucket(df, dim, bits, vec_col, seed)
-    a = bucketed.select(
-        F.col("ann_bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    """Scale path: classic OR-of-bands LSH. A single AND-of-bits bucket
+    misses most true pairs (p_bit^bits ≈ 0.43 at cos 0.95 with 8 bits);
+    n_bands independent hyperplane sets give candidate recall
+    1-(1-p_bit^bits)^n_bands ≈ 0.99. Candidates verified by exact
+    cosine; shuffle is on (band, bucket) keys, never all-pairs."""
+    validate_dim(df, dim, vec_col)
+    band_keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            bucket_expr(F.col(vec_col), hyperplanes(dim, bits, seed + b)).cast(
+                "string"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(F.array(*band_keys)).alias("bk"),
     )
-    b = bucketed.select(
-        F.col("ann_bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
-    )
-    return (
-        a.join(b, on="ann_bucket")
+    a = keyed.select("bk", F.col("id").alias("id_a"))
+    b = keyed.select("bk", F.col("id").alias("id_b"))
+    pairs = (
+        a.join(b, on="bk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # pairs collide in many bands
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
         .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

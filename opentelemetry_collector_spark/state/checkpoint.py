@@ -64,7 +64,10 @@ class LineageManifest:
         return self._state.get(unit, PENDING)
 
     def mark(self, unit: str, state: str) -> None:
-        assert state in (PENDING, DISPATCHED, COMMITTED)
+        if state not in (PENDING, DISPATCHED, COMMITTED):
+            # explicit raise: an assert would vanish under python -O and
+            # let a typo'd state persist, replaying the unit forever
+            raise ValueError(f"invalid lineage state {state!r} for {unit!r}")
         self._state[unit] = state
         self._flush()
 

@@ -50,11 +50,18 @@ def routed_stream(spark: SparkSession, src_dir: str, **src_kw) -> DataFrame:
 def windowed_counts_stream(
     routed: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Event-time windowed per-sink counts with late-data watermark."""
+    """Event-time windowed per-sink counts with late-data watermark.
+
+    NB: group by the window STRUCT and project .start afterwards —
+    grouping by `.start` directly strips the watermark metadata, which
+    breaks append mode and leaks state forever in update mode
+    (verified on PySpark 4.1.2).
+    """
     return (
         routed.withWatermark("ts", watermark)
-        .groupBy("sink", F.window("ts", window).start.alias("window_start"))
+        .groupBy("sink", F.window("ts", window))
         .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select("sink", F.col("window.start").alias("window_start"), "n_turns")
     )
 
 

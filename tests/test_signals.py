@@ -36,10 +36,11 @@ def test_histogram_counts_total(transcripts):
 def test_exp_histogram_bucket_semantics(transcripts):
     parsed = parse.with_parsed(transcripts, "native")
     h = signals.exp_histogram_datapoints(parsed)
-    # every bucket index k must cover values in [2^k, 2^(k+1))
+    # OTel contract: bucket k covers (2^k, 2^(k+1)] — lower-exclusive,
+    # upper-inclusive, so exact powers of two land in the LOWER bucket
     ref = (
         parsed.filter(F.col("latency_ms") > 0)
-        .withColumn("k", F.floor(F.log2("latency_ms")).cast("int"))
+        .withColumn("k", (F.ceil(F.log2("latency_ms")) - 1).cast("int"))
         .groupBy(F.col("svc").alias("r_svc"), "k")
         .count()
     )
