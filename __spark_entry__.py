@@ -248,9 +248,12 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")  # ntz → ltz → seconds
-    gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact microsecond integers in BOTH engines (second-level cast
+    # truncates in Spark but ROUNDS in DuckDB epoch()::bigint — a gap in
+    # (1800.0, 1801.0) would classify differently)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("_new", new_sess)
     return sess.groupBy("user_id").agg(
         F.sum("_new").cast("long").alias("n_sessions"),
@@ -438,13 +441,14 @@ def _q_turn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = tables.read_transcripts(spark, sf_dir)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
+    # microsecond integers: exact in both engines (see events_sessionize)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
     gaps = df.withColumn("_gap", gap)
     return gaps.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
-        F.sum("_gap").cast("long").alias("gap_sum"),
-        F.max("_gap").cast("long").alias("gap_max"),
+        F.sum("_gap").cast("long").alias("gap_sum_us"),
+        F.max("_gap").cast("long").alias("gap_max_us"),
     )
 
 
@@ -623,12 +627,12 @@ def oracle_sql() -> dict[str, str]:
             FROM transcripts QUALIFY turn_seq <= 3""",
         "turn_gaps": f"""{_transcripts_cte()}, g AS (
             SELECT conv_id,
-                   epoch(ts)::bigint - lag(epoch(ts)::bigint) OVER (
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
                        PARTITION BY conv_id ORDER BY turn_idx) AS gap
             FROM transcripts)
             SELECT conv_id, cast(count(*) AS bigint) AS n_turns,
-                   cast(sum(gap) AS bigint) AS gap_sum,
-                   cast(max(gap) AS bigint) AS gap_max
+                   cast(sum(gap) AS bigint) AS gap_sum_us,
+                   cast(max(gap) AS bigint) AS gap_max_us
             FROM g GROUP BY 1""",
         "metrics_cumulative": """
             SELECT event_type, event_id,
@@ -724,8 +728,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": """
             WITH g AS (
               SELECT user_id,
-                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800 * 1000000
                           OR lag(ts) OVER
                           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                      THEN 1 ELSE 0 END AS new_sess

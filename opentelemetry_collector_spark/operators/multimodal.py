@@ -72,8 +72,14 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
     signature, same dtype/shape contract, fully testable plumbing.
     """
     raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        # empty blob: decode to a 1×1 zero frame instead of crashing the
+        # whole Spark task inside mapInPandas
+        return np.zeros((1, 1), dtype=np.float32)
     if media_type.startswith("image"):
         side = max(1, int(len(raw) ** 0.5) // 2)
+        if raw.size < side * side:
+            side = 1
         return raw[: side * side].reshape(side, side).astype(np.float32)
     return raw.astype(np.float32)
 
@@ -170,9 +176,13 @@ def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
 
 
 def partition_by_size(df: DataFrame, n_buckets: int = 8) -> DataFrame:
-    """Spread large blobs: repartition by (size bucket, media_id hash) so
-    one partition never accumulates all the biggest payloads."""
-    bucket = F.pmod(
-        F.xxhash64(F.col("media_id")) + F.octet_length("payload"), F.lit(n_buckets)
-    )
-    return df.repartition(n_buckets, bucket)
+    """Spread blobs uniformly by row-id hash before heavy decode work.
+
+    Plain uniform spread (not size-stratified): repartition re-hashes
+    the partitioning expression, so a derived 'size bucket' value
+    collides buckets into partitions anyway; a per-row hash of the
+    unique id gives the same expected balance without pretending
+    otherwise. True size stratification would need repartitionByRange
+    over octet_length — worth it only when blob sizes are heavy-tailed
+    beyond what row-level balance absorbs."""
+    return df.repartition(n_buckets, F.xxhash64(F.col("media_id")))

@@ -58,7 +58,10 @@ def sink_expr(
         expr = (expr.when if expr is not None else F.when)(
             F.expr(r.predicate), F.lit(r.sink)
         )
-    assert expr is not None
+    if expr is None:
+        # legal collector config: no routes, no quarantine →
+        # everything to the default sink
+        return F.lit(default_sink)
     return expr.otherwise(F.lit(default_sink))
 
 
@@ -73,13 +76,14 @@ def oracle_sink_fragment(
 ) -> str:
     """The same CASE expression as ANSI SQL for the DuckDB oracle."""
     routes = DEFAULT_ROUTES if routes is None else routes
-    parts = ["CASE"]
+    whens = []
     if quarantine:
-        parts.append(f"WHEN NOT valid THEN '{QUARANTINE_SINK}'")
+        whens.append(f"WHEN NOT valid THEN '{QUARANTINE_SINK}'")
     for r in routes:
-        parts.append(f"WHEN {r.predicate} THEN '{r.sink}'")
-    parts.append(f"ELSE '{default_sink}' END")
-    return " ".join(parts)
+        whens.append(f"WHEN {r.predicate} THEN '{r.sink}'")
+    if not whens:  # CASE with no WHEN is a SQL parse error
+        return f"'{default_sink}'"
+    return "CASE " + " ".join(whens) + f" ELSE '{default_sink}' END"
 
 
 def all_sinks(routes: list[Route] | None = None) -> list[str]:

@@ -45,11 +45,15 @@ def attrs_from_parsed(df: DataFrame, cols: list[str] | None = None) -> DataFrame
 
 def put(attrs: Column, key: str, value: Column) -> Column:
     """PutStr/PutInt/... — upsert semantics (existing key overwritten,
-    mirroring pcommon.Map.PutStr map.go:107-115)."""
+    mirroring pcommon.Map.PutStr map.go:107-115).
+
+    remove-then-concat, NOT map_zip_with: zip merges key sets, which
+    (a) keeps a stale value when the new one is NULL (coalesce) and
+    (b) injects phantom key→NULL entries. A NULL value here yields an
+    explicit key→NULL entry (SQL semantics; Go strings cannot be nil,
+    so this case has no reference analog — documented divergence)."""
     new = F.create_map(F.lit(key), value.cast("string"))
-    return F.map_zip_with(
-        attrs, new, lambda k, v1, v2: F.coalesce(v2, v1)
-    )
+    return F.map_concat(F.map_filter(attrs, lambda k, v: k != key), new)
 
 
 def remove(attrs: Column, key: str) -> Column:
@@ -74,13 +78,12 @@ def get(attrs: Column, key: str) -> Column:
 
 def hash_attr(attrs: Column, key: str) -> Column:
     """Attributes-processor 'hash' action: replace a value with its
-    sha256 (PII scrubbing)."""
-    return F.map_zip_with(
+    sha256 (PII scrubbing). transform_values touches only EXISTING
+    entries — an absent key stays absent (pcommon semantics; a
+    map_zip_with approach would inject a phantom key→NULL entry)."""
+    return F.transform_values(
         attrs,
-        F.create_map(F.lit(key), F.lit("")),
-        lambda k, v1, v2: F.when(
-            v2.isNotNull() & v1.isNotNull(), F.sha2(v1, 256)
-        ).otherwise(v1),
+        lambda k, v: F.when(k == key, F.sha2(v, 256)).otherwise(v),
     )
 
 

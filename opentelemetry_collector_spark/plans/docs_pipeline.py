@@ -58,6 +58,8 @@ def oracle_clean_documents(
     min_quality_ppm: int = DEFAULT_QUALITY_PPM,
     jaccard_threshold: float = DEFAULT_JACCARD,
     table: str = "documents",
+    num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+    bands: int = dedup.DEFAULT_BANDS,
 ) -> str:
     """DuckDB mirror. The near-dup stage reproduces the LSH banding
     itself in SQL (dedup.oracle_lsh_cte) — parity does not depend on
@@ -65,7 +67,9 @@ def oracle_clean_documents(
     lang_e = T.oracle_lang_id("text")
     q_e = T.oracle_quality_score_ppm("text")
     fp = T.oracle_fingerprint("text")
-    lsh_cte = dedup.oracle_lsh_cte("uniq")
+    # forward the LSH knobs: a mismatched banding config between query
+    # and oracle would silently change the candidate (and drop) set
+    lsh_cte = dedup.oracle_lsh_cte("uniq", num_hashes, bands)
     return f"""
         WITH filtered AS (
             SELECT * FROM {table}

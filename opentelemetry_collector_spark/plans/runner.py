@@ -49,7 +49,10 @@ def run_pipeline(
         sinks = route_mod.all_sinks(list(cfg.routes))
         manifest = checkpoint.LineageManifest(str(Path(out_dir) / "_checkpoint"), run_id)
         if single_pass:
-            paths = {s: f"{out_dir}/run_id={run_id}/sink={s}" for s in sinks}
+            paths = {
+                s: writers.single_pass_sink_path(out_dir, run_id, s)
+                for s in sinks
+            }
 
             def execute_all(unit: str) -> None:
                 writers.write_fanout_single_pass(

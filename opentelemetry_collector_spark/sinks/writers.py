@@ -30,6 +30,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.operators import batch as batch_mod
 
@@ -70,6 +71,13 @@ def retry_commit(fn, cfg: RetryConfig | None = None, sleep=time.sleep):
 
 def sink_path(base_dir: str, run_id: str, sink: str) -> str:
     return str(Path(base_dir) / f"run_id={run_id}" / f"sink={sink}")
+
+
+def single_pass_sink_path(base_dir: str, run_id: str, sink: str) -> str:
+    """Leaf dir of one sink under a single-pass fan-out write. NB: a
+    sink with zero routed rows produces no directory in this mode
+    (partitionBy writes only observed values)."""
+    return str(Path(base_dir) / f"run_id={run_id}" / f"_sink_part={sink}")
 
 
 def write_sink(
@@ -119,9 +127,13 @@ def write_fanout_single_pass(
 
     def _commit() -> None:
         (
-            routed.write.mode("overwrite")
+            # partition on a COPY: partitionBy strips its column from the
+            # data files, so reading a sink=<s> leaf directly would lose
+            # the sink column and diverge from per-sink-mode schema
+            routed.withColumn("_sink_part", F.col("sink"))
+            .write.mode("overwrite")
             .option("maxRecordsPerFile", str(rows_per_file))
-            .partitionBy("sink")
+            .partitionBy("_sink_part")
             .parquet(path)
         )
 

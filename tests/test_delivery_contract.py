@@ -86,12 +86,14 @@ def test_single_pass_fanout_equals_per_sink(spark, sf_dir, tmp_path):
     fine-resume mode)."""
     out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
     runner.run_pipeline(spark, sf_dir, out_a, run_id="r1")
-    runner.run_pipeline(spark, sf_dir, out_b, run_id="r1", single_pass=True)
+    paths_b = runner.run_pipeline(spark, sf_dir, out_b, run_id="r1", single_pass=True)
     a = _collect_ids(spark, out_a, "r1")
     got = {}
-    for s in route.all_sinks():
-        df = spark.read.parquet(f"{out_b}/run_id=r1/sink={s}")
+    for s, p in paths_b.items():
+        df = spark.read.parquet(p)
         got[s] = {(r["conv_id"], r["turn_idx"]) for r in df.select("conv_id", "turn_idx").collect()}
+        # schema parity with per-sink mode: the sink column survives
+        assert "sink" in df.columns
     assert got == a
 
 
