@@ -99,13 +99,24 @@ def _turn_counts(n_turns: int, rng: np.random.RandomState) -> np.ndarray:
     cold = rng.multinomial(cold_turns, np.ones(n_cold) / n_cold)
     counts = np.concatenate([hot, cold])
     # every conversation has at least 1 turn: steal from the largest
+    # counts WITHOUT driving any below 1 (a single-victim steal goes
+    # negative at sf>=5 where zero-count convs outnumber the hottest
+    # conv's turns). Identical output to the old code at small sf
+    # (one victim suffices there), so cached fixtures stay byte-stable.
     zero = counts == 0
     if zero.any():
         need = int(zero.sum())
         counts[zero] = 1
-        big = np.argmax(counts)
-        counts[big] -= need
+        for i in np.argsort(counts)[::-1]:
+            take = min(need, int(counts[i]) - 1)
+            counts[i] -= take
+            need -= take
+            if need == 0:
+                break
+        if need:
+            raise ValueError("n_turns too small for the conversation count")
     assert counts.sum() == n_turns
+    assert (counts >= 1).all()
     return counts.astype("int64")
 
 
@@ -188,8 +199,17 @@ def ensure_dims() -> tuple[str, str]:
     """Enrichment lookup tables (FIXTURES.md §2, broadcast-join side)."""
     rp, tp = role_dim_path(), tool_dim_path()
     rp.parent.mkdir(parents=True, exist_ok=True)
+
+    def _atomic_write(path: Path, table: pa.Table) -> None:
+        # tmp + rename, same as ensure_transcripts: a concurrent reader
+        # must never see a half-written parquet footer
+        tmp = path.with_suffix(".tmp.parquet")
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
     if not rp.exists():
-        pq.write_table(
+        _atomic_write(
+            rp,
             pa.table(
                 {
                     "role": ["user", "assistant", "system", "tool"],
@@ -197,10 +217,10 @@ def ensure_dims() -> tuple[str, str]:
                     "is_human": [True, False, False, False],
                 }
             ),
-            rp,
         )
     if not tp.exists():
-        pq.write_table(
+        _atomic_write(
+            tp,
             pa.table(
                 {
                     "tool": ["", "search", "python", "browser", "editor"],
@@ -214,6 +234,5 @@ def ensure_dims() -> tuple[str, str]:
                     ],
                 }
             ),
-            tp,
         )
     return str(rp), str(tp)

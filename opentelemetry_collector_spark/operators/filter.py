@@ -21,11 +21,23 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class FilterSet:
-    """OR-set of strict and regexp string predicates over one column."""
+    """OR-set of strict and regexp string predicates over one column.
+
+    An empty filterset is a config error (the reference rejects it at
+    validation, filter/config.go) — accepting it would make an include
+    filter silently drop every row.
+    """
 
     column: str
     strict: tuple[str, ...] = field(default_factory=tuple)
     regexp: tuple[str, ...] = field(default_factory=tuple)
+
+    def __post_init__(self) -> None:
+        if not self.strict and not self.regexp:
+            raise ValueError(
+                f"empty filterset for column {self.column!r}: "
+                "at least one strict or regexp predicate required"
+            )
 
     def matches(self) -> Column:
         c = F.col(self.column)
@@ -34,12 +46,13 @@ class FilterSet:
             preds.append(c.isin(list(self.strict)))
         for pat in self.regexp:
             preds.append(c.rlike(pat))
-        if not preds:
-            return F.lit(False)
         out = preds[0]
         for p in preds[1:]:
             out = out | p
-        return out
+        # NULL column values: three-valued logic would turn ~NULL into
+        # NULL and silently drop the row on exclude; the collector's
+        # contract is match-or-not, never drop-on-unknown
+        return F.coalesce(out, F.lit(False))
 
 
 def include(df: DataFrame, fs: FilterSet) -> DataFrame:

@@ -73,8 +73,13 @@ class PipelineGraph:
                     ready.append(d)
             ready.sort()
         if len(order) != len(self.nodes):
+            # Kahn's algorithm leaves cycle members AND everything
+            # downstream of them unprocessed — name both honestly
             cyc = sorted(n for n in self.nodes if n not in order)
-            raise GraphError(f"cycle detected in pipeline graph: {cyc}")
+            raise GraphError(
+                f"cycle detected in pipeline graph (cycle members and "
+                f"components downstream of the cycle): {cyc}"
+            )
         for name, node in self.nodes.items():
             has_out = any(s == name for s, _ in self.edges)
             has_in = any(d == name for _, d in self.edges)

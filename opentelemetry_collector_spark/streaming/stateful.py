@@ -47,8 +47,10 @@ def _tracker(send_batch_size: int, timeout_ms: int):
                 # idle convs is GC'd only once nothing was pending
                 # (mirrors the reference's idle-shard GC after N cycles,
                 # partition_batcher.go).
+                # keep state but do NOT re-arm the timer: an idle conv
+                # would otherwise fire a no-op timeout every timeout_ms
+                # forever; new data re-arms in the main branch
                 state.update((0, emitted + 1))
-                state.setTimeoutDuration(timeout_ms)
                 yield pd.DataFrame(
                     {
                         "conv_id": [conv_id],
@@ -60,10 +62,9 @@ def _tracker(send_batch_size: int, timeout_ms: int):
             elif emitted == 0:
                 state.remove()  # nothing ever emitted: safe to forget
             else:
-                # idle but has history: keep the counter so a resumed
-                # conversation cannot reuse an already-emitted batch_seq
+                # idle but has history: keep the counter (no timer) so a
+                # resumed conversation cannot reuse an emitted batch_seq
                 state.update((0, emitted))
-                state.setTimeoutDuration(timeout_ms)
             return
 
         pending, emitted = state.get if state.exists else (0, 0)
