@@ -698,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE sink IN ('sink_py', 'sink_llm')""",
         "embedding_neardup": sim_oracle.oracle_embedding_neardup(0.5),
         "neardup_minhash": dedup_oracle.oracle_neardup_pairs_lsh(0.5),
+        "simhash_pairs": dedup_oracle.oracle_simhash_pairs(8),
         "docs_clean_pipeline": _docs_clean_oracle(),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),

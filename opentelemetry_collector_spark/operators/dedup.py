@@ -10,8 +10,12 @@ Exact + near-dup family for training-data pipelines:
                is O(docs·bands), candidate verification is per-bucket;
 - n-gram Jaccard: exact similarity on LSH candidates (array_intersect
                over distinct shingle sets);
-- simhash:     64-bit sign-of-sums fingerprint (vectorized pandas UDF),
-               near-dups = hamming ≤ t via 4×16-bit chunk banding.
+- simhash:     64-bit sign-of-sums fingerprint held as TWO 32-bit
+               halves (simhash0 = bits 0-31, simhash1 = bits 32-63),
+               computed entirely in Catalyst (md5-hex → int token
+               hashes, one aggregate over the token array) so the
+               DuckDB oracle reproduces it bit-exactly; near-dups =
+               hamming ≤ t via (t+1)-chunk pigeonhole banding.
 
 Engine-portable hashing: minhash uses md5 hex strings and LEXICOGRAPHIC
 min — hex of fixed length preserves numeric order, so this is a valid
@@ -20,17 +24,19 @@ uniform minhash AND the DuckDB oracle can reproduce it exactly.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 from opentelemetry_collector_spark.functions.text import normalize_text, oracle_fingerprint
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands × 4 rows
+# LSH hot-bucket cap: a band bucket with k members yields k·(k-1)/2
+# candidate pairs, so one boilerplate bucket can dominate the whole
+# join (k² blowup AQE can split but not shrink). Buckets larger than
+# this are dropped from candidate generation — their members are
+# near-identical boilerplate already caught by exact/normalized dedup.
+DEFAULT_MAX_BUCKET = 256
 
 
 # ------------------------------------------------------------------ exact
@@ -87,14 +93,15 @@ def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) ->
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism before CPU-dense
+    """Repartition to the session's parallelism before CPU-dense
     per-row stages. Single-row-group parquet inputs scan as ONE task,
     which serializes the (interpreted higher-order-function) minhash /
-    simhash work — measured 7.5× on the sf0.1 documents table."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    simhash work — measured 7.5× on the sf0.1 documents table.
+
+    Unconditional: peeking at df.rdd.getNumPartitions() forces an
+    RDD plan conversion on the driver per call, which costs more than
+    the (cheap, pre-hash, narrow-row) round-robin shuffle it avoids."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def with_minhash(
@@ -128,18 +135,26 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    persist_handle: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
 
     Scale: explode to (band_key, id), self-join per bucket — shuffle on
-    band_key. Hot buckets (boilerplate docs) are the skew risk; AQE
-    skew-join splitting handles them, and the bucket join never
-    materializes cross-bucket pairs.
+    band_key. Hot buckets (boilerplate docs) are the skew risk: AQE
+    skew-join splits the shuffle but not the k² pair count, so buckets
+    with > max_bucket members are dropped from candidate generation
+    (``hot_bucket_stats`` reports what a given cap would drop). Pass
+    ``persist_handle=[]`` to receive the persisted intermediate and
+    unpersist it deterministically once the result is materialized.
     """
     # persist: m feeds THREE lazy branches (band keys, sh_a, sh_b) —
     # without it the scan + shingle work runs 3× (measured 2.7× slower);
-    # the ContextCleaner unpersists when the frames are GC'd
+    # callers unpersist via persist_handle, else the ContextCleaner
+    # reclaims it when the frame is GC'd
     m = with_minhash(df, text_col, num_hashes, shingle_n).persist()
+    if persist_handle is not None:
+        persist_handle.append(m)
     # bucket-join NARROW (band_key, id) rows only: pair dedup shuffles
     # 16-byte tuples, never shingle arrays — at corpus scale the payload
     # join below touches each candidate id exactly once
@@ -147,6 +162,16 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("id"),
         F.explode(band_keys(F.col("minhash"), bands, num_hashes)).alias("bk"),
     )
+    if max_bucket is not None:
+        # count per bucket, keep cold buckets only; the count shuffles
+        # on bk — the same key as the self-join below, co-partitioned
+        cold = (
+            keyed.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .filter(F.col("_bc") <= max_bucket)
+            .select("bk")
+        )
+        keyed = keyed.join(cold, on="bk")
     a = keyed.select("bk", F.col("id").alias("id_a"))
     b = keyed.select("bk", F.col("id").alias("id_b"))
     pairs = (
@@ -176,12 +201,38 @@ def neardup_pairs_minhash(
     text_col: str = "text",
     **kw,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by exact shingle Jaccard."""
+    """MinHash-LSH candidates verified by exact shingle Jaccard.
+
+    Forwards ``max_bucket`` / ``persist_handle`` to lsh_candidate_pairs.
+    """
     cand = lsh_candidate_pairs(df, id_col, text_col, **kw)
     return (
         cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def hot_bucket_stats(
+    df: DataFrame,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Observability for the hot-bucket cap: per-bucket member counts of
+    buckets the cap would drop (empty frame = cap is inert on this data)."""
+    m = with_minhash(df, text_col, num_hashes, shingle_n)
+    keyed = m.select(
+        F.col(id_col).alias("id"),
+        F.explode(band_keys(F.col("minhash"), bands, num_hashes)).alias("bk"),
+    )
+    return (
+        keyed.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
     )
 
 
@@ -206,81 +257,121 @@ def neardup_pairs_bruteforce(
 
 
 # ---------------------------------------------------------------- simhash
+#
+# 64-bit simhash held as two 32-bit halves (simhash0 = bits 0-31,
+# simhash1 = bits 32-63). Token hash = md5 hex halves parsed as ints —
+# 32-bit values so conv()/'0x'-cast stay exact in BOTH engines, making
+# the fingerprint DuckDB-oracle-reproducible. All Catalyst: one md5 per
+# token, one array aggregate per half — no Python anywhere (the round-1
+# pandas UDF iterated rows AND tokens in the interpreter).
 
-@pandas_udf(LongType())
-def _simhash64(text: pd.Series) -> pd.Series:
-    """Vectorized 64-bit simhash over whitespace tokens (Arrow batches).
 
-    Per batch: token → stable 64-bit hash (md5-derived), sign-sum per
-    bit, sign → fingerprint. numpy throughout, no per-row Python loops
-    beyond the tokenization split.
-    """
-    import hashlib
+def _simhash_tok_hashes(text: Column) -> tuple[Column, Column]:
+    """Per-token 32-bit hash arrays (lower, upper md5-hex halves)."""
+    toks = F.split(normalize_text(text), " ")
+    hx = F.transform(toks, lambda t: F.md5(t))
+    h0 = F.transform(hx, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long"))
+    h1 = F.transform(hx, lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
+    return h0, h1
 
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text.fillna("")):
-        toks = t.lower().split()
-        if not toks:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            )
-            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            acc += 2 * bits - 1
-        fp = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                fp |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(fp.astype("int64"))
-    return pd.Series(out)
+
+def _bitsigns32(h: Column) -> Column:
+    """[±1]×32: +1 where bit b of h is set, -1 otherwise."""
+    return F.array(
+        *[
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - F.lit(1)).cast("long")
+            for b in range(32)
+        ]
+    )
+
+
+def _half_fp(tok_hashes: Column) -> Column:
+    """Sign-of-sums fingerprint of one 32-bit half (long in [0, 2^32))."""
+    sums = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(acc, _bitsigns32(h), lambda a, s: a + s),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    return F.aggregate(
+        F.zip_with(
+            sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return _spread(df).withColumn("simhash", _simhash64(F.col(text_col)))
+    h0, h1 = _simhash_tok_hashes(F.col(text_col))
+    return (
+        _spread(df)
+        .withColumn("simhash0", _half_fp(h0))
+        .withColumn("simhash1", _half_fp(h1))
+    )
 
 
-def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+def _chunk_val(fp0: Column, fp1: Column, lo: int, hi: int) -> Column:
+    """Bits [lo, hi) of the logical 64-bit fingerprint (may straddle
+    the half boundary at bit 32)."""
+    if hi <= 32:
+        return F.shiftright(fp0, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+    if lo >= 32:
+        return F.shiftright(fp1, lo - 32).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+    low = F.shiftright(fp0, lo).bitwiseAND(F.lit((1 << (32 - lo)) - 1))
+    high = F.shiftleft(fp1.bitwiseAND(F.lit((1 << (hi - 32)) - 1)), 32 - lo)
+    return low + high
+
+
+def simhash_chunk_bounds(max_hamming: int) -> list[int]:
+    """Pigeonhole chunk boundaries: max_hamming+1 near-equal chunks of
+    the 64 bits — any pair within the budget shares ≥1 exact chunk.
+    (≥2 chunks; a fixed count would silently lose recall for larger
+    budgets: 4 chunks only guarantee hamming ≤ 3.)"""
+    n_chunks = min(64, max(2, max_hamming + 1))
+    return [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
-    Scale path: band the 64-bit fingerprint into (max_hamming + 1)
-    chunks — by pigeonhole, any pair within the distance budget shares
-    ≥1 exact chunk, so the join is on chunk equality, never all-pairs.
-    (A fixed chunk count would silently lose recall for larger budgets:
-    4 chunks only guarantee hamming ≤ 3.)
+    Scale path: chunk banding (simhash_chunk_bounds) — the join is on
+    chunk equality, never all-pairs.
     """
-    # ≥2 chunks so the per-chunk mask always fits a signed 64-bit literal
-    n_chunks = min(64, max(2, max_hamming + 1))
-    bounds = [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
-    sh = with_simhash(df, "text").select(F.col(id_col).alias("id"), "simhash")
-    chunk_exprs = []
-    for c in range(n_chunks):
-        lo, hi = bounds[c], bounds[c + 1]
-        width = hi - lo
-        mask = (1 << width) - 1
-        chunk_exprs.append(
-            F.concat_ws(
-                ":",
-                F.lit(str(c)),
-                F.shiftrightunsigned(F.col("simhash"), lo)
-                .bitwiseAND(F.lit(mask))
-                .cast("string"),
-            )
-        )
-    chunks = sh.select(
-        "id", "simhash", F.explode(F.array(*chunk_exprs)).alias("chunk")
+    bounds = simhash_chunk_bounds(max_hamming)
+    sh = with_simhash(df, text_col).select(
+        F.col(id_col).alias("id"), "simhash0", "simhash1"
     )
-    a = chunks.select(F.col("chunk"), F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = chunks.select(F.col("chunk"), F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    chunk_exprs = [
+        F.concat_ws(
+            ":",
+            F.lit(str(c)),
+            _chunk_val(F.col("simhash0"), F.col("simhash1"), bounds[c], bounds[c + 1])
+            .cast("string"),
+        )
+        for c in range(len(bounds) - 1)
+    ]
+    chunks = sh.select(
+        "id", "simhash0", "simhash1", F.explode(F.array(*chunk_exprs)).alias("chunk")
+    )
+    a = chunks.select(
+        "chunk", F.col("id").alias("id_a"),
+        F.col("simhash0").alias("a0"), F.col("simhash1").alias("a1"),
+    )
+    b = chunks.select(
+        "chunk", F.col("id").alias("id_b"),
+        F.col("simhash0").alias("b0"), F.col("simhash1").alias("b1"),
+    )
     pairs = (
         a.join(b, on="chunk")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))) + F.bit_count(
+        F.col("a1").bitwiseXOR(F.col("b1"))
+    )
     return (
         pairs.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
@@ -335,12 +426,13 @@ def oracle_lsh_cte(
     table: str = "documents",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     """CTEs reproducing the EXACT LSH semantics in DuckDB: minhash
-    (md5-hex lexicographic min), banded bucket keys, candidate pairs,
-    verified Jaccard. The driver oracle mirrors the algorithm rather
-    than assuming 100% recall of the exact pair set — parity holds for
-    any data and any threshold."""
+    (md5-hex lexicographic min), banded bucket keys, hot-bucket cap,
+    candidate pairs, verified Jaccard. The driver oracle mirrors the
+    algorithm rather than assuming 100% recall of the exact pair set —
+    parity holds for any data and any threshold."""
     sh = oracle_shingles("text")
     mh = oracle_minhash("sh", num_hashes)
     rows = num_hashes // bands
@@ -350,6 +442,12 @@ def oracle_lsh_cte(
         )
         for b in range(bands)
     )
+    cap = (
+        f"keyed AS (SELECT k.* FROM keyed0 k JOIN (SELECT bk FROM keyed0 "
+        f"GROUP BY bk HAVING count(*) <= {max_bucket}) c USING (bk)),"
+        if max_bucket is not None
+        else "keyed AS (SELECT * FROM keyed0),"
+    )
     jac = (
         "round(len(list_filter(ma.sh, x -> list_contains(mb.sh, x))) * 1.0e0 / "
         "greatest(len(list_distinct(ma.sh || mb.sh)), 1), 6)"
@@ -357,7 +455,8 @@ def oracle_lsh_cte(
     return f"""
         m AS (SELECT doc_id, sh, {mh} AS mh
               FROM (SELECT doc_id, {sh} AS sh FROM {table})),
-        keyed AS (SELECT doc_id AS id, unnest([{band_list}]) AS bk FROM m),
+        keyed0 AS (SELECT doc_id AS id, unnest([{band_list}]) AS bk FROM m),
+        {cap}
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id),
         scored AS (SELECT c.id_a, c.id_b, {jac} AS jaccard
@@ -371,11 +470,66 @@ def oracle_neardup_pairs_lsh(
     table: str = "documents",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     return (
-        f"WITH {oracle_lsh_cte(table, num_hashes, bands)} "
+        f"WITH {oracle_lsh_cte(table, num_hashes, bands, max_bucket)} "
         f"SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}"
     )
+
+
+# ------------------------------------------------------- simhash oracle
+
+def oracle_simhash_cte(table: str = "documents", id_col: str = "doc_id") -> str:
+    """CTEs reproducing the simhash fingerprint halves bit-exactly in
+    DuckDB: unnest tokens, md5-hex halves → 32-bit ints, per-bit sign
+    sums over a range(32) cross join, sign → fingerprint."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        tok AS (SELECT {id_col} AS id, unnest(string_split({norm}, ' ')) AS t
+                FROM {table}),
+        th AS (SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h0,
+                          ('0x' || substr(md5(t), 9, 8))::BIGINT AS h1
+               FROM tok),
+        bits AS (SELECT id, r.b,
+                        sum(CASE WHEN (h0 >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+                        sum(CASE WHEN (h1 >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s1
+                 FROM th CROSS JOIN range(32) r(b) GROUP BY 1, 2),
+        fp AS (SELECT id,
+                      cast(sum(CASE WHEN s0 > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                           AS bigint) AS fp0,
+                      cast(sum(CASE WHEN s1 > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                           AS bigint) AS fp1
+               FROM bits GROUP BY 1)"""
+
+
+def _oracle_chunk_val(lo: int, hi: int) -> str:
+    if hi <= 32:
+        return f"(fp0 >> {lo}) & {(1 << (hi - lo)) - 1}"
+    if lo >= 32:
+        return f"(fp1 >> {lo - 32}) & {(1 << (hi - lo)) - 1}"
+    return (
+        f"((fp0 >> {lo}) & {(1 << (32 - lo)) - 1}) + "
+        f"((fp1 & {(1 << (hi - 32)) - 1}) << {32 - lo})"
+    )
+
+
+def oracle_simhash_pairs(max_hamming: int, table: str = "documents") -> str:
+    """DuckDB mirror of simhash_neardup_pairs (same chunk banding)."""
+    bounds = simhash_chunk_bounds(max_hamming)
+    chunk_list = ", ".join(
+        f"'{c}:' || cast({_oracle_chunk_val(bounds[c], bounds[c + 1])} AS varchar)"
+        for c in range(len(bounds) - 1)
+    )
+    ham = "bit_count(xor(fa0, fb0)) + bit_count(xor(fa1, fb1))"
+    return f"""
+        WITH {oracle_simhash_cte(table)},
+        keyed AS (SELECT id, fp0, fp1, unnest([{chunk_list}]) AS chunk FROM fp),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                        a.fp0 AS fa0, a.fp1 AS fa1, b.fp0 AS fb0, b.fp1 AS fb1
+                 FROM keyed a JOIN keyed b ON a.chunk = b.chunk AND a.id < b.id)
+        SELECT id_a, id_b, cast({ham} AS int) AS hamming
+        FROM cand WHERE {ham} <= {max_hamming}"""
 
 
 def oracle_minhash(shingles_expr: str, num_hashes: int = DEFAULT_NUM_HASHES) -> str:

@@ -62,6 +62,21 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
         assert len(lsh & truth) / len(truth) >= 0.9
 
 
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """k identical boilerplate docs put k members in every band bucket;
+    with a cap below k, candidate generation drops those buckets
+    entirely instead of emitting k² pairs (exact dedup owns them)."""
+    boiler = [(i, "identical boilerplate text repeated everywhere forever") for i in range(50)]
+    uniq = [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(5)]
+    df = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    capped = dedup.lsh_candidate_pairs(df, max_bucket=10)
+    assert capped.count() == 0  # hot buckets dropped, uniques don't collide
+    uncapped = dedup.lsh_candidate_pairs(df, max_bucket=None)
+    assert uncapped.count() == 50 * 49 // 2  # the k² blowup the cap prevents
+    stats = dedup.hot_bucket_stats(df, max_bucket=10).collect()
+    assert stats and all(r["n_members"] == 50 for r in stats)
+
+
 def test_simhash_near_dups(docs):
     pairs = dedup.simhash_neardup_pairs(docs, max_hamming=12).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
@@ -72,7 +87,40 @@ def test_simhash_near_dups(docs):
 
 
 def test_simhash_deterministic(docs):
-    a = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs).collect()}
-    b = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs.repartition(3)).collect()}
+    a = {
+        r["doc_id"]: (r["simhash0"], r["simhash1"])
+        for r in dedup.with_simhash(docs).collect()
+    }
+    b = {
+        r["doc_id"]: (r["simhash0"], r["simhash1"])
+        for r in dedup.with_simhash(docs.repartition(3)).collect()
+    }
     assert a == b
     assert a[0] == a[1]  # identical text → identical fingerprint
+    # halves are unsigned 32-bit values
+    assert all(0 <= v < 2**32 for pair in a.values() for v in pair)
+
+
+def test_simhash_matches_python_reference(docs):
+    """Pin the Catalyst fingerprint against an independent pure-Python
+    simhash of the same definition (md5-hex halves, sign-of-sums)."""
+    import hashlib
+
+    def ref(text: str) -> tuple[int, int]:
+        toks = " ".join(text.lower().split()).split(" ")
+        out = []
+        for off in (0, 8):
+            acc = [0] * 32
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[off : off + 8], 16)
+                for b in range(32):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            out.append(sum(1 << b for b in range(32) if acc[b] > 0))
+        return out[0], out[1]
+
+    got = {
+        r["doc_id"]: (r["simhash0"], r["simhash1"])
+        for r in dedup.with_simhash(docs).collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == ref(text), f"doc {doc_id}"
