@@ -363,11 +363,14 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthetic media → mapInPandas features.
-    No SQL oracle (binary decode stub) — determinism tested in pytest."""
+    """Multimodal plumbing: media parquet → mapInPandas features. The
+    sha256 column is recomputed from the raw payload bytes inside the
+    Arrow-batched UDF; the oracle reads the generation-time digest from
+    the same parquet, so parity proves the binary column round-trips
+    Spark → Arrow → pandas byte-exactly."""
     from opentelemetry_collector_spark.operators import multimodal as mm
 
-    media = mm.synthetic_media(spark, n=96)
+    media = spark.read.parquet(fixtures.ensure_media()).drop("payload_sha256")
     return mm.extract_features(media).select(
         "media_id", "media_type", "n_bytes", "sha256"
     )
@@ -699,6 +702,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": sim_oracle.oracle_embedding_neardup(0.5),
         "neardup_minhash": dedup_oracle.oracle_neardup_pairs_lsh(0.5),
         "simhash_pairs": dedup_oracle.oracle_simhash_pairs(8),
+        "media_features": f"""
+            SELECT media_id, media_type,
+                   cast(octet_length(payload) AS bigint) AS n_bytes,
+                   payload_sha256 AS sha256
+            FROM read_parquet('{fixtures.ensure_media()}')""",
         "docs_clean_pipeline": _docs_clean_oracle(),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
@@ -721,6 +729,12 @@ def oracle_sql() -> dict[str, str]:
             _query_vec(ORACLE_SF_DIR), ANN_THRESHOLD
         ),
         "ann_topk_bruteforce": _oracle_topk(_query_vec(ORACLE_SF_DIR), 10),
+        "ann_topk_lsh": sim_oracle.oracle_ann_topk_lsh(
+            _query_vec(ORACLE_SF_DIR), k=10, bits=8, n_probes=8
+        ),
+        "embedding_neardup_lsh": sim_oracle.oracle_embedding_neardup_lsh(
+            0.5, dim=len(_query_vec(ORACLE_SF_DIR)), bits=4, n_bands=8
+        ),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    cast(count(*) AS bigint) AS n_events,

@@ -195,6 +195,51 @@ def ensure_transcripts(sf_dir: str) -> str:
     return str(path)
 
 
+def media_path() -> Path:
+    return FIXTURE_ROOT / "media" / "media.parquet"
+
+
+def ensure_media(n: int = 96, seed: int = SEED) -> str:
+    """Deterministic media parquet (multimodal.media_rows + a
+    generation-time payload_sha256 column): Spark re-derives the digest
+    from the raw payload bytes through the Arrow/pandas boundary, the
+    DuckDB oracle reads the stored column — a content round-trip check
+    (DuckDB 1.0 cannot hash BLOBs itself)."""
+    import hashlib
+
+    from opentelemetry_collector_spark.operators.multimodal import media_rows
+
+    path = media_path()
+    if not path.exists():
+        rows = media_rows(n, seed)
+        meta_type = pa.struct(
+            [
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("sample_rate", pa.int32()),
+                ("duration_ms", pa.int32()),
+                ("codec", pa.string()),
+            ]
+        )
+        table = pa.table(
+            {
+                "media_id": pa.array([r[0] for r in rows], pa.int64()),
+                "media_type": pa.array([r[1] for r in rows], pa.string()),
+                "payload": pa.array([bytes(r[2]) for r in rows], pa.binary()),
+                "meta": pa.array([r[3] for r in rows], meta_type),
+                "payload_sha256": pa.array(
+                    [hashlib.sha256(bytes(r[2])).hexdigest() for r in rows],
+                    pa.string(),
+                ),
+            }
+        )
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.parquet")
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return str(path)
+
+
 def ensure_dims() -> tuple[str, str]:
     """Enrichment lookup tables (FIXTURES.md §2, broadcast-join side)."""
     rp, tp = role_dim_path(), tool_dim_path()

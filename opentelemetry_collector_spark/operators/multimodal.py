@@ -41,11 +41,11 @@ FEATURE_SCHEMA = (
 RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
 
 
-def synthetic_media(
-    spark: SparkSession, n: int = 64, seed: int = 42
-) -> DataFrame:
-    """Deterministic fake media table (binary payloads from a seeded
-    hash chain) — the pdata/testdata GenerateLogs analog for media."""
+def media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic fake media rows (binary payloads from a seeded
+    hash chain) — the pdata/testdata GenerateLogs analog for media.
+    Shared by synthetic_media (in-memory tests) and
+    fixtures.ensure_media (the parquet the DuckDB oracle reads)."""
     rows = []
     for i in range(n):
         payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
@@ -58,7 +58,13 @@ def synthetic_media(
             "codec": {"image/png": "png", "audio/wav": "pcm_s16le", "video/mp4": "h264"}[mt],
         }
         rows.append((i, mt, bytearray(payload), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(
+    spark: SparkSession, n: int = 64, seed: int = 42
+) -> DataFrame:
+    return spark.createDataFrame(media_rows(n, seed), MEDIA_SCHEMA)
 
 
 def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:

@@ -106,6 +106,22 @@ def with_ann_bucket(
     return df.withColumn("ann_bucket", bucket_expr(F.col(vec_col), planes))
 
 
+def probe_buckets(
+    query_vec: list[float], bits: int = 8, n_probes: int = 4, seed: int = ANN_SEED
+) -> list[int]:
+    """The query's bucket + n_probes-1 nearest buckets (hamming-1 flips
+    of the lowest-margin bits first). Deterministic — shared by the
+    Spark query and the DuckDB oracle so both probe the same set."""
+    q = np.asarray(query_vec, dtype="float64")
+    planes = hyperplanes(len(q), bits, seed)
+    margins = planes @ q
+    qbucket = int(sum(2**b for b, m in enumerate(margins) if m > 0))
+    flip_order = np.argsort(np.abs(margins))  # least-confident bits first
+    return [qbucket] + [
+        qbucket ^ (1 << int(b)) for b in flip_order[: max(0, n_probes - 1)]
+    ]
+
+
 def ann_topk(
     df_bucketed: DataFrame,
     query_vec: list[float],
@@ -116,19 +132,13 @@ def ann_topk(
     vec_col: str = "embedding",
     seed: int = ANN_SEED,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's bucket + n_probes-1 nearest
-    buckets (hamming-1 flips of the lowest-margin bits first).
+    """Approximate top-k over the probed buckets.
 
     df_bucketed must carry ann_bucket (with_ann_bucket) — at scale this
     column is precomputed and the table is partitioned/bucketed by it,
     so a probe is a partition-pruned scan.
     """
-    q = np.asarray(query_vec, dtype="float64")
-    planes = hyperplanes(len(q), bits, seed)
-    margins = planes @ q
-    qbucket = int(sum(2**b for b, m in enumerate(margins) if m > 0))
-    flip_order = np.argsort(np.abs(margins))  # least-confident bits first
-    probes = [qbucket] + [qbucket ^ (1 << int(b)) for b in flip_order[: max(0, n_probes - 1)]]
+    probes = probe_buckets(query_vec, bits, n_probes, seed)
     cand = df_bucketed.filter(F.col("ann_bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -157,11 +167,18 @@ def embedding_neardup_pairs_exact(
 def validate_dim(df: DataFrame, dim: int, vec_col: str = "embedding") -> None:
     """Fail fast on vector/plane length mismatch: zip_with pads the
     shorter array with NULL, which would silently send every row to
-    bucket 0 instead of erroring."""
-    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
-    if row is not None and row["n"] != dim:
+    bucket 0 instead of erroring. Aggregate over the whole column — a
+    first-row-only check would pass a table with MIXED lengths, exactly
+    the failure this exists to catch."""
+    row = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if row is None or row["lo"] is None:
+        return  # empty table: nothing to bucket
+    if row["lo"] != dim or row["hi"] != dim:
         raise ValueError(
-            f"embedding dimension {row['n']} != configured dim {dim}"
+            f"embedding dimensions [{row['lo']}, {row['hi']}] != configured dim {dim}"
         )
 
 
@@ -215,6 +232,80 @@ def embedding_neardup_pairs_lsh(
 
 
 # ------------------------------------------------------------- oracle SQL
+
+def _vec_lit(vec) -> str:
+    """Double-array literal with round-trip repr — DuckDB parses each
+    decimal to the nearest double, which is exactly the value Spark's
+    F.lit carries, so the two engines use identical plane constants."""
+    return "[" + ", ".join(f"{float(v)!r}" for v in vec) + "]"
+
+
+def _oracle_dot(a: str, b: str) -> str:
+    return f"list_dot_product(cast({a} AS double[]), {b})"
+
+
+def oracle_bucket_expr(planes: np.ndarray, vec_col: str = "embedding") -> str:
+    """SQL mirror of bucket_expr: bit b set ⟺ dot(vec, plane_b) > 0."""
+    return " + ".join(
+        f"CASE WHEN {_oracle_dot(vec_col, _vec_lit(p))} > 0 THEN {2**b} ELSE 0 END"
+        for b, p in enumerate(planes)
+    )
+
+
+def oracle_ann_topk_lsh(
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    n_probes: int = 4,
+    table: str = "embeddings",
+    seed: int = ANN_SEED,
+) -> str:
+    """DuckDB mirror of with_ann_bucket + ann_topk: same hyperplanes
+    (inlined as literals), same probe set (probe_buckets), same
+    deterministic (cos DESC, vec_id) tie-break."""
+    planes = hyperplanes(len(query_vec), bits, seed)
+    probes = ", ".join(str(p) for p in probe_buckets(query_vec, bits, n_probes, seed))
+    v = _vec_lit(query_vec)
+    cos = (
+        f"{_oracle_dot('embedding', v)} / "
+        f"(sqrt(list_dot_product(cast(embedding AS double[]), "
+        f"cast(embedding AS double[]))) * sqrt(list_dot_product({v}, {v})))"
+    )
+    return f"""
+        SELECT vec_id, round({cos}, 4) AS cos_sim FROM {table}
+        WHERE ({oracle_bucket_expr(planes)}) IN ({probes})
+        ORDER BY {cos} DESC, vec_id LIMIT {k}"""
+
+
+def oracle_embedding_neardup_lsh(
+    threshold: float,
+    dim: int,
+    bits: int = 8,
+    n_bands: int = 8,
+    table: str = "embeddings",
+    seed: int = ANN_SEED,
+) -> str:
+    """DuckDB mirror of embedding_neardup_pairs_lsh: same OR-of-bands
+    hyperplane buckets (seed + band), candidate join on band key, exact
+    cosine verification."""
+    band_list = ", ".join(
+        f"'{b}:' || cast(({oracle_bucket_expr(hyperplanes(dim, bits, seed + b))}) AS varchar)"
+        for b in range(n_bands)
+    )
+    cos = (
+        "list_dot_product(cast(ea.embedding AS double[]), cast(eb.embedding AS double[])) / "
+        "(sqrt(list_dot_product(cast(ea.embedding AS double[]), cast(ea.embedding AS double[]))) * "
+        "sqrt(list_dot_product(cast(eb.embedding AS double[]), cast(eb.embedding AS double[]))))"
+    )
+    return f"""
+        WITH keyed AS (SELECT vec_id, unnest([{band_list}]) AS bk FROM {table}),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round({cos}, 4) AS cos_sim
+        FROM cand JOIN {table} ea ON ea.vec_id = cand.id_a
+                  JOIN {table} eb ON eb.vec_id = cand.id_b
+        WHERE {cos} >= {threshold}"""
+
 
 def oracle_embedding_neardup(threshold: float, table: str = "embeddings") -> str:
     cos = (
