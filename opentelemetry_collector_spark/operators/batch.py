@@ -19,15 +19,82 @@ octet_length(text) — see with_byte_size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, DataFrameWriter, Window
+from pyspark.sql import Column, DataFrame, DataFrameWriter, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SEND_BATCH_SIZE = 8192  # factory.go:19-20 defaults
+DEFAULT_METADATA_CARDINALITY_LIMIT = 1000  # config.go:43-46 default
+
+
+class CardinalityLimitError(ValueError):
+    """batch_processor.go:299-366 errTooManyBatchers analog."""
 
 
 def with_byte_size(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Item byte size — the Sizer analog (octet_length of the payload)."""
     return df.withColumn("size_bytes", F.octet_length(F.col(text_col)))
+
+
+def enforce_metadata_cardinality(
+    df: DataFrame,
+    shard_keys: tuple[str, ...] = ("role", "tool"),
+    limit: int = DEFAULT_METADATA_CARDINALITY_LIMIT,
+) -> int:
+    """metadata_cardinality_limit (processor/batchprocessor/config.go:
+    43-46): refuse to shard on a key set whose distinct-combination
+    count exceeds the limit — unbounded cardinality silently explodes
+    batch bookkeeping. The reference errors when a NEW combination
+    arrives past the limit (batch_processor.go:330-339); batch-side we
+    validate the whole input up front. Returns the observed cardinality.
+    """
+    n = df.select(*shard_keys).distinct().count()
+    if n > limit:
+        raise CardinalityLimitError(
+            f"too many metadata-key combinations for {shard_keys}: "
+            f"{n} > metadata_cardinality_limit {limit}"
+        )
+    return n
+
+
+def _per_shard_sequence(
+    df: DataFrame,
+    shard_keys: tuple[str, ...],
+    order_keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> tuple[DataFrame, Column]:
+    """Scale-safe per-shard 1-based sequence under order_keys order.
+
+    A single window over partitionBy(shard_keys) is a scale-killer when
+    the shard cardinality is low (~16 here): each shard's row_number()
+    sorts its ENTIRE shard on one reducer. Instead:
+
+    1. repartitionByRange on (shard_keys…, order_keys…): each shard's
+       rows occupy a contiguous run of partitions, each locally ordered;
+    2. tiny per-(partition, shard) count aggregate → per-shard running
+       offsets via a window over that aggregate (≤ partitions × shards
+       rows — driver-small, never the data);
+    3. partition-local row_number over (partition_id, shard) — group
+       size is bounded by the PARTITION size (maxPartitionBytes), not
+       the shard size — plus the broadcast offset.
+
+    seq is a pure function of row columns (range boundaries only move
+    WHICH partition computes a row, never its rank), so batch ids stay
+    replay-stable. No collect; the offsets frame stays a lazy broadcast
+    branch and the range exchange is shared by both consumers
+    (ReusedExchange).
+    """
+    shard_cols = [F.col(k) for k in shard_keys]
+    order_cols = [F.col(k) for k in order_keys]
+    rp = df.repartitionByRange(*shard_cols, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = rp.groupBy("_pid", *shard_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.partitionBy(*shard_cols).orderBy("_pid")
+    offsets = counts.withColumn(
+        "_off", F.sum("_cnt").over(w_off) - F.col("_cnt")
+    ).drop("_cnt")
+    w_local = Window.partitionBy(F.col("_pid"), *shard_cols).orderBy(*order_cols)
+    joined = rp.join(F.broadcast(offsets), on=["_pid", *shard_keys])
+    return joined, F.col("_off") + F.row_number().over(w_local)
 
 
 def assign_batches(
@@ -39,15 +106,13 @@ def assign_batches(
 
     batch_id = floor((seq-1) / send_batch_size) where seq is the row's
     1-based position within its shard under (conv_id, turn_idx) order.
-    Pure function of row columns → replay-stable.
+    Pure function of row columns → replay-stable. Sequencing is the
+    two-level scheme in _per_shard_sequence (no full-shard windows).
     """
-    w = Window.partitionBy(*[F.col(k) for k in shard_keys]).orderBy(
-        F.col("conv_id"), F.col("turn_idx")
-    )
-    seq = F.row_number().over(w)
-    return df.withColumn(
+    joined, seq = _per_shard_sequence(df, shard_keys)
+    return joined.withColumn(
         "batch_id", ((seq - F.lit(1)) / F.lit(send_batch_size)).cast("long")
-    )
+    ).select(*df.columns, "batch_id")
 
 
 def batch_counts(

@@ -65,8 +65,10 @@ def sink_expr(
     return expr.otherwise(F.lit(default_sink))
 
 
-def with_sink(df: DataFrame, routes: list[Route] | None = None) -> DataFrame:
-    return df.withColumn("sink", sink_expr(routes))
+def with_sink(
+    df: DataFrame, routes: list[Route] | None = None, quarantine: bool = True
+) -> DataFrame:
+    return df.withColumn("sink", sink_expr(routes, quarantine=quarantine))
 
 
 def oracle_sink_fragment(

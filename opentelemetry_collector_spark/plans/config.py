@@ -159,17 +159,29 @@ def _apply_processor(df: DataFrame, name: str, cfg: dict, spark: SparkSession) -
     if t == "order":
         return order_mod.with_turn_order(df)
     if t == "batch":
+        shard_keys = tuple(cfg.get("shard_keys", ("role", "tool")))
+        limit = cfg.get("metadata_cardinality_limit")
+        if limit is not None:
+            # the reference refuses past-limit combinations at runtime
+            # (batch_processor.go:330-339); batch-side we validate the
+            # input up front — this is the one eager action config
+            # assembly performs, and only when the limit is configured
+            batch_mod.enforce_metadata_cardinality(df, shard_keys, int(limit))
         return batch_mod.assign_batches(
             df,
             send_batch_size=cfg.get("send_batch_size", batch_mod.DEFAULT_SEND_BATCH_SIZE),
-            shard_keys=tuple(cfg.get("shard_keys", ("role", "tool"))),
+            shard_keys=shard_keys,
         )
     if t == "route":
         routes = [
             route_mod.Route(r["route_id"], r["predicate"], r["sink"])
             for r in cfg.get("routes", [])
         ] or None
-        return route_mod.with_sink(df, routes)
+        # quarantine references the parse stage's `valid` column; a
+        # config that routes without a preceding parse stage must still
+        # route (the reference router has no parse coupling)
+        quarantine = cfg.get("quarantine", "valid" in df.columns)
+        return route_mod.with_sink(df, routes, quarantine=quarantine)
     raise ConfigError(f"unknown processor type {t!r}")
 
 

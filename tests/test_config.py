@@ -69,3 +69,43 @@ def test_configured_filter_and_batch(spark, sf_dir):
     df = cfg_mod.build_frame(spark, cfg_mod.load_spec(raw), sf_dir)
     assert df.filter(~F.col("text").startswith("[ERROR]")).count() == 0
     assert df.groupBy("role", "batch_id").count().agg(F.max("count")).collect()[0][0] <= 64
+
+
+def test_route_without_parse_stage(spark, sf_dir):
+    """A pipeline that routes raw (unparsed) rows must route, not fail
+    on the missing `valid` column (ADVICE: the reference router has no
+    parse coupling)."""
+    raw = {
+        "receivers": {"transcripts": {}},
+        "processors": {
+            "route": {
+                "routes": [
+                    {
+                        "route_id": "r_tool",
+                        "predicate": "role = 'tool'",
+                        "sink": "sink_tools",
+                    }
+                ]
+            }
+        },
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {"processors": ["route"]}}},
+    }
+    df = cfg_mod.build_frame(spark, cfg_mod.load_spec(raw), sf_dir)
+    sinks = {r["sink"] for r in df.select("sink").distinct().collect()}
+    assert "sink_quarantine" not in sinks and "sink_default" in sinks
+
+
+def test_config_metadata_cardinality_limit(spark, sf_dir):
+    from opentelemetry_collector_spark.operators import batch as batch_mod
+
+    raw = {
+        "receivers": {"transcripts": {}},
+        "processors": {
+            "batch": {"shard_keys": ["conv_id"], "metadata_cardinality_limit": 5}
+        },
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": {"processors": ["batch"]}}},
+    }
+    with pytest.raises(batch_mod.CardinalityLimitError):
+        cfg_mod.build_frame(spark, cfg_mod.load_spec(raw), sf_dir)
