@@ -315,6 +315,35 @@ def _q_attrs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_attrs_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pcommon.Value typed union: build a typed attrs map, exercise the
+    zero-value-on-mismatch getters and Put-replaces-type upsert
+    (pdata/pcommon/value.go:200-277, map.go:107-160)."""
+    from opentelemetry_collector_spark.functions import pvalue as V
+
+    df = tables.read_transcripts(spark, sf_dir)
+    df = parse_mod.with_parsed(df, "native").filter(F.col("valid"))
+    attrs = V.typed_attrs(
+        svc=V.v_str(F.col("svc")),
+        latency_ms=V.v_int(F.col("latency_ms")),
+        is_error=V.v_bool(F.col("level") == "ERROR"),
+        score=V.v_double(F.col("latency_ms") / F.lit(1000.0)),
+    )
+    retyped = V.put(attrs, "svc", V.v_int(F.lit(7)))  # PutInt over a Str
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        V.get_str(attrs, "svc").alias("svc_str"),
+        V.get_int(attrs, "svc").alias("svc_as_int"),  # mismatch → 0
+        V.get_int(attrs, "latency_ms").alias("lat_int"),
+        V.get_type(attrs, "latency_ms").alias("lat_type"),
+        V.get_bool(attrs, "is_error").alias("err_bool"),
+        V.get_double(attrs, "score").alias("score_dbl"),
+        V.get_str(attrs, "nope").alias("missing_str"),  # absent → ''
+        V.get_int(retyped, "svc").alias("svc_retyped_int"),
+    )
+
+
 def _q_severity_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.functions import pdata
 
@@ -503,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "orders_by_nation": _q_orders_by_nation,
         "attrs_transform": _q_attrs_transform,
+        "attrs_typed": _q_attrs_typed,
         "severity_turns": _q_severity_turns,
         "otlp_roundtrip": _q_otlp_roundtrip,
         "forward_merge": _q_forward_merge,
@@ -605,6 +635,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS varchar) AS msg_gone,
                    sha256(req_id) AS req_id_hash,
                    5 AS n_attrs
+            FROM parsed WHERE valid""",
+        "attrs_typed": f"""{_parsed_cte()}
+            SELECT conv_id, turn_idx,
+                   svc AS svc_str,
+                   cast(0 AS bigint) AS svc_as_int,
+                   latency_ms AS lat_int,
+                   'int' AS lat_type,
+                   (level = 'ERROR') AS err_bool,
+                   latency_ms / 1000.0e0 AS score_dbl,
+                   '' AS missing_str,
+                   cast(7 AS bigint) AS svc_retyped_int
             FROM parsed WHERE valid""",
         "stage_metrics": f"""{_routed_cte()}, c AS (
               SELECT cast(count(*) AS bigint) AS total,
