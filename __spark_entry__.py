@@ -369,6 +369,36 @@ def _q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-built two-pipeline DAG: logs (parse → route) exports into
+    a count connector, which feeds a metrics pipeline — the
+    exporter+receiver connector bridge as config, mirroring
+    service/internal/graph/graph.go:144-201 topology semantics."""
+    from opentelemetry_collector_spark.plans import config as cfg_mod
+
+    raw = {
+        "receivers": {"transcripts": {}},
+        "processors": {"parse": {}, "route": {}},
+        "connectors": {"count/sink": {"group_by": ["sink", "level"]}},
+        "exporters": {"nop": {}, "debug": {}},
+        "service": {
+            "pipelines": {
+                "logs": {
+                    "receivers": ["transcripts"],
+                    "processors": ["parse", "route"],
+                    "exporters": ["count/sink", "nop"],
+                },
+                "metrics": {
+                    "receivers": ["count/sink"],
+                    "exporters": ["debug"],
+                },
+            }
+        },
+    }
+    frames = cfg_mod.build_service_frames(spark, cfg_mod.load_service(raw), sf_dir)
+    return frames["metrics"]
+
+
 def _q_forward_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """forwardconnector fan-in: two pipelines' outputs unioned
     (connector/forwardconnector/forward.go:77-90 ≙ unionByName)."""
@@ -536,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "severity_turns": _q_severity_turns,
         "otlp_roundtrip": _q_otlp_roundtrip,
         "forward_merge": _q_forward_merge,
+        "pipeline_multi": _q_pipeline_multi,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "media_features": _q_media_features,
@@ -740,6 +771,9 @@ def oracle_sql() -> dict[str, str]:
         "forward_merge": f"""{_routed_cte()}
             SELECT sink, conv_id, turn_idx FROM routed
             WHERE sink IN ('sink_py', 'sink_llm')""",
+        "pipeline_multi": f"""{_routed_cte()}
+            SELECT sink, level, cast(count(*) AS bigint) AS n
+            FROM routed GROUP BY 1, 2""",
         "embedding_neardup": sim_oracle.oracle_embedding_neardup(0.5),
         "neardup_minhash": dedup_oracle.oracle_neardup_pairs_lsh(0.5),
         "simhash_pairs": dedup_oracle.oracle_simhash_pairs(8),

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.functions import parse as parse_mod
 from opentelemetry_collector_spark.operators import (
@@ -78,6 +79,7 @@ class ConfigError(ValueError):
 RECEIVER_TYPES = ("transcripts", "nop", "table")
 PROCESSOR_TYPES = ("parse", "enrich", "filter", "order", "batch", "route")
 EXPORTER_TYPES = ("parquet", "debug", "nop")
+CONNECTOR_TYPES = ("forward", "count")
 
 
 def _ctype(name: str) -> str:
@@ -213,3 +215,206 @@ def build_frame(spark: SparkSession, spec: PipelineSpec, sf_dir: str) -> DataFra
     for p in spec.pipeline:
         df = _apply_processor(df, p, spec.processors.get(p, {}), spark)
     return df
+
+
+# --------------------------------------------- multi-pipeline + connectors
+#
+# The full service.pipelines.* surface: named pipelines with explicit
+# receivers/processors/exporters lists, plus a `connectors:` section.
+# A connector is an exporter of pipeline A and a receiver of pipeline B
+# (service/internal/graph/graph.go:144-201 connectedPipelines); pipelines
+# are built in connector-dependency order, each as a lazy DataFrame.
+
+
+@dataclass(frozen=True)
+class PipelineDef:
+    receivers: tuple[str, ...]
+    processors: tuple[str, ...]
+    exporters: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class ServiceSpec:
+    receivers: dict[str, dict]
+    processors: dict[str, dict]
+    exporters: dict[str, dict]
+    connectors: dict[str, dict]
+    pipelines: dict[str, PipelineDef]
+
+
+def load_service(raw: dict) -> ServiceSpec:
+    """Parse + validate the multi-pipeline config shape.
+
+    Mirrors graph.go's config checks: every pipeline reference must be
+    declared; a connector must be used as BOTH an exporter (in some
+    pipeline) and a receiver (in another) — a half-wired connector is
+    an error (graph.go:166-187)."""
+    raw = expand_env(raw)
+    for section, types in (
+        ("receivers", RECEIVER_TYPES),
+        ("processors", PROCESSOR_TYPES),
+        ("exporters", EXPORTER_TYPES),
+        ("connectors", CONNECTOR_TYPES),
+    ):
+        for name in raw.get(section, {}) or {}:
+            if _ctype(name) not in types:
+                raise ConfigError(
+                    f"unknown {section[:-1]} type {_ctype(name)!r} "
+                    f"(component {name!r}); known: {types}"
+                )
+    pipes_raw = raw.get("service", {}).get("pipelines", {})
+    if not pipes_raw:
+        raise ConfigError("service declares no pipelines")
+    receivers = raw.get("receivers", {}) or {}
+    processors = raw.get("processors", {}) or {}
+    exporters = raw.get("exporters", {}) or {}
+    connectors = raw.get("connectors", {}) or {}
+    pipelines: dict[str, PipelineDef] = {}
+    for pname, pdef in pipes_raw.items():
+        rs = tuple(pdef.get("receivers", ()))
+        ps = tuple(pdef.get("processors", ()))
+        es = tuple(pdef.get("exporters", ()))
+        if not rs:
+            raise ConfigError(f"pipeline {pname!r} declares no receivers")
+        if not es:
+            raise ConfigError(f"pipeline {pname!r} declares no exporters")
+        for r in rs:
+            if r not in receivers and r not in connectors:
+                raise ConfigError(
+                    f"pipeline {pname!r} references undeclared receiver {r!r}"
+                )
+        for p in ps:
+            if p not in processors:
+                raise ConfigError(
+                    f"pipeline {pname!r} references undeclared processor {p!r}"
+                )
+        for e in es:
+            if e not in exporters and e not in connectors:
+                raise ConfigError(
+                    f"pipeline {pname!r} references undeclared exporter {e!r}"
+                )
+        pipelines[pname] = PipelineDef(rs, ps, es)
+    for c in connectors:
+        used_as_exp = any(c in d.exporters for d in pipelines.values())
+        used_as_rcv = any(c in d.receivers for d in pipelines.values())
+        if not (used_as_exp and used_as_rcv):
+            raise ConfigError(
+                f"connector {c!r} must be used as an exporter in one "
+                f"pipeline and a receiver in another (graph.go:166-187)"
+            )
+    return ServiceSpec(receivers, processors, exporters, connectors, pipelines)
+
+
+def build_service_graph(spec: ServiceSpec) -> PipelineGraph:
+    """Component DAG across pipelines. Processor nodes are per-pipeline
+    instances (qualified '<pipeline>:<processor>' — the reference also
+    instantiates processors per pipeline); connectors appear once, so a
+    connector cycle between pipelines is a graph cycle."""
+    g = PipelineGraph()
+    for r in spec.receivers:
+        g.add(r, "receiver")
+    for e in spec.exporters:
+        g.add(e, "exporter")
+    for c in spec.connectors:
+        g.add(c, "connector")
+    for pname, d in spec.pipelines.items():
+        qprocs = [f"{pname}:{p}" for p in d.processors]
+        for q in qprocs:
+            g.add(q, "processor")
+        chain_head = qprocs[0] if qprocs else None
+        for r in d.receivers:
+            for dst in ([chain_head] if chain_head else d.exporters):
+                g.connect(r, dst)
+        for a, b in zip(qprocs, qprocs[1:]):
+            g.connect(a, b)
+        if qprocs:
+            for e in d.exporters:
+                g.connect(qprocs[-1], e)
+    g.validate()
+    return g
+
+
+def _apply_connector(
+    name: str, cfg: dict, inputs: list[DataFrame]
+) -> DataFrame:
+    """Connector output from the union of every frame exported into it.
+
+    forward: pass-through fan-in (connector/forwardconnector/
+    forward.go:77-90 ≙ unionByName).
+    count: logs → metrics — per-group record counts (the canonical
+    signal-bridging connector shape; group_by defaults to ['sink'])."""
+    df = inputs[0]
+    for extra in inputs[1:]:
+        df = df.unionByName(extra)
+    t = _ctype(name)
+    if t == "forward":
+        return df
+    if t == "count":
+        keys = list(cfg.get("group_by", ("sink",)))
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    raise ConfigError(f"unknown connector type {t!r}")
+
+
+def build_service_frames(
+    spark: SparkSession, spec: ServiceSpec, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Build every pipeline's lazy frame, wiring connectors between
+    them. Pipelines are processed in connector-dependency order (a
+    pipeline that receives from a connector builds after every pipeline
+    that exports into it) — the Kahn pass mirrors graph.Build's
+    reverse-topological component construction."""
+    build_service_graph(spec)  # validate topology first
+
+    # pipeline-level topo sort over connector edges
+    deps: dict[str, set[str]] = {p: set() for p in spec.pipelines}
+    for pname, d in spec.pipelines.items():
+        for r in d.receivers:
+            if r in spec.connectors:
+                for src, sd in spec.pipelines.items():
+                    if r in sd.exporters:
+                        deps[pname].add(src)
+    order: list[str] = []
+    remaining = dict(deps)
+    while remaining:
+        ready = sorted(p for p, ds in remaining.items() if ds <= set(order))
+        if not ready:
+            raise ConfigError(
+                f"connector cycle between pipelines: {sorted(remaining)}"
+            )
+        order.extend(ready)
+        for p in ready:
+            remaining.pop(p)
+
+    def _read(rname: str, rcfg: dict) -> DataFrame:
+        t = _ctype(rname)
+        if t == "transcripts":
+            return tables.read_transcripts(spark, sf_dir)
+        if t == "table":
+            return tables.read_table(spark, sf_dir, rcfg["name"])
+        return tables.nop_source(spark)
+
+    conn_inputs: dict[str, list[DataFrame]] = {}
+    conn_out: dict[str, DataFrame] = {}
+    results: dict[str, DataFrame] = {}
+    for pname in order:
+        d = spec.pipelines[pname]
+        frames = []
+        for r in d.receivers:
+            if r in spec.connectors:
+                if r not in conn_out:
+                    conn_out[r] = _apply_connector(
+                        r, spec.connectors.get(r, {}), conn_inputs[r]
+                    )
+                frames.append(conn_out[r])
+            else:
+                frames.append(_read(r, spec.receivers.get(r, {})))
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
+        for p in d.processors:
+            df = _apply_processor(df, p, spec.processors.get(p, {}), spark)
+        results[pname] = df
+        for e in d.exporters:
+            if e in spec.connectors:
+                conn_inputs.setdefault(e, []).append(df)
+    return results

@@ -109,3 +109,90 @@ def test_config_metadata_cardinality_limit(spark, sf_dir):
     }
     with pytest.raises(batch_mod.CardinalityLimitError):
         cfg_mod.build_frame(spark, cfg_mod.load_spec(raw), sf_dir)
+
+
+# --------------------------------------------- multi-pipeline + connectors
+
+def _two_pipeline_raw():
+    return {
+        "receivers": {"transcripts": {}},
+        "processors": {"parse": {}, "route": {}},
+        "connectors": {"count/sink": {"group_by": ["sink"]}},
+        "exporters": {"nop": {}, "debug": {}},
+        "service": {
+            "pipelines": {
+                "logs": {
+                    "receivers": ["transcripts"],
+                    "processors": ["parse", "route"],
+                    "exporters": ["count/sink", "nop"],
+                },
+                "metrics": {
+                    "receivers": ["count/sink"],
+                    "exporters": ["debug"],
+                },
+            }
+        },
+    }
+
+
+def test_multi_pipeline_count_connector(spark, sf_dir):
+    spec = cfg_mod.load_service(_two_pipeline_raw())
+    frames = cfg_mod.build_service_frames(spark, spec, sf_dir)
+    assert set(frames) == {"logs", "metrics"}
+    logs_n = frames["logs"].count()
+    metrics = {r["sink"]: r["n"] for r in frames["metrics"].collect()}
+    assert sum(metrics.values()) == logs_n  # count connector conserves rows
+    assert "sink_quarantine" in metrics
+
+
+def test_forward_connector_fans_in(spark, sf_dir):
+    """Two pipelines exporting into one forward connector: the consumer
+    sees the union (forward.go:77-90)."""
+    raw = {
+        "receivers": {"transcripts": {}, "transcripts/b": {}},
+        "processors": {},
+        "connectors": {"forward": {}},
+        "exporters": {"debug": {}},
+        "service": {
+            "pipelines": {
+                "in_a": {"receivers": ["transcripts"], "exporters": ["forward"]},
+                "in_b": {"receivers": ["transcripts/b"], "exporters": ["forward"]},
+                "out": {"receivers": ["forward"], "exporters": ["debug"]},
+            }
+        },
+    }
+    frames = cfg_mod.build_service_frames(spark, cfg_mod.load_service(raw), sf_dir)
+    assert frames["out"].count() == frames["in_a"].count() + frames["in_b"].count()
+
+
+def test_half_wired_connector_rejected():
+    raw = _two_pipeline_raw()
+    raw["service"]["pipelines"]["metrics"]["receivers"] = ["transcripts"]
+    with pytest.raises(cfg_mod.ConfigError, match="connector 'count/sink'"):
+        cfg_mod.load_service(raw)
+
+
+def test_connector_cycle_rejected(spark, sf_dir):
+    raw = {
+        "receivers": {"transcripts": {}},
+        "processors": {},
+        "connectors": {"forward/a": {}, "forward/b": {}},
+        "exporters": {"debug": {}},
+        "service": {
+            "pipelines": {
+                "p1": {"receivers": ["transcripts", "forward/b"], "exporters": ["forward/a"]},
+                "p2": {"receivers": ["forward/a"], "exporters": ["forward/b", "debug"]},
+            }
+        },
+    }
+    from opentelemetry_collector_spark.plans.graph import GraphError
+
+    with pytest.raises((cfg_mod.ConfigError, GraphError), match="cycle"):
+        cfg_mod.build_service_frames(spark, cfg_mod.load_service(raw), sf_dir)
+
+
+def test_undeclared_pipeline_refs_rejected():
+    raw = _two_pipeline_raw()
+    raw["service"]["pipelines"]["logs"]["processors"] = ["parse", "ghost"]
+    with pytest.raises(cfg_mod.ConfigError, match="ghost"):
+        cfg_mod.load_service(raw)
