@@ -160,6 +160,17 @@ def _q_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_mod.batch_counts(df, send_batch_size=512)
 
 
+def _q_batch_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-capped batching (Sizer=bytes MergeSplit analog): per-shard
+    batches split at 64 KiB of payload bytes."""
+    df = tables.read_transcripts(spark, sf_dir)
+    out = batch_mod.assign_batches_by_bytes(df, max_batch_bytes=64 * 1024)
+    return out.groupBy("role", "tool", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.octet_length("text")).alias("bytes_sum"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import dedup
 
@@ -548,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_strict": _q_filter_strict,
         "filter_regexp": _q_filter_regexp,
         "batch_counts": _q_batch_counts,
+        "batch_bytes": _q_batch_bytes,
         "dedup_exact": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
         "minhash_signatures": _q_minhash_signatures,
@@ -852,4 +864,16 @@ def oracle_sql() -> dict[str, str]:
             FROM transcripts)
             SELECT role, tool, batch_id, cast(count(*) AS bigint) AS n_rows
             FROM seqd GROUP BY 1, 2, 3""",
+        "batch_bytes": f"""{_transcripts_cte()}, sized AS (
+            SELECT role, tool, strlen(text) AS sz,
+                   sum(strlen(text)) OVER (
+                       PARTITION BY role, tool ORDER BY conv_id, turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+            FROM transcripts)
+            SELECT role, tool,
+                   cast(floor((cum - sz) / {64 * 1024}.0e0) AS bigint) AS batch_id,
+                   cast(count(*) AS bigint) AS n_rows,
+                   cast(sum(sz) AS bigint) AS bytes_sum
+            FROM sized GROUP BY 1, 2, 3""",
     }

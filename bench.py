@@ -49,8 +49,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "parse_turns",
         "routed_rows",
         "batch_counts",
+        "batch_bytes",
         "dedup_exact",
         "minhash_signatures",
+        "simhash_pairs",
         "text_stats",
         "ann_topk_bruteforce",
         "events_hourly",
@@ -79,6 +81,12 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
             times[k] = -1.0
             rows[k] = -1
             print(f"BENCH_QUERY_ERROR {k}: {type(e).__name__}", file=sys.stderr)
+        finally:
+            # deterministic storage cleanup: LSH queries persist their
+            # minhash intermediate; without this the 4×-iterated bench
+            # accumulates cached shingle arrays until driver GC happens
+            # to trigger the ContextCleaner
+            spark.catalog.clearCache()
     return times, rows
 
 

@@ -56,45 +56,54 @@ def enforce_metadata_cardinality(
     return n
 
 
-def _per_shard_sequence(
+def _two_level_running(
     df: DataFrame,
     shard_keys: tuple[str, ...],
     order_keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    weight: Column | None = None,
 ) -> tuple[DataFrame, Column]:
-    """Scale-safe per-shard 1-based sequence under order_keys order.
+    """Scale-safe per-shard inclusive running total of ``weight``
+    (default 1 → the row's 1-based sequence) under order_keys order.
 
     A single window over partitionBy(shard_keys) is a scale-killer when
-    the shard cardinality is low (~16 here): each shard's row_number()
+    the shard cardinality is low (~16 here): each shard's running total
     sorts its ENTIRE shard on one reducer. Instead:
 
     1. repartitionByRange on (shard_keys…, order_keys…): each shard's
        rows occupy a contiguous run of partitions, each locally ordered;
-    2. tiny per-(partition, shard) count aggregate → per-shard running
+    2. tiny per-(partition, shard) sum aggregate → per-shard running
        offsets via a window over that aggregate (≤ partitions × shards
        rows — driver-small, never the data);
-    3. partition-local row_number over (partition_id, shard) — group
+    3. partition-local running sum over (partition_id, shard) — group
        size is bounded by the PARTITION size (maxPartitionBytes), not
        the shard size — plus the broadcast offset.
 
-    seq is a pure function of row columns (range boundaries only move
-    WHICH partition computes a row, never its rank), so batch ids stay
-    replay-stable. No collect; the offsets frame stays a lazy broadcast
-    branch and the range exchange is shared by both consumers
-    (ReusedExchange).
+    The total is a pure function of row columns (range boundaries only
+    move WHICH partition computes a row, never its rank), so derived
+    batch ids stay replay-stable. No collect; the offsets frame stays a
+    lazy broadcast branch. The returned frame carries the per-row
+    weight as ``_w`` (callers drop it).
     """
     shard_cols = [F.col(k) for k in shard_keys]
     order_cols = [F.col(k) for k in order_keys]
-    rp = df.repartitionByRange(*shard_cols, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    w = (weight if weight is not None else F.lit(1)).cast("long")
+    rp = (
+        df.repartitionByRange(*shard_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_w", w)
     )
-    counts = rp.groupBy("_pid", *shard_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    sums = rp.groupBy("_pid", *shard_cols).agg(F.sum("_w").alias("_s"))
     w_off = Window.partitionBy(*shard_cols).orderBy("_pid")
-    offsets = counts.withColumn(
-        "_off", F.sum("_cnt").over(w_off) - F.col("_cnt")
-    ).drop("_cnt")
-    w_local = Window.partitionBy(F.col("_pid"), *shard_cols).orderBy(*order_cols)
+    offsets = sums.withColumn("_off", F.sum("_s").over(w_off) - F.col("_s")).drop(
+        "_s"
+    )
+    w_local = (
+        Window.partitionBy(F.col("_pid"), *shard_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     joined = rp.join(F.broadcast(offsets), on=["_pid", *shard_keys])
-    return joined, F.col("_off") + F.row_number().over(w_local)
+    return joined, F.col("_off") + F.sum("_w").over(w_local)
 
 
 def assign_batches(
@@ -109,9 +118,42 @@ def assign_batches(
     Pure function of row columns → replay-stable. Sequencing is the
     two-level scheme in _per_shard_sequence (no full-shard windows).
     """
-    joined, seq = _per_shard_sequence(df, shard_keys)
+    joined, seq = _two_level_running(df, shard_keys)
     return joined.withColumn(
         "batch_id", ((seq - F.lit(1)) / F.lit(send_batch_size)).cast("long")
+    ).select(*df.columns, "batch_id")
+
+
+def serialized_size(df: DataFrame, cols: tuple[str, ...] | None = None) -> Column:
+    """Serialized row size in bytes: octet_length of the row's OTLP-JSON
+    encoding — the honest stand-in for the reference's proto Sizer
+    (pdata/plog/encoding.go:6-31, exporterhelper/internal/sizer)."""
+    names = list(cols) if cols else df.columns
+    return F.octet_length(F.to_json(F.struct(*[F.col(c) for c in names])))
+
+
+def assign_batches_by_bytes(
+    df: DataFrame,
+    max_batch_bytes: int,
+    shard_keys: tuple[str, ...] = ("role", "tool"),
+    size: Column | None = None,
+) -> DataFrame:
+    """Byte-capped batch assignment (the Sizer-driven MergeSplit path,
+    exporterhelper/internal/queuebatch sizer=bytes).
+
+    batch_id = floor(start_offset / max_batch_bytes) where start_offset
+    is the shard's byte count BEFORE this row under (conv_id, turn_idx)
+    order. Items are never split (MergeSplit moves whole items), so a
+    batch may overshoot the cap by less than one item — same contract
+    as the reference's item-preserving split. Default size is
+    octet_length(text); pass serialized_size(df) for full-row JSON
+    sizing.
+    """
+    sz = size if size is not None else F.octet_length(F.col("text"))
+    joined, cum = _two_level_running(df, shard_keys, weight=sz)
+    start = cum - F.col("_w")
+    return joined.withColumn(
+        "batch_id", (start / F.lit(max_batch_bytes)).cast("long")
     ).select(*df.columns, "batch_id")
 
 
@@ -148,6 +190,24 @@ def shape_for_write(
         df.repartition(*[F.col(k) for k in shard_keys]),
         {"maxRecordsPerFile": str(writer_rows_per_file)},
     )
+
+
+def shape_for_write_bytes(
+    df: DataFrame,
+    max_file_bytes: int = 128 * 1024 * 1024,
+    shard_keys: tuple[str, ...] = ("sink",),
+) -> tuple[DataFrame, dict[str, str]]:
+    """Byte-capped physical batching: calibrate maxRecordsPerFile from
+    the mean serialized row size (one tiny aggregate job — the only
+    eager step) so output files land near the byte cap. Parquet has no
+    native maxBytesPerFile; rows-per-file over the measured mean is the
+    deterministic equivalent for near-uniform rows (heavy-tailed rows
+    should size on percentile instead — callers can pass their own
+    measurement through shape_for_write)."""
+    row = df.agg(F.avg(serialized_size(df)).alias("avg")).first()
+    avg = max(1.0, float(row["avg"] or 1.0))
+    rows_per_file = max(1, int(max_file_bytes / avg))
+    return shape_for_write(df, rows_per_file, shard_keys)
 
 
 def apply_write_options(writer: DataFrameWriter, opts: dict[str, str]) -> DataFrameWriter:

@@ -36,27 +36,104 @@ from opentelemetry_collector_spark.operators import (
 from opentelemetry_collector_spark.plans.graph import GraphError, PipelineGraph
 from opentelemetry_collector_spark.sources import tables
 
-_ENV_REF = re.compile(r"\$\{env:([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\}")
+# ${scheme:ref} URIs; the ref may not contain a nested ${…} (innermost
+# expansion happens first), matching confmap's uriRegexp
+_URI_RE = re.compile(r"\$\{([a-z][a-z0-9+.-]*):([^${}]*)\}")
+_MAX_RESOLVE_DEPTH = 100  # cycle guard (resolver.go errTooManyRecursiveExpansions)
 
 
-def expand_env(value: Any) -> Any:
-    """${env:VAR} / ${env:VAR:-default} expansion (confmap env provider)."""
+def _retrieve(scheme: str, ref: str) -> Any:
+    """Provider dispatch (confmap/provider/*): env, file, yaml, http(s).
+
+    file/http(s)/yaml retrievals are parsed as YAML (each reference
+    provider returns NewRetrievedFromYAML), so a whole-string URI can
+    expand to a typed value (map/list/int), not just a string."""
+    import yaml
+
+    if scheme == "env":
+        name, sep, default = ref.partition(":-")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ConfigError(f"invalid environment variable name {name!r}")
+        raw = os.environ.get(name)
+        if raw is None:
+            return default if sep else ""
+        return raw
+    if scheme == "file":
+        with open(ref) as f:
+            return yaml.safe_load(f.read())
+    if scheme == "yaml":
+        return yaml.safe_load(ref)
+    if scheme in ("http", "https"):
+        import urllib.request
+
+        with urllib.request.urlopen(f"{scheme}:{ref}", timeout=5) as resp:
+            return yaml.safe_load(resp.read().decode("utf-8"))
+    raise ConfigError(f"unsupported config provider scheme {scheme!r}")
+
+
+_ESC = "\x00$\x00"  # placeholder for $$ while URIs expand
+
+
+def _resolve_str(s: str, depth: int) -> Any:
+    if depth > _MAX_RESOLVE_DEPTH:
+        raise ConfigError("too many recursive ${} expansions (cycle?)")
+    # confmap escape: $$ means a literal $ and suppresses expansion of
+    # whatever follows — mask it BEFORE matching URIs
+    s = s.replace("$$", _ESC)
+    m = _URI_RE.fullmatch(s)
+    if m:
+        # whole-string URI: the retrieved value keeps its YAML type and
+        # is itself resolved (resolver.go:134-164 recursive expansion)
+        return _resolve_any(_retrieve(m.group(1), m.group(2)), depth + 1)
+
+    def sub(match: re.Match) -> str:
+        v = _resolve_any(_retrieve(match.group(1), match.group(2)), depth + 1)
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (dict, list)):
+            raise ConfigError(
+                f"cannot embed a composite value from "
+                f"${{{match.group(1)}:…}} inside a string"
+            )
+        return str(v)
+
+    out, n = _URI_RE.subn(sub, s)
+    if n:
+        resolved = _resolve_str(out, depth + 1)  # expanded text may hold URIs
+        return (
+            resolved.replace(_ESC, "$") if isinstance(resolved, str) else resolved
+        )
+    return out.replace(_ESC, "$")
+
+
+def _resolve_any(value: Any, depth: int = 0) -> Any:
     if isinstance(value, str):
-
-        def sub(m: re.Match) -> str:
-            return os.environ.get(m.group(1), m.group(2) or "")
-
-        return _ENV_REF.sub(sub, value)
+        return _resolve_str(value, depth)
     if isinstance(value, dict):
-        return {k: expand_env(v) for k, v in value.items()}
+        return {k: _resolve_any(v, depth) for k, v in value.items()}
     if isinstance(value, list):
-        return [expand_env(v) for v in value]
+        return [_resolve_any(v, depth) for v in value]
     return value
 
 
+def resolve_config(raw: dict) -> dict:
+    """confmap.Resolver analog: recursive ${scheme:ref} expansion with
+    scheme dispatch (env/file/yaml/http/https), typed whole-string
+    retrievals, $$ escaping, and a depth-capped cycle guard."""
+    return _resolve_any(raw)
+
+
+def expand_env(value: Any) -> Any:
+    """${env:VAR} / ${env:VAR:-default} expansion — now a view over the
+    full resolver (kept for the original name)."""
+    return _resolve_any(value)
+
+
 def load_yaml(path: str) -> "PipelineSpec":
-    """File provider (confmap/provider/fileprovider analog): YAML file →
-    spec, with env expansion applied after parse."""
+    """File provider entry point: YAML file → spec, with full ${scheme:
+    ref} resolution applied after parse."""
     import yaml
 
     with open(path) as f:

@@ -39,6 +39,17 @@ class PermanentError(Exception):
     """Non-retryable (consumer/consumererror/permanent.go analog)."""
 
 
+class ThrottleError(Exception):
+    """Retryable failure carrying a server-specified delay — the
+    gRPC RetryInfo / HTTP Retry-After path the reference honors in
+    exporter/otlpexporter/otlp.go:187-216 (throttle overrides the
+    client backoff for that attempt)."""
+
+    def __init__(self, msg: str, retry_after: float):
+        super().__init__(msg)
+        self.retry_after = float(retry_after)
+
+
 @dataclass
 class RetryConfig:
     """retry_sender.go:71-152 config surface."""
@@ -50,7 +61,10 @@ class RetryConfig:
 
 
 def retry_commit(fn, cfg: RetryConfig | None = None, sleep=time.sleep):
-    """Run fn() with exponential backoff; PermanentError short-circuits."""
+    """Run fn() with exponential backoff; PermanentError short-circuits;
+    a ThrottleError's server delay replaces the backoff wait for that
+    attempt (retry_sender.go:116-129: throttle wins over backoff; the
+    backoff sequence itself is not reset)."""
     cfg = cfg or RetryConfig()
     interval = cfg.initial_interval
     elapsed = 0.0
@@ -61,11 +75,14 @@ def retry_commit(fn, cfg: RetryConfig | None = None, sleep=time.sleep):
             return fn()
         except PermanentError:
             raise
-        except Exception:
-            if elapsed + interval > cfg.max_elapsed:
+        except Exception as e:
+            wait = interval
+            if isinstance(e, ThrottleError):
+                wait = e.retry_after
+            if elapsed + wait > cfg.max_elapsed:
                 raise
-            sleep(interval)
-            elapsed += interval
+            sleep(wait)
+            elapsed += wait
             interval = min(interval * cfg.multiplier, cfg.max_interval)
 
 
@@ -104,6 +121,47 @@ def write_sink(
 
     retry_commit(_commit, retry)
     return path
+
+
+def rejected_path(base_dir: str, run_id: str, sink: str) -> str:
+    return str(Path(base_dir) / f"run_id={run_id}" / f"rejected={sink}")
+
+
+def write_sink_partial(
+    df: DataFrame,
+    base_dir: str,
+    run_id: str,
+    sink: str,
+    reject_predicate,
+    rows_per_file: int = batch_mod.DEFAULT_SEND_BATCH_SIZE,
+    retry: RetryConfig | None = None,
+) -> dict:
+    """Partial-success commit (otlp.go:103-110 ExportResponse
+    PartialSuccess): the sink accepts most rows but rejects a subset.
+    Rejected rows are NOT retried (the reference logs and drops them) —
+    here they land in a quarantine side table so they stay auditable,
+    and the send_failed count feeds the obsreport metrics.
+
+    Returns {"sent", "send_failed", "path", "rejected_path"}.
+    """
+    accepted = df.filter(~reject_predicate)
+    rejected = df.filter(reject_predicate)
+    path = write_sink(accepted, base_dir, run_id, sink, rows_per_file, retry)
+    rej_path = rejected_path(base_dir, run_id, sink)
+
+    def _commit() -> None:
+        rejected.write.mode("overwrite").parquet(rej_path)
+
+    retry_commit(_commit, retry)
+    spark = df.sparkSession
+    n_sent = spark.read.parquet(path).count()
+    n_failed = spark.read.parquet(rej_path).count()
+    return {
+        "sent": n_sent,
+        "send_failed": n_failed,
+        "path": path,
+        "rejected_path": rej_path,
+    }
 
 
 def write_fanout_single_pass(

@@ -61,14 +61,16 @@ def test_no_full_shard_window(transcripts):
     with redirect_stdout(buf):
         batch.assign_batches(transcripts, 64).explain("formatted")
     plan = buf.getvalue()
-    # offsets window runs over the tiny counts aggregate (partitions ×
-    # shards rows); the data-sized window must carry _pid
-    data_windows = [
-        ln for ln in plan.splitlines()
-        if "row_number()" in ln and "windowspecdefinition" in ln
-    ]
-    assert data_windows, "expected the local-rank window in the plan"
-    assert all("_pid" in ln for ln in data_windows), data_windows
+    # the full-shard window shape would be
+    # windowspecdefinition(role, tool, conv_id ASC, turn_idx ASC, …) —
+    # partitioned ONLY by the shard keys, ordered by the row keys
+    bad = re.findall(r"windowspecdefinition\(role#\d+, tool#\d+, conv_id#\d+", plan)
+    assert not bad, bad
+    # the data-sized running-total window must carry the partition-local
+    # _pid key; the remaining window (per-shard offsets) runs over the
+    # tiny counts aggregate ordered by _pid
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs and all("_pid" in s for s in specs), specs
 
 
 def test_metadata_cardinality_limit(transcripts):
@@ -85,3 +87,55 @@ def test_byte_sizer(transcripts):
     sized = batch.with_byte_size(transcripts)
     bad = sized.filter(F.octet_length("text") != F.col("size_bytes"))
     assert bad.count() == 0
+
+
+def test_byte_batches_cap_with_one_item_overshoot(transcripts):
+    """Sizer=bytes MergeSplit contract: items are never split, so each
+    batch's byte sum stays under cap + (its last item); every non-final
+    batch crosses the cap boundary only via its last item."""
+    cap = 8 * 1024
+    out = batch.assign_batches_by_bytes(transcripts, cap)
+    agg = out.groupBy("role", "tool", "batch_id").agg(
+        F.sum(F.octet_length("text")).alias("bytes_sum"),
+        F.max(F.octet_length("text")).alias("max_item"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    per_shard: dict[tuple, list] = {}
+    for r in agg:
+        per_shard.setdefault((r["role"], r["tool"]), []).append(r)
+    for shard, rows in per_shard.items():
+        rows.sort(key=lambda r: r["batch_id"])
+        assert [r["batch_id"] for r in rows] == list(range(len(rows))), shard
+        for r in rows[:-1]:
+            # start-offset rule: a batch ends because its last item
+            # crossed the cap → sum < cap + last item ≤ cap + max item
+            assert r["bytes_sum"] < cap + r["max_item"], shard
+
+
+def test_byte_batches_deterministic(transcripts):
+    a = batch.assign_batches_by_bytes(transcripts, 4096).select(
+        "conv_id", "turn_idx", "batch_id"
+    )
+    b = batch.assign_batches_by_bytes(transcripts.repartition(5), 4096).select(
+        "conv_id", "turn_idx", "batch_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_shape_for_write_bytes(spark, transcripts, tmp_path):
+    """Byte-capped file outputs: every written file lands near/under
+    the cap (rows-per-file calibrated from mean serialized size)."""
+    from pathlib import Path
+
+    cap = 64 * 1024
+    shaped, opts = batch.shape_for_write_bytes(
+        transcripts.withColumn("sink", F.lit("s1")), cap, shard_keys=("sink",)
+    )
+    w = shaped.write.mode("overwrite")
+    w = batch.apply_write_options(w, opts)
+    path = str(tmp_path / "bytecap")
+    w.json(path)  # JSON output so file bytes ≈ serialized_size calibration
+    sizes = [p.stat().st_size for p in Path(path).glob("*.json") if p.stat().st_size]
+    assert sizes
+    # mean-based calibration: allow slack for per-row variance
+    assert max(sizes) < cap * 1.5

@@ -104,8 +104,11 @@ def test_simhash_dynamic_banding_recall(spark):
         [(0, base), (1, base + " kilo"), (2, "totally different words here xyz")],
         "doc_id long, text string",
     )
-    sh = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(df).collect()}
-    d01 = bin(sh[0] ^ sh[1]).count("1")
+    sh = {
+        r["doc_id"]: (r["simhash0"], r["simhash1"])
+        for r in dedup.with_simhash(df).collect()
+    }
+    d01 = bin(sh[0][0] ^ sh[1][0]).count("1") + bin(sh[0][1] ^ sh[1][1]).count("1")
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in dedup.simhash_neardup_pairs(df, max_hamming=max(3, d01)).collect()

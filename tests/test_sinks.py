@@ -62,3 +62,58 @@ def test_shared_intermediate_frame(spark, sf_dir):
     c1 = {r["sink"]: r["count"] for r in consumer1.collect()}
     assert c1["sink_llm"] == consumer2.count()
     routed.unpersist()
+
+
+def test_throttle_delay_honored():
+    """A ThrottleError's server delay replaces the backoff wait for
+    that attempt (otlp.go:187-216 RetryInfo -> retry_sender throttle)."""
+    waits, calls = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise writers.ThrottleError("slow down", retry_after=0.7)
+        return "ok"
+
+    cfg = writers.RetryConfig(initial_interval=0.05, max_elapsed=10.0)
+    out = writers.retry_commit(flaky, cfg, sleep=waits.append)
+    assert out == "ok"
+    assert waits == [0.7, 0.7]  # server delay, not the 0.05 backoff
+
+
+def test_throttle_bounded_by_max_elapsed():
+    import pytest
+
+    def always():
+        raise writers.ThrottleError("busy", retry_after=5.0)
+
+    cfg = writers.RetryConfig(max_elapsed=8.0)
+    waits = []
+    with pytest.raises(writers.ThrottleError):
+        writers.retry_commit(always, cfg, sleep=waits.append)
+    assert sum(waits) <= 8.0
+
+
+def test_partial_success_side_output(spark, sf_dir, tmp_path):
+    """ExportResponse.PartialSuccess analog (otlp.go:103-110): rejected
+    rows are not retried — they land in an auditable side table and
+    count as send_failed; sent + send_failed == attempted."""
+    routed = pipeline.routed_frame(spark, sf_dir)
+    llm = routed.filter(F.col("sink") == "sink_llm")
+    total = llm.count()
+    res = writers.write_sink_partial(
+        llm, str(tmp_path), "r1", "sink_llm",
+        reject_predicate=F.col("turn_idx") % 10 == 3,
+    )
+    assert res["sent"] + res["send_failed"] == total
+    assert res["send_failed"] > 0
+    rej = spark.read.parquet(res["rejected_path"])
+    assert rej.filter(F.col("turn_idx") % 10 != 3).count() == 0
+    acc = spark.read.parquet(res["path"])
+    assert acc.filter(F.col("turn_idx") % 10 == 3).count() == 0
+    # replay is idempotent (overwrite semantics on both outputs)
+    res2 = writers.write_sink_partial(
+        llm, str(tmp_path), "r1", "sink_llm",
+        reject_predicate=F.col("turn_idx") % 10 == 3,
+    )
+    assert res2 == res

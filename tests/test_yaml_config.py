@@ -41,3 +41,72 @@ def test_yaml_empty_file(tmp_path):
     p.write_text("")
     with pytest.raises(cfg_mod.ConfigError, match="no receivers"):
         cfg_mod.load_yaml(str(p))
+
+
+# ------------------------------------------------- confmap ${scheme:ref}
+
+def test_nested_scheme_resolution(tmp_path, monkeypatch):
+    """file → env → value chain: a retrieved value containing URIs is
+    itself resolved (resolver.go:134-164)."""
+    monkeypatch.setenv("OTEL_BATCH", "512")
+    inner = tmp_path / "batch.yaml"
+    inner.write_text("send_batch_size: ${env:OTEL_BATCH}\n")
+    raw = {"processors": {"batch": f"${{file:{inner}}}"}}
+    out = cfg_mod.resolve_config(raw)
+    # whole-string file URI keeps the YAML type (a map), env ref inside
+    # resolves to the int-parsed-as-string value
+    assert out == {"processors": {"batch": {"send_batch_size": "512"}}}
+
+
+def test_yaml_provider_inline_typed():
+    out = cfg_mod.resolve_config({"a": "${yaml:[1, 2, 3]}", "b": "${yaml:true}"})
+    assert out == {"a": [1, 2, 3], "b": True}
+
+
+def test_http_provider(tmp_path):
+    """httpprovider analog against a local server (no external net)."""
+    import http.server
+    import threading
+
+    (tmp_path / "cfg.yaml").write_text("mode: remote\n")
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        out = cfg_mod.resolve_config(
+            {"svc": f"${{http://127.0.0.1:{port}/cfg.yaml}}"}
+        )
+        assert out == {"svc": {"mode": "remote"}}
+    finally:
+        srv.shutdown()
+
+
+def test_escape_and_defaults(monkeypatch):
+    monkeypatch.delenv("OTEL_MISSING", raising=False)
+    out = cfg_mod.resolve_config(
+        {"a": "$${env:NOT_EXPANDED}", "b": "${env:OTEL_MISSING:-fallback}",
+         "c": "x-${env:OTEL_MISSING}-y"}
+    )
+    assert out == {"a": "${env:NOT_EXPANDED}", "b": "fallback", "c": "x--y"}
+
+
+def test_unknown_scheme_and_cycle(tmp_path):
+    import pytest
+
+    with pytest.raises(cfg_mod.ConfigError, match="scheme"):
+        cfg_mod.resolve_config({"a": "${bogus:ref}"})
+    cyc = tmp_path / "cyc.yaml"
+    cyc.write_text(f"self: ${{file:{cyc}}}\n")
+    with pytest.raises(cfg_mod.ConfigError, match="recursive"):
+        cfg_mod.resolve_config({"a": f"${{file:{cyc}}}"})
+
+
+def test_composite_embedded_in_string_rejected():
+    import pytest
+
+    with pytest.raises(cfg_mod.ConfigError, match="composite"):
+        cfg_mod.resolve_config({"a": "prefix-${yaml:[1,2]}"})
