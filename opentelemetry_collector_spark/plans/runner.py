@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_spark.operators import route as route_mod
 from opentelemetry_collector_spark.plans import pipeline
 from opentelemetry_collector_spark.sinks import writers
-from opentelemetry_collector_spark.state import checkpoint, metrics as metrics_mod
+from opentelemetry_collector_spark.state import (
+    checkpoint,
+    metrics as metrics_mod,
+    status as status_mod,
+)
 
 
 def run_pipeline(
@@ -44,6 +48,7 @@ def run_pipeline(
     (exporter/exportertest/contract_checker.go:45-83).
     """
     cfg = cfg or pipeline.PipelineConfig()
+    reporter = status_mod.StatusReporter()
     routed = pipeline.routed_frame(spark, sf_dir, cfg).persist()
     try:
         sinks = route_mod.all_sinks(list(cfg.routes))
@@ -55,8 +60,12 @@ def run_pipeline(
             }
 
             def execute_all(unit: str) -> None:
-                writers.write_fanout_single_pass(
-                    routed, out_dir, run_id, rows_per_file=rows_per_file
+                status_mod.run_reported(
+                    reporter,
+                    f"exporter/{unit}",
+                    lambda: writers.write_fanout_single_pass(
+                        routed, out_dir, run_id, rows_per_file=rows_per_file
+                    ),
                 )
 
             # single-pass mode has one unit: any requested crash point
@@ -72,12 +81,16 @@ def run_pipeline(
             paths = {s: writers.sink_path(out_dir, run_id, s) for s in sinks}
 
             def execute(sink: str) -> None:
-                writers.write_sink(
-                    routed.filter(F.col("sink") == sink),
-                    out_dir,
-                    run_id,
-                    sink,
-                    rows_per_file=rows_per_file,
+                status_mod.run_reported(
+                    reporter,
+                    f"exporter/{sink}",
+                    lambda: writers.write_sink(
+                        routed.filter(F.col("sink") == sink),
+                        out_dir,
+                        run_id,
+                        sink,
+                        rows_per_file=rows_per_file,
+                    ),
                 )
 
             checkpoint.run_with_resume(manifest, sinks, execute, crash_after=crash_after)
@@ -88,6 +101,11 @@ def run_pipeline(
         m = metrics_mod.collect_pipeline_metrics(routed)
         m.to_df(spark).write.mode("overwrite").parquet(
             str(Path(out_dir) / f"run_id={run_id}" / "metrics")
+        )
+        # component lifecycle events (graph.go StartAll/StopAll reports)
+        status_mod.stop_all(reporter)
+        reporter.to_df(spark).write.mode("overwrite").parquet(
+            str(Path(out_dir) / f"run_id={run_id}" / "status")
         )
         return paths
     finally:

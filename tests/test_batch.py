@@ -67,8 +67,8 @@ def test_no_full_shard_window(transcripts):
     bad = re.findall(r"windowspecdefinition\(role#\d+, tool#\d+, conv_id#\d+", plan)
     assert not bad, bad
     # the data-sized running-total window must carry the partition-local
-    # _pid key; the remaining window (per-shard offsets) runs over the
-    # tiny counts aggregate ordered by _pid
+    # key; the remaining window (per-shard offsets) runs over the tiny
+    # counts aggregate ordered by _pid
     specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
     assert specs and all("_pid" in s for s in specs), specs
 
