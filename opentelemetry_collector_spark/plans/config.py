@@ -224,7 +224,18 @@ def build_graph(spec: PipelineSpec) -> PipelineGraph:
 def _apply_processor(df: DataFrame, name: str, cfg: dict, spark: SparkSession) -> DataFrame:
     t = _ctype(name)
     if t == "parse":
-        return parse_mod.with_parsed(df, method=cfg.get("method", "native"))
+        method = cfg.get("method")
+        if method is None:
+            # featuregate-controlled default (featuregate/registry.go):
+            # explicit config always wins over the gate
+            from opentelemetry_collector_spark.plans import featuregate
+
+            method = (
+                "arrow"
+                if featuregate.REGISTRY.is_enabled("engine.arrowParse")
+                else "native"
+            )
+        return parse_mod.with_parsed(df, method=method)
     if t == "enrich":
         return enrich_mod.enrich_with_defaults(df, spark)
     if t == "filter":
