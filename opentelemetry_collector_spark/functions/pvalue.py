@@ -116,8 +116,10 @@ def get_type(attrs: Column, key: str) -> Column:
 
 
 def get_str(attrs: Column, key: str) -> Column:
+    # coalesce like the sibling getters: a str-tagged entry whose
+    # payload is NULL still returns the zero value, never NULL
     v = _entry(attrs, key)
-    return F.when(v["t"] == "str", v["s"]).otherwise(F.lit(""))
+    return F.coalesce(F.when(v["t"] == "str", v["s"]), F.lit(""))
 
 
 def get_int(attrs: Column, key: str) -> Column:

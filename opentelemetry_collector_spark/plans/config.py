@@ -99,12 +99,12 @@ def _resolve_str(s: str, depth: int) -> Any:
             )
         return str(v)
 
-    out, n = _URI_RE.subn(sub, s)
-    if n:
-        resolved = _resolve_str(out, depth + 1)  # expanded text may hold URIs
-        return (
-            resolved.replace(_ESC, "$") if isinstance(resolved, str) else resolved
-        )
+    # NO rescan of the substituted string: retrieved values were already
+    # recursively resolved above (so ${env:A} where A itself holds URIs
+    # expands), and re-matching the spliced text would (a) defeat a $$
+    # escape the inner resolution deliberately produced as a literal and
+    # (b) let adjacent substituted fragments merge into injected URIs.
+    out = _URI_RE.sub(sub, s)
     return out.replace(_ESC, "$")
 
 
@@ -399,10 +399,18 @@ def build_service_graph(spec: ServiceSpec) -> PipelineGraph:
     instantiates processors per pipeline); connectors appear once, so a
     connector cycle between pipelines is a graph cycle."""
     g = PipelineGraph()
+    used_r = {r for d in spec.pipelines.values() for r in d.receivers}
+    used_e = {e for d in spec.pipelines.values() for e in d.exporters}
+    # only pipeline-referenced components become graph nodes: the
+    # reference does not instantiate declared-but-unused receivers/
+    # exporters (they are legal config); connectors are validated for
+    # both-sides wiring in load_service
     for r in spec.receivers:
-        g.add(r, "receiver")
+        if r in used_r:
+            g.add(r, "receiver")
     for e in spec.exporters:
-        g.add(e, "exporter")
+        if e in used_e:
+            g.add(e, "exporter")
     for c in spec.connectors:
         g.add(c, "connector")
     for pname, d in spec.pipelines.items():
@@ -444,13 +452,22 @@ def _apply_connector(
 
 
 def build_service_frames(
-    spark: SparkSession, spec: ServiceSpec, sf_dir: str
+    spark: SparkSession,
+    spec: ServiceSpec,
+    sf_dir: str,
+    persist_handle: list | None = None,
 ) -> dict[str, DataFrame]:
     """Build every pipeline's lazy frame, wiring connectors between
     them. Pipelines are processed in connector-dependency order (a
     pipeline that receives from a connector builds after every pipeline
     that exports into it) — the Kahn pass mirrors graph.Build's
-    reverse-topological component construction."""
+    reverse-topological component construction.
+
+    A pipeline frame that exports into a connector is persisted (the
+    fan-out evaluate-once obligation: its lineage is embedded in both
+    the returned frame and every consumer pipeline). Pass
+    ``persist_handle=[]`` to receive those frames and unpersist them
+    deterministically when done."""
     build_service_graph(spec)  # validate topology first
 
     # pipeline-level topo sort over connector edges
@@ -501,8 +518,12 @@ def build_service_frames(
             df = df.unionByName(extra)
         for p in d.processors:
             df = _apply_processor(df, p, spec.processors.get(p, {}), spark)
+        conn_exports = [e for e in d.exporters if e in spec.connectors]
+        if conn_exports:
+            df = df.persist()
+            if persist_handle is not None:
+                persist_handle.append(df)
         results[pname] = df
-        for e in d.exporters:
-            if e in spec.connectors:
-                conn_inputs.setdefault(e, []).append(df)
+        for e in conn_exports:
+            conn_inputs.setdefault(e, []).append(df)
     return results

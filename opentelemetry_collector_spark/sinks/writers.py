@@ -144,24 +144,36 @@ def write_sink_partial(
 
     Returns {"sent", "send_failed", "path", "rejected_path"}.
     """
-    accepted = df.filter(~reject_predicate)
-    rejected = df.filter(reject_predicate)
-    path = write_sink(accepted, base_dir, run_id, sink, rows_per_file, retry)
-    rej_path = rejected_path(base_dir, run_id, sink)
+    # NULL-safe predicate: filter(~NULL) AND filter(NULL) both drop the
+    # row, which would silently lose it from BOTH outputs — a NULL
+    # verdict means "not rejected"
+    rej = F.coalesce(reject_predicate, F.lit(False))
+    # persist: the upstream lineage feeds two writes; without it the
+    # whole plan executes twice (the fan-out evaluate-once obligation)
+    df = df.persist()
+    try:
+        accepted = df.filter(~rej)
+        rejected = df.filter(rej)
+        path = write_sink(accepted, base_dir, run_id, sink, rows_per_file, retry)
+        rej_path = rejected_path(base_dir, run_id, sink)
 
-    def _commit() -> None:
-        rejected.write.mode("overwrite").parquet(rej_path)
+        def _commit() -> None:
+            rejected.write.mode("overwrite").parquet(rej_path)
 
-    retry_commit(_commit, retry)
-    spark = df.sparkSession
-    n_sent = spark.read.parquet(path).count()
-    n_failed = spark.read.parquet(rej_path).count()
-    return {
-        "sent": n_sent,
-        "send_failed": n_failed,
-        "path": path,
-        "rejected_path": rej_path,
-    }
+        retry_commit(_commit, retry)
+        spark = df.sparkSession
+        # counts from the WRITTEN state (footer metadata reads), so the
+        # report reflects what actually committed
+        n_sent = spark.read.parquet(path).count()
+        n_failed = spark.read.parquet(rej_path).count()
+        return {
+            "sent": n_sent,
+            "send_failed": n_failed,
+            "path": path,
+            "rejected_path": rej_path,
+        }
+    finally:
+        df.unpersist()
 
 
 def write_fanout_single_pass(

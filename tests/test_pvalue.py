@@ -103,3 +103,11 @@ def test_raw_json_round_trip(row):
     )
     assert r["j1"] == r["j2"]
     assert r["i"] == 42 and r["bt"] == "bytes"
+
+
+def test_get_str_null_payload_zero_value(row):
+    """A str-tagged entry with a NULL payload returns '' (the zero
+    value), consistent with the int/double/bool getters."""
+    a = V.typed_attrs(s=V.v_str(F.lit(None)), i=V.v_int(F.lit(None)))
+    r = row(a, V.get_str(a, "s").alias("s"), V.get_int(a, "i").alias("i"))
+    assert r["s"] == "" and r["i"] == 0

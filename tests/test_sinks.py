@@ -117,3 +117,18 @@ def test_partial_success_side_output(spark, sf_dir, tmp_path):
         reject_predicate=F.col("turn_idx") % 10 == 3,
     )
     assert res2 == res
+
+
+def test_partial_success_null_predicate_not_lost(spark, tmp_path):
+    """A NULL reject verdict means 'not rejected' — the row must land in
+    the accepted output, never be dropped from both."""
+    df = spark.createDataFrame(
+        [("a", 0, 1500), ("a", 1, None), ("a", 2, 10)],
+        "conv_id string, turn_idx int, latency int",
+    )
+    res = writers.write_sink_partial(
+        df, str(tmp_path), "r1", "s", reject_predicate=F.col("latency") > 1000
+    )
+    assert res["sent"] == 2 and res["send_failed"] == 1
+    acc = spark.read.parquet(res["path"])
+    assert {r["turn_idx"] for r in acc.collect()} == {1, 2}

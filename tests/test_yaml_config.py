@@ -110,3 +110,32 @@ def test_composite_embedded_in_string_rejected():
 
     with pytest.raises(cfg_mod.ConfigError, match="composite"):
         cfg_mod.resolve_config({"a": "prefix-${yaml:[1,2]}"})
+
+
+def test_escape_inside_retrieved_value_survives(monkeypatch):
+    """A $$-escape produced by an inner resolution must stay literal —
+    the substituted text is not re-scanned for URIs."""
+    monkeypatch.setenv("OTEL_A", "$${env:SECRET}")
+    monkeypatch.setenv("SECRET", "leaked")
+    out = cfg_mod.resolve_config({"v": "prefix ${env:OTEL_A} suffix"})
+    assert out == {"v": "prefix ${env:SECRET} suffix"}
+    # retrieved values that hold REAL URIs still expand recursively
+    monkeypatch.setenv("OTEL_B", "${env:SECRET}")
+    assert cfg_mod.resolve_config({"v": "x-${env:OTEL_B}"}) == {"v": "x-leaked"}
+
+
+def test_unused_declared_components_allowed(spark, sf_dir):
+    """Declared-but-unreferenced receivers/exporters are legal config
+    (the reference simply does not instantiate them)."""
+    raw = {
+        "receivers": {"transcripts": {}, "transcripts/unused": {}},
+        "processors": {},
+        "exporters": {"debug": {}, "nop": {}},
+        "service": {
+            "pipelines": {
+                "logs": {"receivers": ["transcripts"], "exporters": ["debug"]}
+            }
+        },
+    }
+    frames = cfg_mod.build_service_frames(spark, cfg_mod.load_service(raw), sf_dir)
+    assert frames["logs"].count() > 0
