@@ -380,6 +380,20 @@ def _q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/protobuf wire format (pdata/plog/encoding.go): parsed rows →
+    LogRecord wire bytes → decoded fields. The oracle reads the same
+    fields straight from the raw table, so a green row proves the
+    binary encoding is lossless byte-level protobuf."""
+    from opentelemetry_collector_spark.functions import pdata, protowire
+
+    df = tables.read_transcripts(spark, sf_dir)
+    parsed = parse_mod.with_parsed(df, "native").withColumn(
+        "severity_number", pdata.severity_number(F.col("level"))
+    )
+    return protowire.decode_records(protowire.encode_records(parsed))
+
+
 def _q_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Config-built two-pipeline DAG: logs (parse → route) exports into
     a count connector, which feeds a metrics pipeline — the
@@ -577,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attrs_typed": _q_attrs_typed,
         "severity_turns": _q_severity_turns,
         "otlp_roundtrip": _q_otlp_roundtrip,
+        "proto_roundtrip": _q_proto_roundtrip,
         "forward_merge": _q_forward_merge,
         "pipeline_multi": _q_pipeline_multi,
         "embedding_neardup": _q_embedding_neardup,
@@ -780,6 +795,11 @@ def oracle_sql() -> dict[str, str]:
         "severity_turns": f"""{_parsedcte_sev()}""",
         "otlp_roundtrip": f"""{_transcripts_cte()}
             SELECT conv_id, role, text FROM transcripts""",
+        "proto_roundtrip": f"""{_parsed_cte()}
+            SELECT conv_id, turn_idx, text AS body,
+                   coalesce(level, '') AS severity_text,
+                   epoch_ns(ts) AS ts_ns, svc
+            FROM parsed""",
         "forward_merge": f"""{_routed_cte()}
             SELECT sink, conv_id, turn_idx FROM routed
             WHERE sink IN ('sink_py', 'sink_llm')""",

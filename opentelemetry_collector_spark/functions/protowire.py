@@ -1,0 +1,227 @@
+"""OTLP/protobuf wire format for log records — the proto Marshaler +
+Sizer surface (pdata/plog/encoding.go:6-31, pdata/plog/json.go's
+binary sibling).
+
+Round 1 shipped JSON-only encoding with octet_length(text) standing in
+for the proto Sizer; this module adds the REAL protobuf wire format so
+byte-based batching can size on actual serialized bytes. Field numbers
+and wire types follow the public opentelemetry-proto logs schema
+(opentelemetry/proto/logs/v1/logs.proto):
+
+    LogRecord:  1 time_unix_nano (fixed64), 2 severity_number (varint),
+                3 severity_text (len), 5 body (AnyValue, len),
+                6 attributes (repeated KeyValue, len)
+    AnyValue:   oneof 1 string_value, 2 bool_value, 3 int_value (varint)
+    KeyValue:   1 key (len), 2 value (AnyValue, len)
+
+Encoding is per-record CPU work in the reference too (proto marshal is
+a per-message loop); here it runs as Arrow-batched ``mapInPandas`` at
+the export boundary — never in the analytic hot path. The decoder is a
+full wire-format parser for the subset above, used to prove the round
+trip is lossless (the CORRECTNESS gate compares decoded output against
+the raw table).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# ------------------------------------------------------------ primitives
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _fixed64(field: int, n: int) -> bytes:
+    return _tag(field, 1) + int(n).to_bytes(8, "little")
+
+
+def _varint_field(field: int, n: int) -> bytes:
+    return _tag(field, 0) + _varint(int(n))
+
+
+# -------------------------------------------------------------- messages
+
+def _any_str(s: str) -> bytes:
+    return _len_delim(1, s.encode("utf-8"))
+
+
+def _any_int(n: int) -> bytes:
+    return _varint_field(3, n)
+
+
+def _kv(key: str, any_value: bytes) -> bytes:
+    return _len_delim(1, key.encode("utf-8")) + _len_delim(2, any_value)
+
+
+def encode_log_record(
+    ts_ns: int,
+    severity_number: int,
+    severity_text: str,
+    body: str,
+    attributes: list[tuple[str, bytes]],
+) -> bytes:
+    """One LogRecord message (logs.proto field numbers)."""
+    out = bytearray()
+    out += _fixed64(1, ts_ns)
+    if severity_number:
+        out += _varint_field(2, severity_number)
+    if severity_text:
+        out += _len_delim(3, severity_text.encode("utf-8"))
+    out += _len_delim(5, _any_str(body if body is not None else ""))
+    for key, av in attributes:
+        out += _len_delim(6, _kv(key, av))
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decoder
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, i
+        shift += 7
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
+    i = 0
+    while i < len(buf):
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, i = _read_varint(buf, i)
+        elif wire == 1:
+            val = int.from_bytes(buf[i : i + 8], "little")
+            i += 8
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            val = buf[i : i + ln]
+            i += ln
+        else:  # wire 5 (fixed32) — not produced by this encoder
+            val = int.from_bytes(buf[i : i + 4], "little")
+            i += 4
+        yield field, wire, val
+
+
+def _decode_any(buf: bytes) -> object:
+    for field, _w, val in _fields(buf):
+        if field == 1:
+            return val.decode("utf-8")
+        if field == 2:
+            return bool(val)
+        if field == 3:
+            return int(val)
+    return None
+
+
+def decode_log_record(buf: bytes) -> dict:
+    rec: dict = {"attributes": {}}
+    for field, _w, val in _fields(buf):
+        if field == 1:
+            rec["ts_ns"] = val
+        elif field == 2:
+            rec["severity_number"] = val
+        elif field == 3:
+            rec["severity_text"] = val.decode("utf-8")
+        elif field == 5:
+            rec["body"] = _decode_any(val)
+        elif field == 6:
+            k = v = None
+            for f2, _w2, v2 in _fields(val):
+                if f2 == 1:
+                    k = v2.decode("utf-8")
+                elif f2 == 2:
+                    v = _decode_any(v2)
+            rec["attributes"][k] = v
+    return rec
+
+
+# ---------------------------------------------------------- Spark stages
+
+PROTO_SCHEMA = "conv_id string, turn_idx int, proto binary, proto_bytes long"
+ROUNDTRIP_SCHEMA = (
+    "conv_id string, turn_idx int, body string, severity_text string, "
+    "ts_ns long, svc string"
+)
+
+
+def encode_records(df: DataFrame) -> DataFrame:
+    """parsed transcript rows → OTLP LogRecord wire bytes + proto Sizer.
+
+    Input needs conv_id, turn_idx, role, text, ts, level, svc,
+    severity_number (pdata.severity_number). Arrow-batched; the
+    per-record loop is the marshal itself.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            protos = []
+            for ts, sev_n, sev_t, text, role, svc in zip(
+                pdf["ts"], pdf["severity_number"], pdf["level"],
+                pdf["text"], pdf["role"], pdf["svc"],
+            ):
+                attrs = [("role", _any_str(role))]
+                if isinstance(svc, str) and svc:
+                    attrs.append(("svc", _any_str(svc)))
+                protos.append(
+                    encode_log_record(
+                        ts_ns=int(ts.value),  # pandas Timestamp → ns
+                        severity_number=int(sev_n) if pd.notna(sev_n) else 0,
+                        severity_text=sev_t if isinstance(sev_t, str) else "",
+                        body=text,
+                        attributes=attrs,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "proto": protos,
+                    "proto_bytes": [len(p) for p in protos],
+                }
+            )
+
+    return df.mapInPandas(gen, PROTO_SCHEMA)
+
+
+def decode_records(df: DataFrame) -> DataFrame:
+    """LogRecord wire bytes → fields (round-trip verification stage)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_log_record(bytes(p)) for p in pdf["proto"]]
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "body": [r.get("body") for r in rows],
+                    "severity_text": [r.get("severity_text", "") for r in rows],
+                    "ts_ns": [r.get("ts_ns", 0) for r in rows],
+                    "svc": [r["attributes"].get("svc") for r in rows],
+                }
+            )
+
+    return df.mapInPandas(gen, ROUNDTRIP_SCHEMA)

@@ -20,8 +20,8 @@ import __spark_entry__ as entry
 ARROW_OK = {
     "pipeline_e2e_arrow",
     "parse_turns_arrow",
-    "simhash_pairs",
     "media_features",
+    "proto_roundtrip",  # wire-format encode/decode is export-boundary Python
 }
 CARTESIAN_OK = {"embedding_neardup"}  # documented O(n²) baseline
 

@@ -1,0 +1,82 @@
+"""OTLP protobuf wire format (pdata/plog/encoding.go analog)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opentelemetry_collector_spark.functions import protowire as W
+
+
+def test_golden_bytes():
+    """Exact wire bytes for a hand-computed LogRecord — pins field
+    numbers, wire types, varint and length-delimited framing."""
+    got = W.encode_log_record(
+        ts_ns=1,
+        severity_number=9,
+        severity_text="INFO",
+        body="hi",
+        attributes=[("role", W._any_str("user"))],
+    )
+    want = (
+        b"\x09\x01\x00\x00\x00\x00\x00\x00\x00"  # 1: fixed64 ts=1
+        b"\x10\x09"  # 2: varint severity 9
+        b"\x1a\x04INFO"  # 3: severity_text
+        b"\x2a\x04\x0a\x02hi"  # 5: body AnyValue{string "hi"}
+        b"\x32\x0e\x0a\x04role\x12\x06\x0a\x04user"  # 6: KeyValue role=user
+    )
+    assert got == want
+
+
+def test_varint_boundaries():
+    for n in (0, 1, 127, 128, 300, 2**32, 2**63 - 1):
+        buf = W._varint(n)
+        back, i = W._read_varint(buf, 0)
+        assert back == n and i == len(buf)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ts=st.integers(min_value=0, max_value=2**63 - 1),
+    sev=st.integers(min_value=0, max_value=24),
+    text=st.text(max_size=200),
+    level=st.sampled_from(["", "DEBUG", "INFO", "WARN", "ERROR"]),
+    svc=st.one_of(st.none(), st.text(min_size=1, max_size=20)),
+)
+def test_roundtrip_property(ts, sev, text, level, svc):
+    attrs = [("role", W._any_str("tool"))]
+    if svc:
+        attrs.append(("svc", W._any_str(svc)))
+    buf = W.encode_log_record(ts, sev, level, text, attrs)
+    rec = W.decode_log_record(buf)
+    assert rec.get("ts_ns") == ts
+    assert rec.get("severity_number", 0) == sev
+    assert rec.get("severity_text", "") == level
+    assert rec["body"] == text
+    assert rec["attributes"].get("svc") == svc if svc else "svc" not in rec["attributes"]
+
+
+def test_spark_roundtrip_and_sizer(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_spark.functions import parse as parse_mod
+    from opentelemetry_collector_spark.functions import pdata
+    from opentelemetry_collector_spark.sources import tables
+
+    df = tables.read_transcripts(spark, sf_dir).limit(500)
+    parsed = parse_mod.with_parsed(df, "native").withColumn(
+        "severity_number", pdata.severity_number(F.col("level"))
+    )
+    enc = W.encode_records(parsed).cache()
+    try:
+        # the Sizer: proto_bytes is the true serialized size
+        bad = enc.filter(F.octet_length("proto") != F.col("proto_bytes"))
+        assert bad.count() == 0
+        dec = W.decode_records(enc)
+        joined = dec.join(
+            df.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+        )
+        assert joined.filter(F.col("body") != F.col("text")).count() == 0
+        assert joined.count() == 500
+    finally:
+        enc.unpersist()
