@@ -244,6 +244,31 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(bucketed, q, k=10, bits=8, n_probes=8)
 
 
+def _ivf_centroids_for(sf_dir: str):
+    """Deterministic IVF fit shared by the Spark query and the oracle:
+    lowest-4096 vec_ids read via pyarrow, numpy k-means (seeded) — both
+    sides inline the identical centroid literals. (fit_ivf, the Spark
+    fit path, is pinned equal to this in tests/test_similarity.py.)"""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_spark.operators import similarity
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(t.column("vec_id")))[:4096]
+    vecs = np.array(t.column("embedding").to_pylist(), dtype="float64")[order]
+    return similarity.ivf_centroids(vecs, k=16)
+
+
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = tables.read_table(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids_for(sf_dir)
+    celled = similarity.with_ivf_cell(emb, cent)
+    return similarity.ann_topk_ivf(celled, _query_vec(sf_dir), cent, k=10, n_probes=4)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.read_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -583,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_threshold": _q_ann_cosine_threshold,
         "ann_topk_bruteforce": _q_ann_topk_bruteforce,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
@@ -841,6 +867,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_neardup_lsh": sim_oracle.oracle_embedding_neardup_lsh(
             0.5, dim=len(_query_vec(ORACLE_SF_DIR)), bits=4, n_bands=8
+        ),
+        "ann_topk_ivf": sim_oracle.oracle_ann_topk_ivf(
+            _query_vec(ORACLE_SF_DIR),
+            _ivf_centroids_for(ORACLE_SF_DIR),
+            k=10,
+            n_probes=4,
         ),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

@@ -143,6 +143,93 @@ def ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+# ----------------------------------------------------------------- IVF ANN
+
+IVF_SEED = 7
+
+
+def ivf_centroids(
+    vectors: np.ndarray, k: int = 16, iters: int = 10, seed: int = IVF_SEED
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on unit-normalized vectors — the IVF
+    coarse quantizer (cosine metric). Pure numpy, fixed iteration count
+    and seed, so the Spark query and the DuckDB oracle share identical
+    centroid literals."""
+    rng = np.random.RandomState(seed)
+    v = vectors.astype("float64")
+    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    cent = v[rng.choice(len(v), size=min(k, len(v)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (v @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = v[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def fit_ivf(
+    df: DataFrame,
+    k: int = 16,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = IVF_SEED,
+) -> np.ndarray:
+    """Fit centroids on a DETERMINISTIC sample (lowest ids) — layout-
+    independent, so refits on reshuffled inputs give identical cells.
+    At corpus scale the fit is a driver-side numpy job over a bounded
+    sample; assignment below is the distributed part."""
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    return ivf_centroids(np.array([r[0] for r in rows]), k=k, seed=seed)
+
+
+def _cell_expr(vec: Column, centroids: np.ndarray) -> Column:
+    """argmax over centroid dot products (centroids are unit vectors, so
+    argmax dot == argmax cosine for any fixed row norm). 1-based."""
+    dots = F.array(
+        *[_dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its IVF cell. At scale this column is
+    precomputed and the table partitioned by it, so a probe is a
+    partition-pruned scan (same posture as with_ann_bucket)."""
+    return df.withColumn("ivf_cell", _cell_expr(F.col(vec_col), centroids))
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: np.ndarray, n_probes: int = 4
+) -> list[int]:
+    """The n_probes cells nearest the query (1-based ids, deterministic
+    ordering shared with the oracle)."""
+    q = np.asarray(query_vec, dtype="float64")
+    sims = centroids @ q
+    order = np.argsort(-sims, kind="stable")
+    return [int(c) + 1 for c in order[:n_probes]]
+
+
+def ann_topk_ivf(
+    df_celled: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine over the probed cells only —
+    scan cost O(n · n_probes / n_cells) instead of O(n)."""
+    probes = ivf_probe_cells(query_vec, centroids, n_probes)
+    cand = df_celled.filter(F.col("ivf_cell").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_neardup_pairs_exact(
     df: DataFrame,
     threshold: float = 0.95,
@@ -305,6 +392,30 @@ def oracle_embedding_neardup_lsh(
         FROM cand JOIN {table} ea ON ea.vec_id = cand.id_a
                   JOIN {table} eb ON eb.vec_id = cand.id_b
         WHERE {cos} >= {threshold}"""
+
+
+def oracle_ann_topk_ivf(
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probes: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of with_ivf_cell + ann_topk_ivf: identical centroid
+    literals, list_indexof/list_max argmax (1-based, same as Spark's
+    array_position), same probe set."""
+    probes = ", ".join(str(p) for p in ivf_probe_cells(query_vec, centroids, n_probes))
+    dots = "[" + ", ".join(_oracle_dot("embedding", _vec_lit(c)) for c in centroids) + "]"
+    v = _vec_lit(query_vec)
+    cos = (
+        f"{_oracle_dot('embedding', v)} / "
+        f"(sqrt(list_dot_product(cast(embedding AS double[]), "
+        f"cast(embedding AS double[]))) * sqrt(list_dot_product({v}, {v})))"
+    )
+    return f"""
+        SELECT vec_id, round({cos}, 4) AS cos_sim FROM {table}
+        WHERE list_indexof({dots}, list_max({dots})) IN ({probes})
+        ORDER BY {cos} DESC, vec_id LIMIT {k}"""
 
 
 def oracle_embedding_neardup(threshold: float, table: str = "embeddings") -> str:

@@ -103,3 +103,43 @@ def test_bucket_is_pure_function(emb, qvec):
     b = {r["vec_id"]: r["ann_bucket"] for r in similarity.with_ann_bucket(emb.repartition(5), 64).collect()}
     assert a == b
     assert all(0 <= v < 256 for v in a.values())
+
+
+def test_ivf_fit_paths_identical(spark, sf_dir):
+    """The Spark fit (fit_ivf) and the pyarrow fit the driver oracle
+    uses must produce identical centroids."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.fit_ivf(emb, k=16)
+    b = entry._ivf_centroids_for(sf_dir)
+    assert np.array_equal(a, b)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF top-k with 4/16 probes must recover most of the exact top-k
+    (the standard IVF recall bar on random data)."""
+    import __spark_entry__ as entry
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = entry._query_vec(sf_dir)
+    cent = similarity.fit_ivf(emb, k=16)
+    celled = similarity.with_ivf_cell(emb, cent)
+    approx = {r["vec_id"] for r in similarity.ann_topk_ivf(celled, q, cent, k=10, n_probes=4).collect()}
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    assert len(approx & exact) / len(exact) >= 0.5
+    # full probe = exact (IVF with all cells probed degenerates to brute force)
+    allp = {r["vec_id"] for r in similarity.ann_topk_ivf(celled, q, cent, k=10, n_probes=16).collect()}
+    assert allp == exact
+
+
+def test_ivf_cells_partition_all_rows(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = similarity.fit_ivf(emb, k=16)
+    celled = similarity.with_ivf_cell(emb, cent)
+    n = emb.count()
+    stats = celled.groupBy("ivf_cell").count().collect()
+    assert sum(r["count"] for r in stats) == n
+    assert all(1 <= r["ivf_cell"] <= 16 for r in stats)
