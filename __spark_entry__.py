@@ -255,8 +255,8 @@ def _ivf_centroids_for(sf_dir: str):
     from opentelemetry_collector_spark.operators import similarity
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(t.column("vec_id")))[:4096]
-    vecs = np.array(t.column("embedding").to_pylist(), dtype="float64")[order]
+    head = t.sort_by("vec_id").slice(0, 4096)  # never pylist the whole table
+    vecs = np.array(head.column("embedding").to_pylist(), dtype="float64")
     return similarity.ivf_centroids(vecs, k=16)
 
 
@@ -445,7 +445,12 @@ def _q_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         },
     }
-    frames = cfg_mod.build_service_frames(spark, cfg_mod.load_service(raw), sf_dir)
+    frames = cfg_mod.build_service_frames(
+        spark, cfg_mod.load_service(raw), sf_dir,
+        # only the metrics frame is materialized here: caching the logs
+        # producer would cost cache population for zero reuse
+        persist_connectors=False,
+    )
     return frames["metrics"]
 
 

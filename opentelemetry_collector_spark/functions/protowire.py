@@ -32,6 +32,10 @@ from pyspark.sql import DataFrame
 # ------------------------------------------------------------ primitives
 
 def _varint(n: int) -> bytes:
+    # protobuf semantics: negative int64 is encoded as its unsigned
+    # 64-bit two's complement (always 10 bytes) — without the mask a
+    # negative Python int never reaches 0 and the loop would spin
+    n &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -52,7 +56,8 @@ def _len_delim(field: int, payload: bytes) -> bytes:
 
 
 def _fixed64(field: int, n: int) -> bytes:
-    return _tag(field, 1) + int(n).to_bytes(8, "little")
+    # two's-complement wrap for negative values (pre-1970 timestamps)
+    return _tag(field, 1) + (int(n) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
 
 
 def _varint_field(field: int, n: int) -> bytes:
@@ -183,12 +188,15 @@ def encode_records(df: DataFrame) -> DataFrame:
                 pdf["ts"], pdf["severity_number"], pdf["level"],
                 pdf["text"], pdf["role"], pdf["svc"],
             ):
-                attrs = [("role", _any_str(role))]
+                attrs = [("role", _any_str(role if isinstance(role, str) else ""))]
                 if isinstance(svc, str) and svc:
                     attrs.append(("svc", _any_str(svc)))
                 protos.append(
                     encode_log_record(
-                        ts_ns=int(ts.value),  # pandas Timestamp → ns
+                        # NaT → 0 (absent timestamp), mirroring the
+                        # proto default; .value on NaT is the int64
+                        # sentinel which _fixed64 would reject
+                        ts_ns=int(ts.value) if pd.notna(ts) else 0,
                         severity_number=int(sev_n) if pd.notna(sev_n) else 0,
                         severity_text=sev_t if isinstance(sev_t, str) else "",
                         body=text,

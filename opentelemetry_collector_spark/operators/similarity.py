@@ -331,6 +331,17 @@ def _oracle_dot(a: str, b: str) -> str:
     return f"list_dot_product(cast({a} AS double[]), {b})"
 
 
+def _oracle_cosine_to(query_lit: str, vec_col: str = "embedding") -> str:
+    """cos(vec_col, query) — shared by every oracle that scores against
+    a query literal, so a parity-motivated change lands everywhere."""
+    return (
+        f"{_oracle_dot(vec_col, query_lit)} / "
+        f"(sqrt(list_dot_product(cast({vec_col} AS double[]), "
+        f"cast({vec_col} AS double[]))) * "
+        f"sqrt(list_dot_product({query_lit}, {query_lit})))"
+    )
+
+
 def oracle_bucket_expr(planes: np.ndarray, vec_col: str = "embedding") -> str:
     """SQL mirror of bucket_expr: bit b set ⟺ dot(vec, plane_b) > 0."""
     return " + ".join(
@@ -352,12 +363,7 @@ def oracle_ann_topk_lsh(
     deterministic (cos DESC, vec_id) tie-break."""
     planes = hyperplanes(len(query_vec), bits, seed)
     probes = ", ".join(str(p) for p in probe_buckets(query_vec, bits, n_probes, seed))
-    v = _vec_lit(query_vec)
-    cos = (
-        f"{_oracle_dot('embedding', v)} / "
-        f"(sqrt(list_dot_product(cast(embedding AS double[]), "
-        f"cast(embedding AS double[]))) * sqrt(list_dot_product({v}, {v})))"
-    )
+    cos = _oracle_cosine_to(_vec_lit(query_vec))
     return f"""
         SELECT vec_id, round({cos}, 4) AS cos_sim FROM {table}
         WHERE ({oracle_bucket_expr(planes)}) IN ({probes})
@@ -406,12 +412,7 @@ def oracle_ann_topk_ivf(
     array_position), same probe set."""
     probes = ", ".join(str(p) for p in ivf_probe_cells(query_vec, centroids, n_probes))
     dots = "[" + ", ".join(_oracle_dot("embedding", _vec_lit(c)) for c in centroids) + "]"
-    v = _vec_lit(query_vec)
-    cos = (
-        f"{_oracle_dot('embedding', v)} / "
-        f"(sqrt(list_dot_product(cast(embedding AS double[]), "
-        f"cast(embedding AS double[]))) * sqrt(list_dot_product({v}, {v})))"
-    )
+    cos = _oracle_cosine_to(_vec_lit(query_vec))
     return f"""
         SELECT vec_id, round({cos}, 4) AS cos_sim FROM {table}
         WHERE list_indexof({dots}, list_max({dots})) IN ({probes})

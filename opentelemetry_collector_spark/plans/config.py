@@ -456,6 +456,7 @@ def build_service_frames(
     spec: ServiceSpec,
     sf_dir: str,
     persist_handle: list | None = None,
+    persist_connectors: bool = True,
 ) -> dict[str, DataFrame]:
     """Build every pipeline's lazy frame, wiring connectors between
     them. Pipelines are processed in connector-dependency order (a
@@ -467,7 +468,9 @@ def build_service_frames(
     fan-out evaluate-once obligation: its lineage is embedded in both
     the returned frame and every consumer pipeline). Pass
     ``persist_handle=[]`` to receive those frames and unpersist them
-    deterministically when done."""
+    deterministically when done, or ``persist_connectors=False`` when
+    the caller will materialize only ONE of the returned frames (a
+    single evaluation gains nothing from caching)."""
     build_service_graph(spec)  # validate topology first
 
     # pipeline-level topo sort over connector edges
@@ -519,7 +522,7 @@ def build_service_frames(
         for p in d.processors:
             df = _apply_processor(df, p, spec.processors.get(p, {}), spark)
         conn_exports = [e for e in d.exporters if e in spec.connectors]
-        if conn_exports:
+        if conn_exports and persist_connectors:
             df = df.persist()
             if persist_handle is not None:
                 persist_handle.append(df)

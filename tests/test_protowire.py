@@ -80,3 +80,16 @@ def test_spark_roundtrip_and_sizer(spark, sf_dir):
         assert joined.count() == 500
     finally:
         enc.unpersist()
+
+
+def test_negative_and_null_robustness():
+    """Negative ints encode as 10-byte two's-complement varints (real
+    protobuf semantics) instead of hanging; pre-1970 fixed64 wraps."""
+    buf = W._varint(-1)
+    assert len(buf) == 10
+    n, i = W._read_varint(buf, 0)
+    assert n == 2**64 - 1 and i == 10
+    rec = W.encode_log_record(-5, 0, "", "x", [("n", W._any_int(-7))])
+    d = W.decode_log_record(rec)
+    assert d["ts_ns"] == 2**64 - 5  # two's-complement wrap, no crash
+    assert d["attributes"]["n"] == 2**64 - 7
