@@ -206,6 +206,31 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(docs, max_hamming=8)
 
 
+def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS rolling-hash document
+    fingerprinting): per-doc count + order-insensitive set digest."""
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    fp = F.col("winnow_fp")
+    return dedup.with_winnow(docs).select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(fp), lambda x: x.cast("string"))
+            )
+        ).alias("fp_digest"),
+    )
+
+
+def _q_neardup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return dedup.neardup_pairs_winnow(docs, min_shared=30)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.functions import text as T
 
@@ -610,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_minhash": _q_neardup_minhash,
         "simhash_pairs": _q_simhash_pairs,
         "text_stats": _q_text_stats,
+        "text_winnow": _q_text_winnow,
+        "neardup_winnow": _q_neardup_winnow,
         "ann_cosine_threshold": _q_ann_cosine_threshold,
         "ann_topk_bruteforce": _q_ann_topk_bruteforce,
         "ann_topk_lsh": _q_ann_topk_lsh,
@@ -840,6 +867,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": sim_oracle.oracle_embedding_neardup(0.5),
         "neardup_minhash": dedup_oracle.oracle_neardup_pairs_lsh(0.5),
         "simhash_pairs": dedup_oracle.oracle_simhash_pairs(8),
+        "text_winnow": dedup_oracle.oracle_winnow_stats("documents"),
+        "neardup_winnow": dedup_oracle.oracle_neardup_winnow(30),
         "media_features": f"""
             SELECT media_id, media_type,
                    cast(octet_length(payload) AS bigint) AS n_bytes,

@@ -396,6 +396,110 @@ def simhash_neardup_pairs(
     )
 
 
+# -------------------------------------------------------------- winnowing
+#
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+# MOSS algorithm): hash every k-gram of the normalized text, slide a
+# window of w hashes, keep each window's minimum, dedupe. Guarantees
+# any match of length ≥ k+w-1 shares a fingerprint. All Catalyst
+# (sequence/transform/slice/array_min), hash = md5-hex → 32-bit int so
+# the DuckDB oracle reproduces the set bit-exactly.
+
+WINNOW_K = 8  # k-gram length (chars of normalized text)
+WINNOW_W = 4  # window size
+
+
+def _winnow_grams(norm: Column, k: int) -> Column:
+    """k-gram hashes at positions 1..n-k+1 (md5 of each gram → 32-bit).
+    `norm` must be a MATERIALIZED column, not an inline expression — a
+    lambda referencing an inline normalize_text would re-run the regex
+    once per character position (quadratic; measured pathological)."""
+    n = F.length(norm)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substr(norm, i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(
+        F.array(F.conv(F.substring(F.md5(norm), 1, 8), 16, 10).cast("long"))
+    )
+
+
+def _winnow_mins(grams: Column, w: int) -> Column:
+    """Window minima over a MATERIALIZED gram-hash column (same
+    staging rule as _winnow_grams)."""
+    mins = F.when(
+        F.size(grams) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(grams)))
+    return F.array_distinct(mins)
+
+
+def with_winnow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Stages norm → grams → minima as separate projections so each is
+    evaluated once per row (Catalyst will not collapse projects when
+    that duplicates non-cheap expressions)."""
+    return (
+        _spread(df)
+        .withColumn("_nrm", normalize_text(F.col(text_col)))
+        .withColumn("_grams", _winnow_grams(F.col("_nrm"), k))
+        .withColumn("winnow_fp", _winnow_mins(F.col("_grams"), w))
+        .drop("_nrm", "_grams")
+    )
+
+
+def neardup_pairs_winnow(
+    df: DataFrame,
+    min_shared: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    persist_handle: list | None = None,
+) -> DataFrame:
+    """Near-dup pairs sharing ≥ min_shared winnowing fingerprints.
+
+    Scale shape: explode (fingerprint, id) → self-join per fingerprint
+    (shuffle on the 8-byte hash, never all-pairs) → count shared per
+    pair. Same bucketed-join posture as MinHash-LSH.
+
+    The fingerprint frame is persisted BEFORE the explode: pushing a
+    Generate through the staged winnow projections makes the optimizer
+    splice the full gram/min expression tree into the Generate's input
+    (md5 count in the optimized plan went 2 → 18, measured ~100×
+    slower); the cache barrier keeps the arrays materialized once per
+    row. Pass ``persist_handle=[]`` to unpersist deterministically."""
+    m = (
+        with_winnow(df, text_col, id_col, k, w)
+        .select(F.col(id_col).alias("id"), "winnow_fp")
+        .persist()
+    )
+    if persist_handle is not None:
+        persist_handle.append(m)
+    fp = m.select("id", F.explode("winnow_fp").alias("h"))
+    a = fp.select("h", F.col("id").alias("id_a"))
+    b = fp.select("h", F.col("id").alias("id_b"))
+    return (
+        a.join(b, on="h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def oracle_exact_dedup(table: str = "documents") -> str:
@@ -493,6 +597,52 @@ def oracle_neardup_pairs_lsh(
         f"WITH {oracle_lsh_cte(table, num_hashes, bands, max_bucket)} "
         f"SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}"
     )
+
+
+# ------------------------------------------------------ winnowing oracle
+
+def oracle_winnow_cte(
+    table: str = "documents", k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    """Staged CTEs mirroring winnow_fingerprints (DuckDB list slicing
+    is 1-based inclusive on both ends: g[j:j+w-1] == Spark slice(g,j,w));
+    ends with `fps(doc_id, fp)`."""
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    gh = f"('0x' || substr(md5(substr(nrm, i, {k})), 1, 8))::BIGINT"
+    whole = "('0x' || substr(md5(nrm), 1, 8))::BIGINT"
+    return f"""
+        nrmd AS (SELECT doc_id, {norm} AS nrm FROM {table}),
+        gramd AS (SELECT doc_id,
+                 CASE WHEN length(nrm) >= {k}
+                      THEN list_transform(range(1, length(nrm) - {k - 2}),
+                                          i -> {gh})
+                      ELSE [{whole}] END AS g
+                 FROM nrmd),
+        fps AS (SELECT doc_id, list_distinct(
+                    CASE WHEN len(g) >= {w}
+                         THEN list_transform(range(1, len(g) - {w - 2}),
+                                             j -> list_min(g[j:j+{w - 1}]))
+                         ELSE [list_min(g)] END) AS fp
+                FROM gramd)"""
+
+
+def oracle_winnow_stats(table: str = "documents") -> str:
+    """Per-doc fingerprint count + order-insensitive set digest."""
+    return f"""
+        WITH {oracle_winnow_cte(table)}
+        SELECT doc_id, cast(len(fp) AS int) AS n_fp,
+               md5(array_to_string(list_transform(list_sort(fp),
+                                                  x -> x::VARCHAR), ',')) AS fp_digest
+        FROM fps"""
+
+
+def oracle_neardup_winnow(min_shared: int, table: str = "documents") -> str:
+    return f"""
+        WITH {oracle_winnow_cte(table)},
+        ex AS (SELECT doc_id AS id, unnest(fp) AS h FROM fps)
+        SELECT a.id AS id_a, b.id AS id_b, cast(count(*) AS bigint) AS n_shared
+        FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
 
 
 # ------------------------------------------------------- simhash oracle

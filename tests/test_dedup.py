@@ -124,3 +124,41 @@ def test_simhash_matches_python_reference(docs):
     }
     for doc_id, text in DOCS:
         assert got[doc_id] == ref(text), f"doc {doc_id}"
+
+
+def test_winnow_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al.): two texts sharing a
+    substring of length >= k+w-1 share at least one fingerprint; an
+    identical doc shares ALL fingerprints."""
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog"  # len >= k+w-1
+    rows = [
+        (0, f"prefix one {shared} suffix alpha"),
+        (1, f"completely different start {shared} and another ending"),
+        (2, "no overlap here at all zzz qqq www eee rrr ttt yyy"),
+        (3, f"prefix one {shared} suffix alpha"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["winnow_fp"]) for r in dedup.with_winnow(df).collect()}
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert fps[0] == fps[3], "identical text -> identical fingerprint set"
+    assert not (fps[2] & fps[0]) or len(fps[2] & fps[0]) < len(fps[0] & fps[1])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.neardup_pairs_winnow(df, min_shared=1).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == len(fps[0])
+    assert (0, 1) in pairs
+
+
+def test_winnow_deterministic_and_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    a = {r["doc_id"]: sorted(r["winnow_fp"]) for r in dedup.with_winnow(docs).collect()}
+    b = {
+        r["doc_id"]: sorted(r["winnow_fp"])
+        for r in dedup.with_winnow(docs.repartition(7)).collect()
+    }
+    assert a == b
+    # density: winnowing keeps roughly 2/(w+1) of gram positions
+    for doc_id, fp in a.items():
+        assert 1 <= len(fp)
