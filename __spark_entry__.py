@@ -124,6 +124,17 @@ def _q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (SCD-2) enrichment: each turn gets the tool-dim version in
+    effect at its timestamp — a zero-shuffle literal-map lookup on the
+    Spark side, a native ASOF LEFT JOIN in the DuckDB oracle."""
+    df = tables.read_transcripts(spark, sf_dir)
+    versions = enrich_mod.load_versioned_tool_dim()
+    return enrich_mod.asof_enrich(
+        df, versions, payload_fields=("tool_version", "cost_tier")
+    ).select("conv_id", "turn_idx", "tool", "tool_version", "cost_tier")
+
+
 def _q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.routed_frame(spark, sf_dir).select("sink", "conv_id", "turn_idx")
 
@@ -621,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_turns_arrow": _q_parse_turns_arrow,
         "ordered_turns": _q_ordered_turns,
         "enrich_lookup": _q_enrich_lookup,
+        "enrich_asof": _q_enrich_asof,
         "routed_rows": _q_routed_rows,
         "route_counts": _q_route_counts,
         "latency_stats": _q_latency_stats,
@@ -726,6 +738,14 @@ def oracle_sql() -> dict[str, str]:
             FROM transcripts t
             LEFT JOIN role_dim r USING (role)
             LEFT JOIN tool_dim d USING (tool)""",
+        "enrich_asof": f"""{_transcripts_cte()},
+            vdim AS (SELECT * FROM read_parquet(
+                '{fixtures.ensure_versioned_tool_dim()}'))
+            SELECT t.conv_id, t.turn_idx, t.tool,
+                   vdim.tool_version, vdim.cost_tier
+            FROM transcripts t
+            ASOF LEFT JOIN vdim
+              ON t.tool = vdim.tool AND t.ts >= vdim.valid_from""",
         "routed_rows": f"{_routed_cte()} SELECT sink, conv_id, turn_idx FROM routed",
         "route_counts": f"""{_routed_cte()}
             SELECT sink, cast(count(*) AS bigint) AS n_rows

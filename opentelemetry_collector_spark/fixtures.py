@@ -195,6 +195,47 @@ def ensure_transcripts(sf_dir: str) -> str:
     return str(path)
 
 
+def versioned_tool_dim_path() -> Path:
+    return FIXTURE_ROOT / "dims" / "tool_dim_versioned.parquet"
+
+
+def ensure_versioned_tool_dim() -> str:
+    """Time-versioned tool dimension (SCD-2 shape) for as-of enrichment.
+
+    Versions straddle the transcript ts range (2025-01-01 .. 01-02):
+    every tool has a pre-range v1 except 'browser', whose first version
+    postdates every transcript row — exercising the no-version-yet NULL
+    path of the as-of join."""
+    path = versioned_tool_dim_path()
+    if not path.exists():
+        def ts(s: str):
+            return np.datetime64(s, "us")
+
+        rows = [
+            ("", ts("2024-12-01T00:00:00"), "none-v1", 0),
+            ("search", ts("2024-12-01T00:00:00"), "search-v1", 1),
+            ("search", ts("2025-01-01T06:00:00"), "search-v2", 2),
+            ("python", ts("2024-12-01T00:00:00"), "py-v1", 1),
+            ("python", ts("2025-01-01T06:00:00"), "py-v2", 2),
+            ("python", ts("2025-01-01T18:00:00"), "py-v3", 3),
+            ("editor", ts("2024-12-01T00:00:00"), "ed-v1", 1),
+            ("browser", ts("2025-06-01T00:00:00"), "br-v1", 1),
+        ]
+        table = pa.table(
+            {
+                "tool": pa.array([r[0] for r in rows], pa.string()),
+                "valid_from": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "tool_version": pa.array([r[2] for r in rows], pa.string()),
+                "cost_tier": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        )
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp.parquet")
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return str(path)
+
+
 def media_path() -> Path:
     return FIXTURE_ROOT / "media" / "media.parquet"
 

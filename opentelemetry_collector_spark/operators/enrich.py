@@ -37,3 +37,79 @@ def enrich(
 def enrich_with_defaults(df: DataFrame, spark: SparkSession) -> DataFrame:
     role_dim, tool_dim = load_dims(spark)
     return enrich(df, role_dim, tool_dim)
+
+
+# ---------------------------------------------------------- as-of enrich
+
+ASOF_DIM_MAX_ROWS = 100_000  # literal-map guard: beyond this, range-join
+
+
+def asof_enrich(
+    df: DataFrame,
+    versions: list[tuple],
+    payload_fields: tuple[str, ...],
+    key_col: str = "tool",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """As-of (SCD-2) enrichment against a time-versioned dimension:
+    each row gets the dim version with the greatest valid_from ≤ row ts
+    (NULLs when no version precedes the row — left semantics, the
+    collector never drops on enrich).
+
+    ``versions`` rows are (key, valid_from_micros, *payload). The dim is
+    embedded as a literal map<key, array<struct>> sorted by valid_from,
+    so the lookup is a pure map-side expression — ZERO shuffle and no
+    join at any fact size (the idiomatic Spark shape for a broadcast-
+    small versioned dim; DuckDB expresses the same thing as ASOF JOIN).
+    """
+    if len(versions) > ASOF_DIM_MAX_ROWS:
+        raise ValueError(
+            f"versioned dim too large for literal embedding "
+            f"({len(versions)} rows > {ASOF_DIM_MAX_ROWS}); use a range join"
+        )
+    by_key: dict = {}
+    for row in versions:
+        by_key.setdefault(row[0], []).append(row[1:])
+    entries = []
+    for key, vers in sorted(by_key.items()):
+        structs = [
+            F.struct(
+                F.lit(int(v[0])).alias("vf_us"),
+                *[
+                    F.lit(v[1 + i]).alias(f)
+                    for i, f in enumerate(payload_fields)
+                ],
+            )
+            for v in sorted(vers)
+        ]
+        entries.extend([F.lit(key), F.array(*structs)])
+    dim_map = F.create_map(*entries)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    valid = F.filter(
+        F.try_element_at(dim_map, F.col(key_col)), lambda x: x["vf_us"] <= ts_us
+    )
+    # try_element_at: an empty valid list (no version yet) or unknown
+    # key must yield NULL, not an ANSI index error
+    chosen = F.try_element_at(valid, F.lit(-1))  # sorted ascending → latest
+    out = df
+    for f in payload_fields:
+        out = out.withColumn(f, chosen[f])
+    return out
+
+
+def load_versioned_tool_dim() -> list[tuple]:
+    """(tool, valid_from_micros, tool_version, cost_tier) rows from the
+    fixture parquet — read via pyarrow so the micros are exact int64."""
+    import pyarrow.parquet as pq
+
+    path = fixtures.ensure_versioned_tool_dim()
+    t = pq.read_table(path)
+    vf = t.column("valid_from").cast("int64").to_pylist()
+    return list(
+        zip(
+            t.column("tool").to_pylist(),
+            vf,
+            t.column("tool_version").to_pylist(),
+            t.column("cost_tier").to_pylist(),
+        )
+    )
