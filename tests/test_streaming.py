@@ -86,3 +86,56 @@ def test_windowed_counts_stream_runs(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select sum(n_turns) s from wincounts").collect()
     assert rows[0]["s"] == pq.read_metadata(fixtures.ensure_transcripts(sf_dir)).num_rows
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark contract: once the watermark passes a
+    window's end, a straggler event for that window is DROPPED in
+    append mode — the closed window's count excludes it."""
+    import datetime as dt
+
+    from opentelemetry_collector_spark.streaming import micro
+
+    src = str(tmp_path / "src")
+
+    def rows(ts_list, start_idx=0):
+        return [
+            (
+                "conv-late", start_idx + i, "user",
+                f"[INFO] svc=api latency_ms=5 req_id=conv-late:{start_idx + i} msg=a-b",
+                "", dt.datetime(2025, 1, 1) + dt.timedelta(minutes=m),
+            )
+            for i, m in enumerate(ts_list)
+        ]
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def write(rs, name):
+        spark.createDataFrame(rs, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: three rows in the 00:00 window + one at 03:00 that
+    # advances the watermark (1h) to 02:00 — past the 00:00 window end
+    write(rows([0, 10, 20, 180]), "f1")
+    routed = micro.routed_stream(spark, src)
+    counts = micro.windowed_counts_stream(routed, window="1 hour", watermark="1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE row for the (closed) 00:00 window + a fresh row
+        write(rows([30, 240], start_idx=10), "f2")
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].isoformat(), r["n_turns"])
+            for r in spark.table("wm_counts").collect()
+        }
+        # the 00:00 window closed with 3 rows; the late 00:30 row was dropped
+        assert ("2025-01-01T00:00:00", 3) in got, got
+        assert not any(w == "2025-01-01T00:00:00" and n != 3 for w, n in got)
+    finally:
+        q.stop()
