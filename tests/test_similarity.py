@@ -143,3 +143,23 @@ def test_ivf_cells_partition_all_rows(spark, sf_dir):
     stats = celled.groupBy("ivf_cell").count().collect()
     assert sum(r["count"] for r in stats) == n
     assert all(1 <= r["ivf_cell"] <= 16 for r in stats)
+
+
+def test_ivf_probe_partition_pruning(spark, sf_dir, tmp_path):
+    """The scale posture in with_ivf_cell's docstring, demonstrated: a
+    cell-partitioned table + probe filter prunes the scan to the probed
+    partitions (PartitionFilters on ivf_cell), so probe cost is
+    O(n_probes / n_cells) of the data."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = similarity.fit_ivf(emb, k=16)
+    path = str(tmp_path / "celled")
+    similarity.with_ivf_cell(emb, cent).write.partitionBy("ivf_cell").parquet(path)
+    celled = spark.read.parquet(path)
+    q = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    probes = similarity.ivf_probe_cells(q, cent, n_probes=4)
+    cand = celled.filter(F.col("ivf_cell").isin(probes))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "PartitionFilters" in scan[0] and "ivf_cell" in scan[0], scan
+    # and the probe actually reads fewer rows than the table
+    assert 0 < cand.count() < celled.count()
