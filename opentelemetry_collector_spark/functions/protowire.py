@@ -111,6 +111,13 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
         shift += 7
 
 
+def _sext64(n: int) -> int:
+    """Sign-extend a 64-bit wire value — int64 fields encode negatives
+    as two's complement, so decode must mirror it (the encoder-side
+    mask in _varint/_fixed64) or negative values fail to round-trip."""
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
 def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
     i = 0
     while i < len(buf):
@@ -118,8 +125,9 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
         field, wire = key >> 3, key & 7
         if wire == 0:
             val, i = _read_varint(buf, i)
+            val = _sext64(val)
         elif wire == 1:
-            val = int.from_bytes(buf[i : i + 8], "little")
+            val = _sext64(int.from_bytes(buf[i : i + 8], "little"))
             i += 8
         elif wire == 2:
             ln, i = _read_varint(buf, i)

@@ -451,9 +451,12 @@ def with_winnow(
     """Stages norm → grams → minima as separate projections so each is
     evaluated once per row (Catalyst will not collapse projects when
     that duplicates non-cheap expressions)."""
+    # NULL text ≡ '' on BOTH engines: without the coalesce Spark keeps a
+    # [NULL] fingerprint array while DuckDB list_distinct strips NULLs —
+    # an oracle-parity break on any corpus with NULL rows
     return (
         _spread(df)
-        .withColumn("_nrm", normalize_text(F.col(text_col)))
+        .withColumn("_nrm", F.coalesce(normalize_text(F.col(text_col)), F.lit("")))
         .withColumn("_grams", _winnow_grams(F.col("_nrm"), k))
         .withColumn("winnow_fp", _winnow_mins(F.col("_grams"), w))
         .drop("_nrm", "_grams")
@@ -467,13 +470,18 @@ def neardup_pairs_winnow(
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     persist_handle: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs sharing ≥ min_shared winnowing fingerprints.
 
     Scale shape: explode (fingerprint, id) → self-join per fingerprint
     (shuffle on the 8-byte hash, never all-pairs) → count shared per
-    pair. Same bucketed-join posture as MinHash-LSH.
+    pair. Same bucketed-join posture as MinHash-LSH, including the
+    hot-bucket cap: a boilerplate fingerprint shared by m docs yields
+    m²/2 join rows, so fingerprints in more than max_bucket docs are
+    dropped from candidate generation (they carry no near-dup signal —
+    exact dedup owns true duplicates).
 
     The fingerprint frame is persisted BEFORE the explode: pushing a
     Generate through the staged winnow projections makes the optimizer
@@ -489,6 +497,15 @@ def neardup_pairs_winnow(
     if persist_handle is not None:
         persist_handle.append(m)
     fp = m.select("id", F.explode("winnow_fp").alias("h"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        wd = Window.partitionBy("h")
+        fp = (
+            fp.withColumn("_hc", F.count(F.lit(1)).over(wd))
+            .filter(F.col("_hc") <= max_bucket)
+            .drop("_hc")
+        )
     a = fp.select("h", F.col("id").alias("id_a"))
     b = fp.select("h", F.col("id").alias("id_b"))
     return (
@@ -607,7 +624,7 @@ def oracle_winnow_cte(
     """Staged CTEs mirroring winnow_fingerprints (DuckDB list slicing
     is 1-based inclusive on both ends: g[j:j+w-1] == Spark slice(g,j,w));
     ends with `fps(doc_id, fp)`."""
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    norm = "coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')"
     gh = f"('0x' || substr(md5(substr(nrm, i, {k})), 1, 8))::BIGINT"
     whole = "('0x' || substr(md5(nrm), 1, 8))::BIGINT"
     return f"""
@@ -636,10 +653,20 @@ def oracle_winnow_stats(table: str = "documents") -> str:
         FROM fps"""
 
 
-def oracle_neardup_winnow(min_shared: int, table: str = "documents") -> str:
+def oracle_neardup_winnow(
+    min_shared: int,
+    table: str = "documents",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    cap = (
+        f"QUALIFY count(*) OVER (PARTITION BY h) <= {max_bucket}"
+        if max_bucket is not None
+        else ""
+    )
     return f"""
         WITH {oracle_winnow_cte(table)},
-        ex AS (SELECT doc_id AS id, unnest(fp) AS h FROM fps)
+        ex0 AS (SELECT doc_id AS id, unnest(fp) AS h FROM fps),
+        ex AS (SELECT id, h FROM ex0 {cap})
         SELECT a.id AS id_a, b.id AS id_b, cast(count(*) AS bigint) AS n_shared
         FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id
         GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""

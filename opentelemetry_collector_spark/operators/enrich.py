@@ -69,6 +69,11 @@ def asof_enrich(
         )
     by_key: dict = {}
     for row in versions:
+        if row[0] is None:
+            # create_map forbids NULL keys; a NULL fact key already
+            # resolves to NULL payloads via try_element_at, so a NULL
+            # dim key carries no reachable versions — skip, don't crash
+            continue
         by_key.setdefault(row[0], []).append(row[1:])
     entries = []
     for key, vers in sorted(by_key.items()):
@@ -91,10 +96,13 @@ def asof_enrich(
     # try_element_at: an empty valid list (no version yet) or unknown
     # key must yield NULL, not an ANSI index error
     chosen = F.try_element_at(valid, F.lit(-1))  # sorted ascending → latest
-    out = df
+    # stage the chosen struct ONCE: extracting fields directly from
+    # `chosen` would embed a full copy of the literal dim map per
+    # payload field in the projection
+    out = df.withColumn("_chosen", chosen)
     for f in payload_fields:
-        out = out.withColumn(f, chosen[f])
-    return out
+        out = out.withColumn(f, F.col("_chosen")[f])
+    return out.drop("_chosen")
 
 
 def load_versioned_tool_dim() -> list[tuple]:

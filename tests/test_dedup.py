@@ -159,6 +159,11 @@ def test_winnow_deterministic_and_bounded(spark, sf_dir):
         for r in dedup.with_winnow(docs.repartition(7)).collect()
     }
     assert a == b
-    # density: winnowing keeps roughly 2/(w+1) of gram positions
+    # density: winnowing must actually PRUNE — the expected density is
+    # 2/(w+1) of gram positions; allow 2× slack but fail if a
+    # regression stops the window minima from deduplicating
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
     for doc_id, fp in a.items():
-        assert 1 <= len(fp)
+        n_grams = max(1, len(" ".join(texts[doc_id].split())) - k + 1)
+        assert 1 <= len(fp) <= max(2, int(n_grams * 2 / (w + 1) * 2)), doc_id

@@ -91,5 +91,6 @@ def test_negative_and_null_robustness():
     assert n == 2**64 - 1 and i == 10
     rec = W.encode_log_record(-5, 0, "", "x", [("n", W._any_int(-7))])
     d = W.decode_log_record(rec)
-    assert d["ts_ns"] == 2**64 - 5  # two's-complement wrap, no crash
-    assert d["attributes"]["n"] == 2**64 - 7
+    # int64 round trip: two's-complement encode + sign-extending decode
+    assert d["ts_ns"] == -5
+    assert d["attributes"]["n"] == -7
