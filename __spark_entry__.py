@@ -696,17 +696,6 @@ def _docs_clean_oracle() -> str:
     return docs_pipeline.oracle_clean_documents()
 
 
-def _oracle_topk(vec: list[float], k: int) -> str:
-    v = "[" + ", ".join(f"{float(x)!r}" for x in vec) + "]"
-    cos = (
-        f"list_dot_product(cast(embedding AS double[]), {v}) / "
-        f"(sqrt(list_dot_product(cast(embedding AS double[]), cast(embedding AS double[]))) "
-        f"* sqrt(list_dot_product({v}, {v})))"
-    )
-    return (
-        f"SELECT vec_id, round({cos}, 4) AS cos_sim FROM embeddings "
-        f"ORDER BY {cos} DESC, vec_id LIMIT {k}"
-    )
 
 
 # ---------------------------------------------------------------- oracles
@@ -915,7 +904,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_threshold": sim_oracle.oracle_cosine_threshold(
             _query_vec(ORACLE_SF_DIR), ANN_THRESHOLD
         ),
-        "ann_topk_bruteforce": _oracle_topk(_query_vec(ORACLE_SF_DIR), 10),
+        "ann_topk_bruteforce": sim_oracle.oracle_cosine_topk(
+            _query_vec(ORACLE_SF_DIR), 10
+        ),
         "ann_topk_lsh": sim_oracle.oracle_ann_topk_lsh(
             _query_vec(ORACLE_SF_DIR), k=10, bits=8, n_probes=8
         ),

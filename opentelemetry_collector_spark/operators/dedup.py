@@ -116,6 +116,35 @@ def with_minhash(
     )
 
 
+def _md5_32(c: Column, off: int = 0) -> Column:
+    """32-bit int from md5-hex chars [off+1, off+8] — the engine-portable
+    hash primitive shared by simhash and winnowing (DuckDB mirror:
+    _oracle_md5_32)."""
+    return F.conv(F.substring(F.md5(c), off + 1, 8), 16, 10).cast("long")
+
+
+def _oracle_md5_32(expr: str, off: int = 0) -> str:
+    return f"('0x' || substr(md5({expr}), {off + 1}, 8))::BIGINT"
+
+
+def _band_keyed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(minhash frame, exploded (id, band-key) frame) — shared by
+    candidate generation and hot-bucket observability."""
+    m = with_minhash(df, text_col, num_hashes, shingle_n)
+    keyed = m.select(
+        F.col(id_col).alias("id"),
+        F.explode(band_keys(F.col("minhash"), bands, num_hashes)).alias("bk"),
+    )
+    return m, keyed
+
+
 def band_keys(sig: Column, bands: int = DEFAULT_BANDS, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
     rows = num_hashes // bands
     return F.array(
@@ -152,16 +181,13 @@ def lsh_candidate_pairs(
     # without it the scan + shingle work runs 3× (measured 2.7× slower);
     # callers unpersist via persist_handle, else the ContextCleaner
     # reclaims it when the frame is GC'd
-    m = with_minhash(df, text_col, num_hashes, shingle_n).persist()
-    if persist_handle is not None:
-        persist_handle.append(m)
     # bucket-join NARROW (band_key, id) rows only: pair dedup shuffles
     # 16-byte tuples, never shingle arrays — at corpus scale the payload
     # join below touches each candidate id exactly once
-    keyed = m.select(
-        F.col(id_col).alias("id"),
-        F.explode(band_keys(F.col("minhash"), bands, num_hashes)).alias("bk"),
-    )
+    m, keyed = _band_keyed(df, id_col, text_col, num_hashes, bands, shingle_n)
+    m = m.persist()
+    if persist_handle is not None:
+        persist_handle.append(m)
     if max_bucket is not None:
         # per-bucket member count via a window over bk (high-cardinality
         # key — group size IS the bucket size, exactly what we bound);
@@ -227,11 +253,7 @@ def hot_bucket_stats(
 ) -> DataFrame:
     """Observability for the hot-bucket cap: per-bucket member counts of
     buckets the cap would drop (empty frame = cap is inert on this data)."""
-    m = with_minhash(df, text_col, num_hashes, shingle_n)
-    keyed = m.select(
-        F.col(id_col).alias("id"),
-        F.explode(band_keys(F.col("minhash"), bands, num_hashes)).alias("bk"),
-    )
+    _m, keyed = _band_keyed(df, id_col, text_col, num_hashes, bands, shingle_n)
     return (
         keyed.groupBy("bk")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -419,13 +441,9 @@ def _winnow_grams(norm: Column, k: int) -> Column:
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.conv(
-                F.substring(F.md5(F.substr(norm, i, F.lit(k))), 1, 8), 16, 10
-            ).cast("long"),
+            lambda i: _md5_32(F.substr(norm, i, F.lit(k))),
         ),
-    ).otherwise(
-        F.array(F.conv(F.substring(F.md5(norm), 1, 8), 16, 10).cast("long"))
-    )
+    ).otherwise(F.array(_md5_32(norm)))
 
 
 def _winnow_mins(grams: Column, w: int) -> Column:
@@ -625,8 +643,8 @@ def oracle_winnow_cte(
     is 1-based inclusive on both ends: g[j:j+w-1] == Spark slice(g,j,w));
     ends with `fps(doc_id, fp)`."""
     norm = "coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')"
-    gh = f"('0x' || substr(md5(substr(nrm, i, {k})), 1, 8))::BIGINT"
-    whole = "('0x' || substr(md5(nrm), 1, 8))::BIGINT"
+    gh = _oracle_md5_32(f"substr(nrm, i, {k})")
+    whole = _oracle_md5_32("nrm")
     return f"""
         nrmd AS (SELECT doc_id, {norm} AS nrm FROM {table}),
         gramd AS (SELECT doc_id,
@@ -682,8 +700,8 @@ def oracle_simhash_cte(table: str = "documents", id_col: str = "doc_id") -> str:
     return f"""
         tok AS (SELECT {id_col} AS id, unnest(string_split({norm}, ' ')) AS t
                 FROM {table}),
-        th AS (SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h0,
-                          ('0x' || substr(md5(t), 9, 8))::BIGINT AS h1
+        th AS (SELECT id, {_oracle_md5_32('t')} AS h0,
+                          {_oracle_md5_32('t', 8)} AS h1
                FROM tok),
         bits AS (SELECT id, r.b,
                         sum(CASE WHEN (h0 >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s0,

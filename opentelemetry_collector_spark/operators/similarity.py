@@ -434,15 +434,15 @@ def oracle_embedding_neardup(threshold: float, table: str = "embeddings") -> str
 def oracle_cosine_threshold(
     query_vec: list[float], threshold: float, table: str = "embeddings"
 ) -> str:
-    vec = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]"
+    cos = _oracle_cosine_to(_vec_lit(query_vec))
     return f"""
-        SELECT vec_id,
-               round(list_dot_product(cast(embedding AS double[]), {vec})
-                     / (sqrt(list_dot_product(cast(embedding AS double[]),
-                                              cast(embedding AS double[])))
-                        * sqrt(list_dot_product({vec}, {vec}))), 4) AS cos_sim
-        FROM {table}
-        WHERE list_dot_product(cast(embedding AS double[]), {vec})
-              / (sqrt(list_dot_product(cast(embedding AS double[]),
-                                       cast(embedding AS double[])))
-                 * sqrt(list_dot_product({vec}, {vec}))) >= {threshold}"""
+        SELECT vec_id, round({cos}, 4) AS cos_sim
+        FROM {table} WHERE {cos} >= {threshold}"""
+
+
+def oracle_cosine_topk(query_vec: list[float], k: int, table: str = "embeddings") -> str:
+    cos = _oracle_cosine_to(_vec_lit(query_vec))
+    return (
+        f"SELECT vec_id, round({cos}, 4) AS cos_sim FROM {table} "
+        f"ORDER BY {cos} DESC, vec_id LIMIT {k}"
+    )
