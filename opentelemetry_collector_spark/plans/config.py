@@ -305,6 +305,46 @@ def build_frame(spark: SparkSession, spec: PipelineSpec, sf_dir: str) -> DataFra
     return df
 
 
+# ------------------------------------------------------- service.telemetry
+
+TELEMETRY_METRIC_LEVELS = ("none", "basic", "normal", "detailed")
+TELEMETRY_LOG_LEVELS = ("debug", "info", "warn", "error")
+
+
+@dataclass(frozen=True)
+class TelemetryConfig:
+    """service.telemetry analog (service/telemetry/otelconftelemetry/
+    config.go): logs level → debug-sink verbosity, metrics level →
+    whether/how much of the obsreport + status tables the runner
+    writes. 'none' suppresses self-telemetry entirely."""
+
+    logs_level: str = "info"
+    metrics_level: str = "normal"
+
+    @property
+    def write_metrics(self) -> bool:
+        return self.metrics_level != "none"
+
+
+def load_telemetry(raw: dict) -> TelemetryConfig:
+    """Parse + validate service.telemetry (config.go Validate analog:
+    unknown levels are errors with the offending value named)."""
+    t = (raw.get("service", {}) or {}).get("telemetry", {}) or {}
+    logs_level = str(t.get("logs", {}).get("level", "info")).lower()
+    metrics_level = str(t.get("metrics", {}).get("level", "normal")).lower()
+    if logs_level not in TELEMETRY_LOG_LEVELS:
+        raise ConfigError(
+            f"unknown telemetry logs level {logs_level!r}; "
+            f"known: {TELEMETRY_LOG_LEVELS}"
+        )
+    if metrics_level not in TELEMETRY_METRIC_LEVELS:
+        raise ConfigError(
+            f"unknown telemetry metrics level {metrics_level!r}; "
+            f"known: {TELEMETRY_METRIC_LEVELS}"
+        )
+    return TelemetryConfig(logs_level=logs_level, metrics_level=metrics_level)
+
+
 # --------------------------------------------- multi-pipeline + connectors
 #
 # The full service.pipelines.* surface: named pipelines with explicit

@@ -34,6 +34,7 @@ def run_pipeline(
     crash_after: str | None = None,
     rows_per_file: int = 8192,
     single_pass: bool = False,
+    telemetry=None,
 ) -> dict[str, str]:
     """Execute parse→enrich→route, fan out to per-sink tables, write
     metrics + aggregate. Returns {sink: output_path}.
@@ -98,15 +99,21 @@ def run_pipeline(
         # aggregate + metrics land only after all sinks committed
         agg = pipeline.aggregate_frame(routed, cfg)
         agg.write.mode("overwrite").parquet(str(Path(out_dir) / f"run_id={run_id}" / "agg"))
-        m = metrics_mod.collect_pipeline_metrics(routed)
-        m.to_df(spark).write.mode("overwrite").parquet(
-            str(Path(out_dir) / f"run_id={run_id}" / "metrics")
-        )
-        # component lifecycle events (graph.go StartAll/StopAll reports)
-        status_mod.stop_all(reporter)
-        reporter.to_df(spark).write.mode("overwrite").parquet(
-            str(Path(out_dir) / f"run_id={run_id}" / "status")
-        )
+        # self-telemetry obeys service.telemetry (metrics level 'none'
+        # suppresses the obsreport + status tables)
+        from opentelemetry_collector_spark.plans.config import TelemetryConfig
+
+        telemetry = telemetry or TelemetryConfig()
+        if telemetry.write_metrics:
+            m = metrics_mod.collect_pipeline_metrics(routed)
+            m.to_df(spark).write.mode("overwrite").parquet(
+                str(Path(out_dir) / f"run_id={run_id}" / "metrics")
+            )
+            # component lifecycle events (graph.go StartAll/StopAll)
+            status_mod.stop_all(reporter)
+            reporter.to_df(spark).write.mode("overwrite").parquet(
+                str(Path(out_dir) / f"run_id={run_id}" / "status")
+            )
         return paths
     finally:
         routed.unpersist()

@@ -196,3 +196,34 @@ def test_undeclared_pipeline_refs_rejected():
     raw["service"]["pipelines"]["logs"]["processors"] = ["parse", "ghost"]
     with pytest.raises(cfg_mod.ConfigError, match="ghost"):
         cfg_mod.load_service(raw)
+
+
+# ------------------------------------------------------- service.telemetry
+
+def test_telemetry_config_levels():
+    t = cfg_mod.load_telemetry(
+        {"service": {"telemetry": {"logs": {"level": "DEBUG"},
+                                   "metrics": {"level": "detailed"}}}}
+    )
+    assert t.logs_level == "debug" and t.metrics_level == "detailed"
+    assert t.write_metrics
+    assert cfg_mod.load_telemetry({}) == cfg_mod.TelemetryConfig()
+    with pytest.raises(cfg_mod.ConfigError, match="telemetry metrics level"):
+        cfg_mod.load_telemetry({"service": {"telemetry": {"metrics": {"level": "max"}}}})
+    with pytest.raises(cfg_mod.ConfigError, match="telemetry logs level"):
+        cfg_mod.load_telemetry({"service": {"telemetry": {"logs": {"level": "trace"}}}})
+
+
+def test_telemetry_none_suppresses_self_telemetry(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from opentelemetry_collector_spark.plans import runner
+
+    out = str(tmp_path / "t")
+    runner.run_pipeline(
+        spark, sf_dir, out, run_id="r1",
+        telemetry=cfg_mod.TelemetryConfig(metrics_level="none"),
+    )
+    assert not (Path(out) / "run_id=r1" / "metrics").exists()
+    assert not (Path(out) / "run_id=r1" / "status").exists()
+    assert (Path(out) / "run_id=r1" / "agg").exists()  # data unaffected
