@@ -114,7 +114,13 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
 def _sext64(n: int) -> int:
     """Sign-extend a 64-bit wire value — int64 fields encode negatives
     as two's complement, so decode must mirror it (the encoder-side
-    mask in _varint/_fixed64) or negative values fail to round-trip."""
+    mask in _varint/_fixed64) or negative values fail to round-trip.
+
+    Documented divergence: logs.proto declares time_unix_nano as
+    UNSIGNED fixed64; this engine carries every 64-bit field as int64
+    (the Arrow/Spark long schema), so a spec-conformant external value
+    ≥ 2^63 (year ≥ 2262) would decode negative. Self-consistent with
+    our own encoder and irrelevant within the int64 time range."""
     return n - (1 << 64) if n >= (1 << 63) else n
 
 

@@ -180,10 +180,10 @@ def lsh_candidate_pairs(
     # persist: m feeds THREE lazy branches (band keys, sh_a, sh_b) —
     # without it the scan + shingle work runs 3× (measured 2.7× slower);
     # callers unpersist via persist_handle, else the ContextCleaner
-    # reclaims it when the frame is GC'd
-    # bucket-join NARROW (band_key, id) rows only: pair dedup shuffles
-    # 16-byte tuples, never shingle arrays — at corpus scale the payload
-    # join below touches each candidate id exactly once
+    # reclaims it when the frame is GC'd. The bucket join sees NARROW
+    # (band_key, id) rows only: pair dedup shuffles 16-byte tuples,
+    # never shingle arrays — the payload join below touches each
+    # candidate id exactly once.
     m, keyed = _band_keyed(df, id_col, text_col, num_hashes, bands, shingle_n)
     m = m.persist()
     if persist_handle is not None:
@@ -493,13 +493,13 @@ def neardup_pairs_winnow(
 ) -> DataFrame:
     """Near-dup pairs sharing ≥ min_shared winnowing fingerprints.
 
-    Scale shape: explode (fingerprint, id) → self-join per fingerprint
-    (shuffle on the 8-byte hash, never all-pairs) → count shared per
-    pair. Same bucketed-join posture as MinHash-LSH, including the
-    hot-bucket cap: a boilerplate fingerprint shared by m docs yields
-    m²/2 join rows, so fingerprints in more than max_bucket docs are
-    dropped from candidate generation (they carry no near-dup signal —
-    exact dedup owns true duplicates).
+    Scale shape — the exact MinHash-LSH posture: CANDIDATE pairs come
+    from a per-fingerprint self-join with a hot-bucket cap (a
+    boilerplate fingerprint shared by m docs yields m²/2 join rows, so
+    fingerprints in more than max_bucket docs never generate
+    candidates), then surviving pairs are SCORED on their FULL
+    fingerprint sets (array_intersect) — the cap bounds the shuffle
+    without corrupting n_shared.
 
     The fingerprint frame is persisted BEFORE the explode: pushing a
     Generate through the staged winnow projections makes the optimizer
@@ -526,12 +526,23 @@ def neardup_pairs_winnow(
         )
     a = fp.select("h", F.col("id").alias("id_a"))
     b = fp.select("h", F.col("id").alias("id_b"))
-    return (
+    cand = (
         a.join(b, on="h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = m.select(F.col("id").alias("id_a"), F.col("winnow_fp").alias("fp_a"))
+    fb = m.select(F.col("id").alias("id_b"), F.col("winnow_fp").alias("fp_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "n_shared",
+            F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b"))).cast("long"),
+        )
         .filter(F.col("n_shared") >= min_shared)
+        .select("id_a", "id_b", "n_shared")
     )
 
 
@@ -684,10 +695,16 @@ def oracle_neardup_winnow(
     return f"""
         WITH {oracle_winnow_cte(table)},
         ex0 AS (SELECT doc_id AS id, unnest(fp) AS h FROM fps),
-        ex AS (SELECT id, h FROM ex0 {cap})
-        SELECT a.id AS id_a, b.id AS id_b, cast(count(*) AS bigint) AS n_shared
-        FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id
-        GROUP BY 1, 2 HAVING count(*) >= {min_shared}"""
+        ex AS (SELECT id, h FROM ex0 {cap}),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id)
+        SELECT c.id_a, c.id_b,
+               cast(len(list_filter(fa.fp, x -> list_contains(fb.fp, x)))
+                    AS bigint) AS n_shared
+        FROM cand c
+        JOIN fps fa ON fa.doc_id = c.id_a
+        JOIN fps fb ON fb.doc_id = c.id_b
+        WHERE len(list_filter(fa.fp, x -> list_contains(fb.fp, x))) >= {min_shared}"""
 
 
 # ------------------------------------------------------- simhash oracle

@@ -330,8 +330,10 @@ def load_telemetry(raw: dict) -> TelemetryConfig:
     """Parse + validate service.telemetry (config.go Validate analog:
     unknown levels are errors with the offending value named)."""
     t = (raw.get("service", {}) or {}).get("telemetry", {}) or {}
-    logs_level = str(t.get("logs", {}).get("level", "info")).lower()
-    metrics_level = str(t.get("metrics", {}).get("level", "normal")).lower()
+    # YAML-null subsections (`logs:` with no value) parse as None — they
+    # must fall back to defaults, not crash before validation
+    logs_level = str((t.get("logs") or {}).get("level", "info")).lower()
+    metrics_level = str((t.get("metrics") or {}).get("level", "normal")).lower()
     if logs_level not in TELEMETRY_LOG_LEVELS:
         raise ConfigError(
             f"unknown telemetry logs level {logs_level!r}; "
@@ -368,6 +370,7 @@ class ServiceSpec:
     exporters: dict[str, dict]
     connectors: dict[str, dict]
     pipelines: dict[str, PipelineDef]
+    telemetry: TelemetryConfig = TelemetryConfig()
 
 
 def load_service(raw: dict) -> ServiceSpec:
@@ -430,7 +433,10 @@ def load_service(raw: dict) -> ServiceSpec:
                 f"connector {c!r} must be used as an exporter in one "
                 f"pipeline and a receiver in another (graph.go:166-187)"
             )
-    return ServiceSpec(receivers, processors, exporters, connectors, pipelines)
+    return ServiceSpec(
+        receivers, processors, exporters, connectors, pipelines,
+        telemetry=load_telemetry(raw),
+    )
 
 
 def build_service_graph(spec: ServiceSpec) -> PipelineGraph:

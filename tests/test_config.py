@@ -227,3 +227,11 @@ def test_telemetry_none_suppresses_self_telemetry(spark, sf_dir, tmp_path):
     assert not (Path(out) / "run_id=r1" / "metrics").exists()
     assert not (Path(out) / "run_id=r1" / "status").exists()
     assert (Path(out) / "run_id=r1" / "agg").exists()  # data unaffected
+
+
+def test_telemetry_in_service_spec_and_null_subsections():
+    raw = _two_pipeline_raw()
+    raw["service"]["telemetry"] = {"metrics": {"level": "none"}, "logs": None}
+    spec = cfg_mod.load_service(raw)
+    assert spec.telemetry.metrics_level == "none" and not spec.telemetry.write_metrics
+    assert spec.telemetry.logs_level == "info"  # YAML-null subsection → default

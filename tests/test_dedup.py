@@ -162,8 +162,31 @@ def test_winnow_deterministic_and_bounded(spark, sf_dir):
     # density: winnowing must actually PRUNE — the expected density is
     # 2/(w+1) of gram positions; allow 2× slack but fail if a
     # regression stops the window minima from deduplicating
-    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    texts = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
     k, w = dedup.WINNOW_K, dedup.WINNOW_W
     for doc_id, fp in a.items():
         n_grams = max(1, len(" ".join(texts[doc_id].split())) - k + 1)
         assert 1 <= len(fp) <= max(2, int(n_grams * 2 / (w + 1) * 2)), doc_id
+
+
+def test_winnow_cap_prunes_candidates_not_scores(spark):
+    """The hot-fingerprint cap bounds CANDIDATE generation only —
+    surviving pairs are scored on their full fingerprint sets, so a
+    boilerplate fingerprint cannot deflate n_shared below min_shared."""
+    # 30 docs all containing the same boilerplate sentence (its
+    # fingerprints exceed the cap), plus two near-dups that also share
+    # distinctive content (their distinctive fingerprints survive)
+    boiler = "common boilerplate sentence shared by every single document here"
+    distinct = "a very distinctive passage about adaptive query execution plans"
+    rows = [(i, f"{boiler} filler {i} words {i * 3}") for i in range(30)]
+    rows += [(100, f"{distinct} {boiler}"), (101, f"{distinct} {boiler}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["winnow_fp"]) for r in dedup.with_winnow(df).collect()}
+    full_shared = len(fps[100] & fps[101])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dedup.neardup_pairs_winnow(df, min_shared=1, max_bucket=20).collect()
+    }
+    # candidates came from the uncapped distinctive fingerprints, but
+    # the score is the FULL intersection (boilerplate included)
+    assert pairs[(100, 101)] == full_shared

@@ -27,17 +27,30 @@ def main() -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--parse-method", default="native", choices=["native", "arrow"])
     ap.add_argument("--salted", action="store_true")
+    ap.add_argument("--logs-level", default="info",
+                    help="service.telemetry logs level (driver log verbosity)")
+    ap.add_argument("--metrics-level", default="normal",
+                    help="service.telemetry metrics level; 'none' suppresses "
+                         "the obsreport metrics + status tables")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("otelcol-spark-pipeline").getOrCreate()
 
+    from opentelemetry_collector_spark.plans import config as cfg_mod
     from opentelemetry_collector_spark.plans import pipeline, runner
 
+    telemetry = cfg_mod.load_telemetry(
+        {"service": {"telemetry": {"logs": {"level": args.logs_level},
+                                   "metrics": {"level": args.metrics_level}}}}
+    )
+    # logs level drives driver/executor log verbosity (zap-config analog)
+    spark.sparkContext.setLogLevel(telemetry.logs_level.upper())
     cfg = pipeline.PipelineConfig(parse_method=args.parse_method, salted=args.salted)
     paths = runner.run_pipeline(
-        spark, args.sf_dir, args.out_dir, run_id=args.run_id, cfg=cfg
+        spark, args.sf_dir, args.out_dir, run_id=args.run_id, cfg=cfg,
+        telemetry=telemetry,
     )
     counts = {s: spark.read.parquet(p).count() for s, p in paths.items()}
     print("PIPELINE_RESULT " + json.dumps({"run_id": args.run_id, "sink_rows": counts}))
