@@ -139,3 +139,38 @@ def test_unused_declared_components_allowed(spark, sf_dir):
     }
     frames = cfg_mod.build_service_frames(spark, cfg_mod.load_service(raw), sf_dir)
     assert frames["logs"].count() > 0
+
+
+def test_validate_config_cli(tmp_path):
+    """otelcol validate analog: exit 0 on valid, 1 + readable error on
+    invalid, 2 on unreadable."""
+    import subprocess
+    import sys
+
+    good = tmp_path / "good.yaml"
+    good.write_text(
+        "receivers: {transcripts: {}}\n"
+        "exporters: {debug: {}}\n"
+        "service:\n  pipelines:\n    logs:\n"
+        "      receivers: [transcripts]\n      exporters: [debug]\n"
+    )
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        "receivers: {transcripts: {}}\n"
+        "exporters: {debug: {}}\n"
+        "connectors: {forward: {}}\n"
+        "service:\n  pipelines:\n    logs:\n"
+        "      receivers: [transcripts]\n      exporters: [forward]\n"
+    )
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "tools/validate_config.py", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    ok = run(str(good))
+    assert ok.returncode == 0 and "valid" in ok.stdout
+    err = run(str(bad))
+    assert err.returncode == 1 and "connector 'forward'" in err.stderr
+    assert run(str(tmp_path / "missing.yaml")).returncode == 2

@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--metrics-level", default="normal",
                     help="service.telemetry metrics level; 'none' suppresses "
                          "the obsreport metrics + status tables")
+    ap.add_argument("--feature-gates", default="",
+                    help="comma-separated gate ids, '-' prefix disables "
+                         "(featuregate flag syntax, e.g. 'engine.arrowParse,"
+                         "-engine.singlePassFanout')")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,6 +45,10 @@ def main() -> None:
     from opentelemetry_collector_spark.plans import config as cfg_mod
     from opentelemetry_collector_spark.plans import pipeline, runner
 
+    if args.feature_gates:
+        from opentelemetry_collector_spark.plans import featuregate
+
+        featuregate.REGISTRY.apply_flags(args.feature_gates)
     telemetry = cfg_mod.load_telemetry(
         {"service": {"telemetry": {"logs": {"level": args.logs_level},
                                    "metrics": {"level": args.metrics_level}}}}
