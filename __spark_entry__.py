@@ -512,6 +512,16 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding corpus cleaning: LSH near-dup pairs → drop higher id →
+    kept vec ids (the docs_clean drop rule on vectors)."""
+    emb = tables.read_table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(sf_dir))
+    return sim_oracle.embedding_dedup_keepers(
+        emb, threshold=0.5, dim=dim, bits=4, n_bands=8
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media parquet → mapInPandas features. The
     sha256 column is recomputed from the raw payload bytes inside the
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_multi": _q_pipeline_multi,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "embedding_dedup": _q_embedding_dedup,
         "media_features": _q_media_features,
         "stage_metrics": _q_stage_metrics,
         "metrics_cumulative": _q_metrics_cumulative,
@@ -911,6 +922,9 @@ def oracle_sql() -> dict[str, str]:
             _query_vec(ORACLE_SF_DIR), k=10, bits=8, n_probes=8
         ),
         "embedding_neardup_lsh": sim_oracle.oracle_embedding_neardup_lsh(
+            0.5, dim=len(_query_vec(ORACLE_SF_DIR)), bits=4, n_bands=8
+        ),
+        "embedding_dedup": sim_oracle.oracle_embedding_dedup_keepers(
             0.5, dim=len(_query_vec(ORACLE_SF_DIR)), bits=4, n_bands=8
         ),
         "ann_topk_ivf": sim_oracle.oracle_ann_topk_ivf(

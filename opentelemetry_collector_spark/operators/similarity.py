@@ -318,6 +318,28 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+def embedding_dedup_keepers(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = ANN_SEED,
+) -> DataFrame:
+    """Embedding-level corpus cleaning: drop the higher id of every
+    near-dup pair (LSH-bucketed, exact-cosine verified) — the
+    docs_clean_pipeline drop rule applied to vectors. Pairwise-
+    deterministic, so replays and different partitionings give the
+    same keep set."""
+    pairs = embedding_neardup_pairs_lsh(
+        df, threshold, dim, bits, n_bands, id_col, vec_col, seed
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, on=id_col, how="left_anti").select(id_col)
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def _vec_lit(vec) -> str:
@@ -417,6 +439,21 @@ def oracle_ann_topk_ivf(
         SELECT vec_id, round({cos}, 4) AS cos_sim FROM {table}
         WHERE list_indexof({dots}, list_max({dots})) IN ({probes})
         ORDER BY {cos} DESC, vec_id LIMIT {k}"""
+
+
+def oracle_embedding_dedup_keepers(
+    threshold: float,
+    dim: int,
+    bits: int = 8,
+    n_bands: int = 8,
+    table: str = "embeddings",
+    seed: int = ANN_SEED,
+) -> str:
+    """DuckDB mirror of embedding_dedup_keepers (same banded LSH CTE)."""
+    inner = oracle_embedding_neardup_lsh(threshold, dim, bits, n_bands, table, seed)
+    return f"""
+        SELECT vec_id FROM {table}
+        WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM ({inner}))"""
 
 
 def oracle_embedding_neardup(threshold: float, table: str = "embeddings") -> str:
