@@ -44,6 +44,22 @@ def _query_vec(sf_dir: str) -> list[float]:
     return t.column("embedding")[vid.index(0)].as_py()
 
 
+def _ann_bits(sf_dir: str) -> int:
+    """LSH bits scaled with corpus size so buckets-per-band stays
+    ≳ n/128 (similarity.embedding_neardup_pairs_lsh docstring): a fixed
+    bits=4 leaves only 16 buckets per band, so at sf0.1 every bucket
+    exceeds the hot-bucket cap (measured 7.8 s of capped-out cosine
+    verification). Deterministic in n, so the Spark query and the
+    oracle (built at ORACLE_SF_DIR, n=500 → 4 bits, the r2 value)
+    always agree."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return max(4, math.ceil(math.log2(max(n, 128) / 128)))
+
+
 def _transcripts_cte() -> str:
     path = fixtures.ensure_transcripts(ORACLE_SF_DIR)
     return f"WITH transcripts AS (SELECT * FROM read_parquet('{path}'))"
@@ -508,7 +524,7 @@ def _q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.read_table(spark, sf_dir, "embeddings")
     dim = len(_query_vec(sf_dir))
     return sim_oracle.embedding_neardup_pairs_lsh(
-        emb, threshold=0.5, dim=dim, bits=4, n_bands=8
+        emb, threshold=0.5, dim=dim, bits=_ann_bits(sf_dir), n_bands=8
     )
 
 
@@ -518,7 +534,7 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.read_table(spark, sf_dir, "embeddings")
     dim = len(_query_vec(sf_dir))
     return sim_oracle.embedding_dedup_keepers(
-        emb, threshold=0.5, dim=dim, bits=4, n_bands=8
+        emb, threshold=0.5, dim=dim, bits=_ann_bits(sf_dir), n_bands=8
     )
 
 
@@ -922,10 +938,12 @@ def oracle_sql() -> dict[str, str]:
             _query_vec(ORACLE_SF_DIR), k=10, bits=8, n_probes=8
         ),
         "embedding_neardup_lsh": sim_oracle.oracle_embedding_neardup_lsh(
-            0.5, dim=len(_query_vec(ORACLE_SF_DIR)), bits=4, n_bands=8
+            0.5, dim=len(_query_vec(ORACLE_SF_DIR)),
+            bits=_ann_bits(ORACLE_SF_DIR), n_bands=8
         ),
         "embedding_dedup": sim_oracle.oracle_embedding_dedup_keepers(
-            0.5, dim=len(_query_vec(ORACLE_SF_DIR)), bits=4, n_bands=8
+            0.5, dim=len(_query_vec(ORACLE_SF_DIR)),
+            bits=_ann_bits(ORACLE_SF_DIR), n_bands=8
         ),
         "ann_topk_ivf": sim_oracle.oracle_ann_topk_ivf(
             _query_vec(ORACLE_SF_DIR),

@@ -61,6 +61,13 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "metrics_histogram",
         "neardup_minhash",
         "docs_clean_pipeline",
+        # LLM-data-operator family (r3): regressions here must be
+        # visible to the per-round driver bench, not just pytest
+        "text_winnow",
+        "neardup_winnow",
+        "ann_topk_ivf",
+        "embedding_dedup",
+        "enrich_asof",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))

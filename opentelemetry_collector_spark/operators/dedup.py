@@ -362,57 +362,135 @@ def _chunk_val(fp0: Column, fp1: Column, lo: int, hi: int) -> Column:
     return low + high
 
 
+# Hamming budgets below this use single-chunk pigeonhole keys (chunk
+# width ≥ 64/4 = 16 bits); budgets ≥ 4 switch to HmSearch-style
+# pair-of-chunks keys — thinner single chunks would have only
+# 64/(t+1)-bit keys (~7 bits at t=8 → every bucket holds ~n/200 docs →
+# an effectively quadratic candidate join at corpus scale).
+SIMHASH_PAIR_KEY_MIN_HAMMING = 4
+
+
 def simhash_chunk_bounds(max_hamming: int) -> list[int]:
-    """Pigeonhole chunk boundaries: max_hamming+1 near-equal chunks of
-    the 64 bits — any pair within the budget shares ≥1 exact chunk.
-    (≥2 chunks; a fixed count would silently lose recall for larger
-    budgets: 4 chunks only guarantee hamming ≤ 3.)"""
-    n_chunks = min(64, max(2, max_hamming + 1))
+    """Pigeonhole chunk boundaries over the 64 fingerprint bits.
+
+    Single-key regime (t < SIMHASH_PAIR_KEY_MIN_HAMMING): t+1 chunks —
+    ≤ t flipped bits leave ≥1 chunk intact, so any in-budget pair
+    shares ≥1 exact chunk.
+
+    Pair-key regime (t ≥ 4): t+2 chunks — ≤ t flips corrupt ≤ t
+    chunks, leaving ≥2 intact, so some PAIR of chunks matches exactly;
+    keys are all C(t+2, 2) chunk pairs (simhash_key_exprs). Key width
+    doubles: at t=8 that is 45 pair positions × ~2^12.8 values ≈ 3·10^5
+    distinct keys vs 9 × ~2^7 for thin single chunks."""
+    pair_keys = max_hamming >= SIMHASH_PAIR_KEY_MIN_HAMMING
+    n_chunks = min(64, max(2, max_hamming + (2 if pair_keys else 1)))
     return [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
 
 
+def _simhash_chunk_vals(fp0: Column, fp1: Column, bounds: list[int]) -> list[Column]:
+    return [
+        _chunk_val(fp0, fp1, bounds[c], bounds[c + 1])
+        for c in range(len(bounds) - 1)
+    ]
+
+
+def simhash_key_exprs(fp0: Column, fp1: Column, max_hamming: int) -> list[Column]:
+    """Banding keys guaranteeing recall for hamming ≤ max_hamming (see
+    simhash_chunk_bounds for the two regimes).
+
+    Keys are packed LONGS, not strings — (key_index, chunk values)
+    bit-packed into one 64-bit integer: 45 string concats per row and a
+    string-keyed shuffle measured ~3× slower at sf0.1. Pair regime:
+    m = t+2 ≥ 6 chunks → each value < 2^16, index < 2^11, so
+    ((idx << 16) | v1) << 16 | v2 < 2^43. Single regime: ≤ 4 chunks of
+    ≤ 32 bits → (idx << 32) | v < 2^34."""
+    bounds = simhash_chunk_bounds(max_hamming)
+    vals = _simhash_chunk_vals(fp0, fp1, bounds)
+    if max_hamming < SIMHASH_PAIR_KEY_MIN_HAMMING:
+        return [
+            (F.lit(c * (1 << 32)).cast("long") + v.cast("long"))
+            for c, v in enumerate(vals)
+        ]
+    keys = []
+    idx = 0
+    for c1 in range(len(vals)):
+        for c2 in range(c1 + 1, len(vals)):
+            keys.append(
+                F.lit(idx << 32).cast("long")
+                + F.shiftleft(vals[c1].cast("long"), 16)
+                + vals[c2].cast("long")
+            )
+            idx += 1
+    return keys
+
+
 def simhash_neardup_pairs(
-    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    persist_handle: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
 
-    Scale path: chunk banding (simhash_chunk_bounds) — the join is on
-    chunk equality, never all-pairs.
+    Scale path: chunk/pair-key banding (simhash_key_exprs) — the join
+    is on key equality, never all-pairs — plus the same windowed
+    hot-bucket cap as the minhash path: a key shared by m boilerplate
+    docs would emit m² candidate rows (AQE splits the shuffle but not
+    the pair count), so keys with > max_bucket members generate no
+    candidates — their members are caught by exact/normalized dedup.
+
+    The narrow (id, fp0, fp1) frame is persisted BEFORE the explode:
+    both self-join sides consume it, and a Generate over the staged
+    fingerprint projections would splice the md5/aggregate expression
+    tree into each side (the same ~100× trap the winnow path documents).
     """
-    bounds = simhash_chunk_bounds(max_hamming)
-    sh = with_simhash(df, text_col).select(
-        F.col(id_col).alias("id"), "simhash0", "simhash1"
+    sh = (
+        with_simhash(df, text_col)
+        .select(F.col(id_col).alias("id"), "simhash0", "simhash1")
+        .persist()
     )
-    chunk_exprs = [
-        F.concat_ws(
-            ":",
-            F.lit(str(c)),
-            _chunk_val(F.col("simhash0"), F.col("simhash1"), bounds[c], bounds[c + 1])
-            .cast("string"),
+    if persist_handle is not None:
+        persist_handle.append(sh)
+    keys = simhash_key_exprs(F.col("simhash0"), F.col("simhash1"), max_hamming)
+    chunks = sh.select("id", F.explode(F.array(*keys)).alias("chunk"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("chunk")
+        chunks = (
+            chunks.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
         )
-        for c in range(len(bounds) - 1)
-    ]
-    chunks = sh.select(
-        "id", "simhash0", "simhash1", F.explode(F.array(*chunk_exprs)).alias("chunk")
-    )
-    a = chunks.select(
-        "chunk", F.col("id").alias("id_a"),
-        F.col("simhash0").alias("a0"), F.col("simhash1").alias("a1"),
-    )
-    b = chunks.select(
-        "chunk", F.col("id").alias("id_b"),
-        F.col("simhash0").alias("b0"), F.col("simhash1").alias("b1"),
-    )
+    # NARROW candidate dedup (ids only — a pair collides in up to
+    # C(m,2) keys, so the dedup shuffle dominates; 2 longs beat 6), then
+    # fingerprints rejoin once from the persisted frame — the exact
+    # minhash/winnow payload posture
+    a = chunks.select("chunk", F.col("id").alias("id_a"))
+    b = chunks.select("chunk", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, on="chunk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = sh.select(
+        F.col("id").alias("id_a"),
+        F.col("simhash0").alias("a0"), F.col("simhash1").alias("a1"),
+    )
+    fb = sh.select(
+        F.col("id").alias("id_b"),
+        F.col("simhash0").alias("b0"), F.col("simhash1").alias("b1"),
     )
     hamming = F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))) + F.bit_count(
         F.col("a1").bitwiseXOR(F.col("b1"))
     )
     return (
-        pairs.withColumn("hamming", hamming.cast("int"))
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -424,26 +502,61 @@ def simhash_neardup_pairs(
 # MOSS algorithm): hash every k-gram of the normalized text, slide a
 # window of w hashes, keep each window's minimum, dedupe. Guarantees
 # any match of length ≥ k+w-1 shares a fingerprint. All Catalyst
-# (sequence/transform/slice/array_min), hash = md5-hex → 32-bit int so
-# the DuckDB oracle reproduces the set bit-exactly.
+# (sequence/transform/slice/array_min); the k-gram hash is a Karp-Rabin
+# polynomial mod 2^32 in exact integer arithmetic — O(k) multiply-adds
+# per position instead of the r2 md5-per-position (measured ~10 s for
+# 500 docs at sf0.01), and reproducible bit-exactly in DuckDB.
 
 WINNOW_K = 8  # k-gram length (chars of normalized text)
 WINNOW_W = 4  # window size
+KR_BASE = 257  # > any code point byte spread; odd → invertible mod 2^32
+KR_MOD = 1 << 32
 
 
-def _winnow_grams(norm: Column, k: int) -> Column:
-    """k-gram hashes at positions 1..n-k+1 (md5 of each gram → 32-bit).
-    `norm` must be a MATERIALIZED column, not an inline expression — a
-    lambda referencing an inline normalize_text would re-run the regex
-    once per character position (quadratic; measured pathological)."""
-    n = F.length(norm)
+def _kr_pows(k: int) -> list[int]:
+    """[B^(k-1), ..., B, 1] mod 2^32 — per-position weights."""
+    p = [1] * k
+    for j in range(1, k):
+        p[j] = (p[j - 1] * KR_BASE) % KR_MOD
+    return list(reversed(p))
+
+
+def _char_codes(norm: Column) -> Column:
+    """Unicode code points of each char. Spark ascii() == DuckDB ascii()
+    including the full code-point range and '' → 0; split(s, '') yields
+    [''] for the empty string in BOTH engines, so codes is never empty."""
+    return F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+
+
+def _kr_fold(codes: Column) -> Column:
+    """Horner fold of the whole code array mod 2^32 (the n < k fallback).
+    DuckDB's list_reduce has no init value — it seeds with element 1,
+    which equals Spark's 0-init fold because 0·B + c1 = c1."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * KR_BASE + c) % KR_MOD,
+    )
+
+
+def _winnow_grams(codes: Column, k: int) -> Column:
+    """Karp-Rabin k-gram hashes at positions 1..n-k+1. Each term is
+    code·B^j mod 2^32 ≤ 2^53, the 8-term sum ≤ 2^56 — exact in signed
+    64-bit in both engines, one final mod. `codes` must be a
+    MATERIALIZED column (same staging rule as every winnow stage)."""
+    pows = _kr_pows(k)
+    n = F.size(codes)
+
+    def gram(i: Column) -> Column:
+        s = F.lit(0).cast("long")
+        for j in range(k):
+            s = s + F.element_at(codes, i + j) * F.lit(pows[j]).cast("long")
+        return s % F.lit(KR_MOD).cast("long")
+
     return F.when(
         n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: _md5_32(F.substr(norm, i, F.lit(k))),
-        ),
-    ).otherwise(F.array(_md5_32(norm)))
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), gram),
+    ).otherwise(F.array(_kr_fold(codes)))
 
 
 def _winnow_mins(grams: Column, w: int) -> Column:
@@ -475,9 +588,10 @@ def with_winnow(
     return (
         _spread(df)
         .withColumn("_nrm", F.coalesce(normalize_text(F.col(text_col)), F.lit("")))
-        .withColumn("_grams", _winnow_grams(F.col("_nrm"), k))
+        .withColumn("_codes", _char_codes(F.col("_nrm")))
+        .withColumn("_grams", _winnow_grams(F.col("_codes"), k))
         .withColumn("winnow_fp", _winnow_mins(F.col("_grams"), w))
-        .drop("_nrm", "_grams")
+        .drop("_nrm", "_codes", "_grams")
     )
 
 
@@ -489,6 +603,7 @@ def neardup_pairs_winnow(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    min_cand_shared: int = 4,
     persist_handle: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs sharing ≥ min_shared winnowing fingerprints.
@@ -500,6 +615,14 @@ def neardup_pairs_winnow(
     candidates), then surviving pairs are SCORED on their FULL
     fingerprint sets (array_intersect) — the cap bounds the shuffle
     without corrupting n_shared.
+
+    Candidacy additionally requires ≥ min_cand_shared shared CAPPED
+    fingerprints (the MOSS match-count rule): single 8-char grams are
+    common across unrelated documents, so 1-shared-fp candidacy is
+    near-quadratic on real corpora (measured 4.7M candidate pairs from
+    5k docs at sf0.1; ≥4 leaves 263k). The count aggregate rides the
+    same shuffle dropDuplicates needed anyway — pairs whose overlap is
+    mostly boilerplate (capped-out fingerprints) are the trade-off.
 
     The fingerprint frame is persisted BEFORE the explode: pushing a
     Generate through the staged winnow projections makes the optimizer
@@ -529,8 +652,10 @@ def neardup_pairs_winnow(
     cand = (
         a.join(b, on="h")
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .filter(F.col("_nc") >= min_cand_shared)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     fa = m.select(F.col("id").alias("id_a"), F.col("winnow_fp").alias("fp_a"))
     fb = m.select(F.col("id").alias("id_b"), F.col("winnow_fp").alias("fp_b"))
@@ -652,18 +777,28 @@ def oracle_winnow_cte(
 ) -> str:
     """Staged CTEs mirroring winnow_fingerprints (DuckDB list slicing
     is 1-based inclusive on both ends: g[j:j+w-1] == Spark slice(g,j,w));
-    ends with `fps(doc_id, fp)`."""
+    ends with `fps(doc_id, fp)`. Karp-Rabin gram hash: identical
+    integer recurrence as _winnow_grams (ascii(), mod 2^32)."""
     norm = "coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '')"
-    gh = _oracle_md5_32(f"substr(nrm, i, {k})")
-    whole = _oracle_md5_32("nrm")
+    pows = _kr_pows(k)
+    gh = (
+        "("
+        + " + ".join(f"cs[i+{j}] * {pows[j]}" for j in range(k))
+        + f") % {KR_MOD}"
+    )
+    whole = f"list_reduce(cs, (a, b) -> (a * {KR_BASE} + b) % {KR_MOD})"
     return f"""
         nrmd AS (SELECT doc_id, {norm} AS nrm FROM {table}),
+        coded AS (SELECT doc_id,
+                  list_transform(string_split(nrm, ''),
+                                 c -> ascii(c)::BIGINT) AS cs
+                  FROM nrmd),
         gramd AS (SELECT doc_id,
-                 CASE WHEN length(nrm) >= {k}
-                      THEN list_transform(range(1, length(nrm) - {k - 2}),
+                 CASE WHEN len(cs) >= {k}
+                      THEN list_transform(range(1, len(cs) - {k - 2}),
                                           i -> {gh})
                       ELSE [{whole}] END AS g
-                 FROM nrmd),
+                 FROM coded),
         fps AS (SELECT doc_id, list_distinct(
                     CASE WHEN len(g) >= {w}
                          THEN list_transform(range(1, len(g) - {w - 2}),
@@ -686,6 +821,7 @@ def oracle_neardup_winnow(
     min_shared: int,
     table: str = "documents",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    min_cand_shared: int = 4,
 ) -> str:
     cap = (
         f"QUALIFY count(*) OVER (PARTITION BY h) <= {max_bucket}"
@@ -696,8 +832,9 @@ def oracle_neardup_winnow(
         WITH {oracle_winnow_cte(table)},
         ex0 AS (SELECT doc_id AS id, unnest(fp) AS h FROM fps),
         ex AS (SELECT id, h FROM ex0 {cap}),
-        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                 FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id)
+        cand AS (SELECT a.id AS id_a, b.id AS id_b
+                 FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id
+                 GROUP BY 1, 2 HAVING count(*) >= {min_cand_shared})
         SELECT c.id_a, c.id_b,
                cast(len(list_filter(fa.fp, x -> list_contains(fb.fp, x)))
                     AS bigint) AS n_shared
@@ -743,17 +880,47 @@ def _oracle_chunk_val(lo: int, hi: int) -> str:
     )
 
 
-def oracle_simhash_pairs(max_hamming: int, table: str = "documents") -> str:
-    """DuckDB mirror of simhash_neardup_pairs (same chunk banding)."""
+def oracle_simhash_keys(max_hamming: int) -> str:
+    """SQL list literal mirroring simhash_key_exprs (packed-long keys,
+    both regimes — identical integer arithmetic in DuckDB)."""
     bounds = simhash_chunk_bounds(max_hamming)
-    chunk_list = ", ".join(
-        f"'{c}:' || cast({_oracle_chunk_val(bounds[c], bounds[c + 1])} AS varchar)"
-        for c in range(len(bounds) - 1)
+    vals = [
+        _oracle_chunk_val(bounds[c], bounds[c + 1]) for c in range(len(bounds) - 1)
+    ]
+    if max_hamming < SIMHASH_PAIR_KEY_MIN_HAMMING:
+        keys = [f"({c * (1 << 32)} + ({v}))" for c, v in enumerate(vals)]
+    else:
+        keys = []
+        idx = 0
+        for c1 in range(len(vals)):
+            for c2 in range(c1 + 1, len(vals)):
+                keys.append(
+                    f"({idx << 32} + (({vals[c1]}) << 16) + ({vals[c2]}))"
+                )
+                idx += 1
+    return ", ".join(keys)
+
+
+def oracle_simhash_pairs(
+    max_hamming: int,
+    table: str = "documents",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    """DuckDB mirror of simhash_neardup_pairs (same keying + cap)."""
+    # cap in its own CTE: QUALIFY over the post-unnest rows needs the
+    # unnest to have already expanded
+    cap = (
+        f"QUALIFY count(*) OVER (PARTITION BY chunk) <= {max_bucket}"
+        if max_bucket is not None
+        else ""
     )
     ham = "bit_count(xor(fa0, fb0)) + bit_count(xor(fa1, fb1))"
     return f"""
         WITH {oracle_simhash_cte(table)},
-        keyed AS (SELECT id, fp0, fp1, unnest([{chunk_list}]) AS chunk FROM fp),
+        keyed0 AS (SELECT id, fp0, fp1,
+                          unnest([{oracle_simhash_keys(max_hamming)}]) AS chunk
+                   FROM fp),
+        keyed AS (SELECT * FROM keyed0 {cap}),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                         a.fp0 AS fa0, a.fp1 AS fa1, b.fp0 AS fb0, b.fp1 AS fb1
                  FROM keyed a JOIN keyed b ON a.chunk = b.chunk AND a.id < b.id)

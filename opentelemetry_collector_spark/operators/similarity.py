@@ -20,6 +20,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ANN_SEED = 42
+# Same contract as dedup.DEFAULT_MAX_BUCKET: a band bucket with m
+# members emits m²/2 candidate rows, and dense near-dup CLUSTERS are
+# exactly what dirty corpora contain — buckets above the cap generate
+# no candidates (their members are caught via other bands or by exact
+# dedup upstream).
+DEFAULT_MAX_BUCKET = 256
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -278,12 +284,20 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = ANN_SEED,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Scale path: classic OR-of-bands LSH. A single AND-of-bits bucket
     misses most true pairs (p_bit^bits ≈ 0.43 at cos 0.95 with 8 bits);
     n_bands independent hyperplane sets give candidate recall
     1-(1-p_bit^bits)^n_bands ≈ 0.99. Candidates verified by exact
-    cosine; shuffle is on (band, bucket) keys, never all-pairs."""
+    cosine; shuffle is on (band, bucket) keys, never all-pairs.
+
+    Each band has only 2^bits buckets, so a dense cluster (or a small
+    `bits`) makes hot buckets whose m members emit m² candidate rows —
+    the windowed max_bucket cap bounds that, same contract as
+    dedup.lsh_candidate_pairs. Scale `bits` with corpus size (buckets
+    per band should be ≳ n/max_bucket) so the cap stays a skew guard,
+    not the recall mechanism."""
     validate_dim(df, dim, vec_col)
     band_keys = [
         F.concat_ws(
@@ -300,6 +314,15 @@ def embedding_neardup_pairs_lsh(
         F.col(vec_col).alias("v"),
         F.explode(F.array(*band_keys)).alias("bk"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bk")
+        keyed = (
+            keyed.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
     a = keyed.select("bk", F.col("id").alias("id_a"))
     b = keyed.select("bk", F.col("id").alias("id_b"))
     pairs = (
@@ -327,6 +350,7 @@ def embedding_dedup_keepers(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = ANN_SEED,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-level corpus cleaning: drop the higher id of every
     near-dup pair (LSH-bucketed, exact-cosine verified) — the
@@ -334,7 +358,7 @@ def embedding_dedup_keepers(
     deterministic, so replays and different partitionings give the
     same keep set."""
     pairs = embedding_neardup_pairs_lsh(
-        df, threshold, dim, bits, n_bands, id_col, vec_col, seed
+        df, threshold, dim, bits, n_bands, id_col, vec_col, seed, max_bucket
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, on=id_col, how="left_anti").select(id_col)
@@ -399,13 +423,19 @@ def oracle_embedding_neardup_lsh(
     n_bands: int = 8,
     table: str = "embeddings",
     seed: int = ANN_SEED,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     """DuckDB mirror of embedding_neardup_pairs_lsh: same OR-of-bands
-    hyperplane buckets (seed + band), candidate join on band key, exact
-    cosine verification."""
+    hyperplane buckets (seed + band), hot-bucket cap, candidate join on
+    band key, exact cosine verification."""
     band_list = ", ".join(
         f"'{b}:' || cast(({oracle_bucket_expr(hyperplanes(dim, bits, seed + b))}) AS varchar)"
         for b in range(n_bands)
+    )
+    cap = (
+        f"QUALIFY count(*) OVER (PARTITION BY bk) <= {max_bucket}"
+        if max_bucket is not None
+        else ""
     )
     cos = (
         "list_dot_product(cast(ea.embedding AS double[]), cast(eb.embedding AS double[])) / "
@@ -413,7 +443,8 @@ def oracle_embedding_neardup_lsh(
         "sqrt(list_dot_product(cast(eb.embedding AS double[]), cast(eb.embedding AS double[]))))"
     )
     return f"""
-        WITH keyed AS (SELECT vec_id, unnest([{band_list}]) AS bk FROM {table}),
+        WITH keyed0 AS (SELECT vec_id, unnest([{band_list}]) AS bk FROM {table}),
+        keyed AS (SELECT * FROM keyed0 {cap}),
         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.vec_id < b.vec_id)
         SELECT id_a, id_b, round({cos}, 4) AS cos_sim
@@ -448,9 +479,12 @@ def oracle_embedding_dedup_keepers(
     n_bands: int = 8,
     table: str = "embeddings",
     seed: int = ANN_SEED,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     """DuckDB mirror of embedding_dedup_keepers (same banded LSH CTE)."""
-    inner = oracle_embedding_neardup_lsh(threshold, dim, bits, n_bands, table, seed)
+    inner = oracle_embedding_neardup_lsh(
+        threshold, dim, bits, n_bands, table, seed, max_bucket
+    )
     return f"""
         SELECT vec_id FROM {table}
         WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM ({inner}))"""

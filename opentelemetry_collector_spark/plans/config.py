@@ -42,14 +42,27 @@ _URI_RE = re.compile(r"\$\{([a-z][a-z0-9+.-]*):([^${}]*)\}")
 _MAX_RESOLVE_DEPTH = 100  # cycle guard (resolver.go errTooManyRecursiveExpansions)
 
 
-def _retrieve(scheme: str, ref: str) -> Any:
+ALL_SCHEMES = frozenset({"env", "file", "yaml", "http", "https"})
+
+
+def _retrieve(scheme: str, ref: str, allowed: frozenset[str]) -> Any:
     """Provider dispatch (confmap/provider/*): env, file, yaml, http(s).
 
     file/http(s)/yaml retrievals are parsed as YAML (each reference
     provider returns NewRetrievedFromYAML), so a whole-string URI can
-    expand to a typed value (map/list/int), not just a string."""
+    expand to a typed value (map/list/int), not just a string.
+
+    `allowed` gates which providers may run: expansion is RECURSIVE, so
+    an environment variable whose value contains ${file:…}/${https:…}
+    would otherwise read files / fetch URLs during config load —
+    callers validating untrusted configs restrict to e.g. {env, yaml}."""
     import yaml
 
+    if scheme not in allowed:
+        raise ConfigError(
+            f"config provider scheme {scheme!r} is disabled here "
+            f"(allowed: {sorted(allowed)})"
+        )
     if scheme == "env":
         name, sep, default = ref.partition(":-")
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
@@ -74,7 +87,7 @@ def _retrieve(scheme: str, ref: str) -> Any:
 _ESC = "\x00$\x00"  # placeholder for $$ while URIs expand
 
 
-def _resolve_str(s: str, depth: int) -> Any:
+def _resolve_str(s: str, depth: int, allowed: frozenset[str]) -> Any:
     if depth > _MAX_RESOLVE_DEPTH:
         raise ConfigError("too many recursive ${} expansions (cycle?)")
     # confmap escape: $$ means a literal $ and suppresses expansion of
@@ -84,10 +97,12 @@ def _resolve_str(s: str, depth: int) -> Any:
     if m:
         # whole-string URI: the retrieved value keeps its YAML type and
         # is itself resolved (resolver.go:134-164 recursive expansion)
-        return _resolve_any(_retrieve(m.group(1), m.group(2)), depth + 1)
+        return _resolve_any(_retrieve(m.group(1), m.group(2), allowed), depth + 1, allowed)
 
     def sub(match: re.Match) -> str:
-        v = _resolve_any(_retrieve(match.group(1), match.group(2)), depth + 1)
+        v = _resolve_any(
+            _retrieve(match.group(1), match.group(2), allowed), depth + 1, allowed
+        )
         if v is None:
             return ""
         if isinstance(v, bool):
@@ -108,21 +123,27 @@ def _resolve_str(s: str, depth: int) -> Any:
     return out.replace(_ESC, "$")
 
 
-def _resolve_any(value: Any, depth: int = 0) -> Any:
+def _resolve_any(value: Any, depth: int = 0, allowed: frozenset[str] = None) -> Any:
+    if allowed is None:
+        allowed = ALL_SCHEMES
     if isinstance(value, str):
-        return _resolve_str(value, depth)
+        return _resolve_str(value, depth, allowed)
     if isinstance(value, dict):
-        return {k: _resolve_any(v, depth) for k, v in value.items()}
+        return {k: _resolve_any(v, depth, allowed) for k, v in value.items()}
     if isinstance(value, list):
-        return [_resolve_any(v, depth) for v in value]
+        return [_resolve_any(v, depth, allowed) for v in value]
     return value
 
 
-def resolve_config(raw: dict) -> dict:
+def resolve_config(raw: dict, allowed_schemes: frozenset[str] | None = None) -> dict:
     """confmap.Resolver analog: recursive ${scheme:ref} expansion with
     scheme dispatch (env/file/yaml/http/https), typed whole-string
-    retrievals, $$ escaping, and a depth-capped cycle guard."""
-    return _resolve_any(raw)
+    retrievals, $$ escaping, and a depth-capped cycle guard.
+
+    allowed_schemes restricts the provider set (default: all) — see
+    _retrieve for why validation of untrusted configs wants {env, yaml}
+    only."""
+    return _resolve_any(raw, 0, allowed_schemes or ALL_SCHEMES)
 
 
 def expand_env(value: Any) -> Any:
@@ -164,8 +185,10 @@ def _ctype(name: str) -> str:
     return name.split("/", 1)[0]
 
 
-def load_spec(raw: dict) -> PipelineSpec:
-    raw = expand_env(raw)
+def load_spec(
+    raw: dict, allowed_schemes: frozenset[str] | None = None
+) -> PipelineSpec:
+    raw = resolve_config(raw, allowed_schemes)
     for section, types in (
         ("receivers", RECEIVER_TYPES),
         ("processors", PROCESSOR_TYPES),
@@ -373,14 +396,16 @@ class ServiceSpec:
     telemetry: TelemetryConfig = TelemetryConfig()
 
 
-def load_service(raw: dict) -> ServiceSpec:
+def load_service(
+    raw: dict, allowed_schemes: frozenset[str] | None = None
+) -> ServiceSpec:
     """Parse + validate the multi-pipeline config shape.
 
     Mirrors graph.go's config checks: every pipeline reference must be
     declared; a connector must be used as BOTH an exporter (in some
     pipeline) and a receiver (in another) — a half-wired connector is
     an error (graph.go:166-187)."""
-    raw = expand_env(raw)
+    raw = resolve_config(raw, allowed_schemes)
     for section, types in (
         ("receivers", RECEIVER_TYPES),
         ("processors", PROCESSOR_TYPES),
@@ -393,7 +418,17 @@ def load_service(raw: dict) -> ServiceSpec:
                     f"unknown {section[:-1]} type {_ctype(name)!r} "
                     f"(component {name!r}); known: {types}"
                 )
-    pipes_raw = raw.get("service", {}).get("pipelines", {})
+    # a null `service:` section (or service/pipelines as a scalar) must
+    # be a ConfigError, not an AttributeError traceback — same
+    # null-tolerant pattern as load_telemetry
+    service_raw = raw.get("service") or {}
+    if not isinstance(service_raw, dict):
+        raise ConfigError(f"service section must be a mapping, got {service_raw!r}")
+    pipes_raw = service_raw.get("pipelines") or {}
+    if not isinstance(pipes_raw, dict):
+        raise ConfigError(
+            f"service.pipelines must be a mapping, got {pipes_raw!r}"
+        )
     if not pipes_raw:
         raise ConfigError("service declares no pipelines")
     receivers = raw.get("receivers", {}) or {}

@@ -260,14 +260,39 @@ def compact_sink(
     return files_before, files_after
 
 
-def debug_sink(df: DataFrame, verbosity: str = "basic", sample: int = 20) -> int:
+def debug_sink(
+    df: DataFrame,
+    verbosity: str = "basic",
+    sample: int = 20,
+    sampling_initial: int | None = None,
+    sampling_thereafter: int | None = None,
+    _batch_counter: list | None = None,
+) -> int:
     """debugexporter: basic → count only; normal → sampled rows;
-    detailed → sampled rows, untruncated."""
+    detailed → sampled rows, untruncated.
+
+    sampling_initial / sampling_thereafter mirror
+    exporter/debugexporter/config.go:26-33 (zapcore sampler semantics
+    at BATCH granularity, the reference's unit): the first
+    ``sampling_initial`` invocations print, after which only every
+    ``sampling_thereafter``-th invocation does. The counter lives in
+    the caller-supplied ``_batch_counter`` (a 1-element list) so
+    repeated sink calls of one configured exporter share it; None
+    keeps the r2 always-print behavior."""
     n = df.count()
-    if verbosity == "normal":
-        df.show(sample)
-    elif verbosity == "detailed":
-        df.show(sample, truncate=False)
+    if verbosity not in ("normal", "detailed"):
+        return n
+    show = True
+    if sampling_initial is not None:
+        if _batch_counter is None:
+            _batch_counter = [0]
+        _batch_counter[0] += 1
+        seen = _batch_counter[0]
+        if seen > sampling_initial:
+            thereafter = sampling_thereafter or 0
+            show = thereafter > 0 and (seen - sampling_initial) % thereafter == 0
+    if show:
+        df.show(sample, truncate=verbosity != "detailed")
     return n
 
 

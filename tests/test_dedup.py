@@ -126,6 +126,95 @@ def test_simhash_matches_python_reference(docs):
         assert got[doc_id] == ref(text), f"doc {doc_id}"
 
 
+def test_simhash_pair_keys_recall_vs_bruteforce(spark, sf_dir):
+    """Pair-of-chunks banding (max_hamming ≥ 4) must find EXACTLY the
+    brute-force hamming pairs when the cap is off: with t+2 chunks, ≤ t
+    flips leave ≥ 2 chunks intact, so some chunk PAIR matches — the
+    pigeonhole guarantee, not a probabilistic recall bound."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    fps = dedup.with_simhash(docs).select("doc_id", "simhash0", "simhash1")
+    rows = {r["doc_id"]: (r["simhash0"], r["simhash1"]) for r in fps.collect()}
+    truth = set()
+    for a in rows:
+        for b in rows:
+            if a < b:
+                h = bin(rows[a][0] ^ rows[b][0]).count("1") + bin(
+                    rows[a][1] ^ rows[b][1]
+                ).count("1")
+                if h <= 8:
+                    truth.add((a, b))
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_neardup_pairs(
+            docs, max_hamming=8, max_bucket=None
+        ).collect()
+    }
+    assert banded == truth
+
+
+def test_simhash_key_cardinality_regimes():
+    """t=8 must use pair keys (C(10,2)=45 of ~13 bits), not 9 thin
+    ~7-bit chunks — the r2 scale defect."""
+    assert len(dedup.simhash_chunk_bounds(3)) - 1 == 4  # single, 16-bit
+    bounds8 = dedup.simhash_chunk_bounds(8)
+    assert len(bounds8) - 1 == 10  # pair regime: t+2 chunks
+    from pyspark.sql import functions as F  # noqa: F811
+
+    keys = dedup.simhash_key_exprs(F.lit(0), F.lit(0), 8)
+    assert len(keys) == 45
+
+
+def test_simhash_hot_bucket_cap_bounds_candidates(spark):
+    """Boilerplate fingerprints (identical docs) collide in EVERY key;
+    with a cap below the clique size they generate no candidates —
+    exact dedup owns them (same contract as the minhash cap)."""
+    boiler = [(i, "identical boilerplate text repeated everywhere forever") for i in range(40)]
+    uniq = [(100 + i, f"unique document number {i} about topic {i * 7}") for i in range(5)]
+    df = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    capped = dedup.simhash_neardup_pairs(df, max_hamming=8, max_bucket=10)
+    assert all(
+        not (r["id_a"] < 100 and r["id_b"] < 100) for r in capped.collect()
+    ), "boilerplate clique must be dropped by the cap"
+    uncapped = dedup.simhash_neardup_pairs(df, max_hamming=8, max_bucket=None)
+    n_boiler = uncapped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
+    assert n_boiler == 40 * 39 // 2  # the k² blowup the cap prevents
+
+
+def test_winnow_matches_python_reference(spark):
+    """Pin the Catalyst Karp-Rabin fingerprints against an independent
+    pure-Python implementation of the same definition."""
+    def ref_fps(text: str, k=dedup.WINNOW_K, w=dedup.WINNOW_W) -> set[int]:
+        norm = " ".join((text or "").lower().split())
+        codes = [ord(c) for c in norm] or [0]
+        if len(codes) >= k:
+            grams = [
+                sum(codes[i + j] * pow(dedup.KR_BASE, k - 1 - j, dedup.KR_MOD)
+                    for j in range(k)) % dedup.KR_MOD
+                for i in range(len(codes) - k + 1)
+            ]
+        else:
+            acc = 0
+            for c in codes:
+                acc = (acc * dedup.KR_BASE + c) % dedup.KR_MOD
+            grams = [acc]
+        if len(grams) >= w:
+            mins = [min(grams[j : j + w]) for j in range(len(grams) - w + 1)]
+        else:
+            mins = [min(grams)]
+        return set(mins)
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "Ünïcode çhars should also agrée between engines"),
+        (2, "tiny"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: set(r["winnow_fp"]) for r in dedup.with_winnow(df).collect()}
+    for doc_id, text in rows:
+        assert got[doc_id] == ref_fps(text), f"doc {doc_id}"
+
+
 def test_winnow_guarantee(spark):
     """Winnowing guarantee (Schleimer et al.): two texts sharing a
     substring of length >= k+w-1 share at least one fingerprint; an

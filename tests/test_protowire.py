@@ -94,3 +94,51 @@ def test_negative_and_null_robustness():
     # int64 round trip: two's-complement encode + sign-extending decode
     assert d["ts_ns"] == -5
     assert d["attributes"]["n"] == -7
+
+
+def test_batch_encoder_matches_per_record(spark, sf_dir):
+    """_encode_batch (the vectorized marshal) must emit byte-identical
+    wire records to the per-record encode_log_record reference."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2", "c3", "c4"],
+            "turn_idx": [0, 1, 0, 0, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:01", None,
+                 "1969-12-31 23:59:59", "2024-06-01 12:00:00"]
+            ),
+            "severity_number": [9, 0, 17, 13, 5],
+            "level": ["INFO", None, "ERROR", "WARN", ""],
+            "text": ["hello", None, "", "body with ünïcode", "x" * 300],
+            "role": ["user", "tool", None, "assistant", "user"],
+            "svc": [None, "svc-a", "", "svc-a", "svc-b"],
+        }
+    )
+    got = W._encode_batch(pdf)
+    for i, row in pdf.iterrows():
+        attrs = [("role", W._any_str(row["role"] if isinstance(row["role"], str) else ""))]
+        if isinstance(row["svc"], str):  # '' is PRESENT, None is absent
+            attrs.append(("svc", W._any_str(row["svc"])))
+        want = W.encode_log_record(
+            ts_ns=int(row["ts"].value) if pd.notna(row["ts"]) else 0,
+            severity_number=int(row["severity_number"]),
+            severity_text=row["level"] if isinstance(row["level"], str) else "",
+            body=row["text"],
+            attributes=attrs,
+        )
+        assert got[i] == want, f"row {i}"
+
+
+def test_null_body_and_empty_svc_roundtrip():
+    """Presence fidelity (the r2 divergence): NULL body must decode as
+    NULL (field omitted), and an empty-string svc attribute must
+    survive as '' — not flip to NULL."""
+    buf = W.encode_log_record(7, 0, "", None, [("svc", W._any_str(""))])
+    rec = W.decode_log_record(buf)
+    assert "body" not in rec
+    assert rec["attributes"]["svc"] == ""
+    buf2 = W.encode_log_record(7, 0, "", "", [])
+    rec2 = W.decode_log_record(buf2)
+    assert rec2["body"] == ""

@@ -163,3 +163,32 @@ def test_ivf_probe_partition_pruning(spark, sf_dir, tmp_path):
     assert scan and "PartitionFilters" in scan[0] and "ivf_cell" in scan[0], scan
     # and the probe actually reads fewer rows than the table
     assert 0 < cand.count() < celled.count()
+
+
+def test_embedding_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A dense near-dup cluster lands in ONE bucket per band; with a cap
+    below the cluster size no candidates are generated (caught upstream
+    by exact dedup), while uncapped it is the k² blowup. Distinct
+    far-apart vectors are unaffected."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=16)
+    cluster = [
+        (i, (base + rng.normal(scale=1e-4, size=16)).astype("float32").tolist())
+        for i in range(40)
+    ]
+    # orthogonal-ish singletons far from the cluster
+    solo = [
+        (100 + i, rng.normal(size=16).astype("float32").tolist()) for i in range(5)
+    ]
+    df = spark.createDataFrame(cluster + solo, "vec_id long, embedding array<float>")
+    capped = similarity.embedding_neardup_pairs_lsh(
+        df, threshold=0.99, dim=16, bits=4, n_bands=4, max_bucket=10
+    )
+    assert capped.count() == 0
+    uncapped = similarity.embedding_neardup_pairs_lsh(
+        df, threshold=0.99, dim=16, bits=4, n_bands=4, max_bucket=None
+    )
+    n = uncapped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
+    assert n == 40 * 39 // 2

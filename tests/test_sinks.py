@@ -132,3 +132,32 @@ def test_partial_success_null_predicate_not_lost(spark, tmp_path):
     assert res["sent"] == 2 and res["send_failed"] == 1
     acc = spark.read.parquet(res["path"])
     assert {r["turn_idx"] for r in acc.collect()} == {1, 2}
+
+
+def test_debug_sink_sampling(spark, capsys):
+    """debugexporter sampling_initial/sampling_thereafter
+    (exporter/debugexporter/config.go:26-33): first N batches print,
+    then every M-th; the count is always returned."""
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    counter: list = [0]
+    printed = []
+    for _ in range(7):
+        n = writers.debug_sink(
+            df, verbosity="normal", sample=5,
+            sampling_initial=2, sampling_thereafter=3,
+            _batch_counter=counter,
+        )
+        assert n == 2
+        printed.append(bool(capsys.readouterr().out.strip()))
+    # batches 1,2 (initial), then 5 (2+3) print; 3,4,6,7 are sampled out
+    assert printed == [True, True, False, False, True, False, False]
+    # thereafter=0 → nothing after the initial window
+    counter2: list = [0]
+    out2 = []
+    for _ in range(3):
+        writers.debug_sink(
+            df, verbosity="normal", sampling_initial=1,
+            sampling_thereafter=0, _batch_counter=counter2,
+        )
+        out2.append(bool(capsys.readouterr().out.strip()))
+    assert out2 == [True, False, False]

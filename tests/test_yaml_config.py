@@ -174,3 +174,52 @@ def test_validate_config_cli(tmp_path):
     err = run(str(bad))
     assert err.returncode == 1 and "connector 'forward'" in err.stderr
     assert run(str(tmp_path / "missing.yaml")).returncode == 2
+
+
+def test_null_service_section_is_config_error():
+    """A null `service:` (or scalar pipelines) must raise ConfigError,
+    not AttributeError — validate_config promises a readable message."""
+    import pytest
+
+    from opentelemetry_collector_spark.plans import config as cfg_mod
+
+    with pytest.raises(cfg_mod.ConfigError):
+        cfg_mod.load_service({"receivers": {"transcripts": {}}, "service": None})
+    with pytest.raises(cfg_mod.ConfigError):
+        cfg_mod.load_service({"service": {"pipelines": "oops"}})
+    with pytest.raises(cfg_mod.ConfigError):
+        cfg_mod.load_service({"service": "scalar"})
+
+
+def test_resolver_scheme_allowlist(tmp_path, monkeypatch):
+    """allowed_schemes gates providers during RECURSIVE expansion: an
+    env value smuggling ${file:…} must be refused when file is
+    disabled, and resolve normally when enabled."""
+    import pytest
+
+    from opentelemetry_collector_spark.plans import config as cfg_mod
+
+    p = tmp_path / "x.yaml"
+    p.write_text("42")
+    monkeypatch.setenv("SMUGGLE", "${file:" + str(p) + "}")
+    raw = {"a": "${env:SMUGGLE}"}
+    assert cfg_mod.resolve_config(raw) == {"a": 42}
+    with pytest.raises(cfg_mod.ConfigError, match="disabled"):
+        cfg_mod.resolve_config(raw, frozenset({"env", "yaml"}))
+
+
+def test_list_components_cli():
+    """`otelcol components` analog: inventory covers every registry."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "list_components",
+        pathlib.Path(__file__).resolve().parents[1] / "tools" / "list_components.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    inv = mod.component_inventory()
+    assert set(inv) >= {"receivers", "processors", "exporters", "connectors", "featuregates"}
+    assert "transcripts" in inv["receivers"] and "forward" in inv["connectors"]
+    assert inv["featuregates"]["engine.singlePassFanout"]["stage"] == "beta"

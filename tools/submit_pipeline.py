@@ -26,7 +26,15 @@ def main() -> None:
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--parse-method", default="native", choices=["native", "arrow"])
-    ap.add_argument("--salted", action="store_true")
+    # tri-state: explicit flags override the feature gates below; when
+    # absent, engine.saltedAggregation / engine.singlePassFanout decide
+    # (BETA gates are default-ON, matching featuregate stage semantics)
+    ap.add_argument("--salted", action=argparse.BooleanOptionalAction, default=None)
+    ap.add_argument(
+        "--single-pass", action=argparse.BooleanOptionalAction, default=None,
+        help="write all sinks in one partitionBy(sink) pass "
+             "(default: the engine.singlePassFanout gate)",
+    )
     ap.add_argument("--logs-level", default="info",
                     help="service.telemetry logs level (driver log verbosity)")
     ap.add_argument("--metrics-level", default="normal",
@@ -45,20 +53,33 @@ def main() -> None:
     from opentelemetry_collector_spark.plans import config as cfg_mod
     from opentelemetry_collector_spark.plans import pipeline, runner
 
-    if args.feature_gates:
-        from opentelemetry_collector_spark.plans import featuregate
+    from opentelemetry_collector_spark.plans import featuregate
 
+    if args.feature_gates:
         featuregate.REGISTRY.apply_flags(args.feature_gates)
+    # gates are consulted only where the CLI flag is absent — explicit
+    # flags win, so --feature-gates is never a silent no-op and
+    # --salted/--single-pass keep their direct meaning
+    salted = (
+        args.salted
+        if args.salted is not None
+        else featuregate.REGISTRY.is_enabled("engine.saltedAggregation")
+    )
+    single_pass = (
+        args.single_pass
+        if args.single_pass is not None
+        else featuregate.REGISTRY.is_enabled("engine.singlePassFanout")
+    )
     telemetry = cfg_mod.load_telemetry(
         {"service": {"telemetry": {"logs": {"level": args.logs_level},
                                    "metrics": {"level": args.metrics_level}}}}
     )
     # logs level drives driver/executor log verbosity (zap-config analog)
     spark.sparkContext.setLogLevel(telemetry.logs_level.upper())
-    cfg = pipeline.PipelineConfig(parse_method=args.parse_method, salted=args.salted)
+    cfg = pipeline.PipelineConfig(parse_method=args.parse_method, salted=salted)
     paths = runner.run_pipeline(
         spark, args.sf_dir, args.out_dir, run_id=args.run_id, cfg=cfg,
-        telemetry=telemetry,
+        telemetry=telemetry, single_pass=single_pass,
     )
     counts = {s: spark.read.parquet(p).count() for s, p in paths.items()}
     print("PIPELINE_RESULT " + json.dumps({"run_id": args.run_id, "sink_rows": counts}))

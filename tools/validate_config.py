@@ -5,6 +5,12 @@ build the component graph, exit non-zero with a readable error).
     python tools/validate_config.py config.yaml
     python tools/validate_config.py --legacy config.yaml   # single-pipeline shape
 
+By default validation resolves ${env:…}/${yaml:…} references only —
+file reads and http(s) fetches are disabled so validating an untrusted
+config cannot touch the filesystem or the network (the resolver is
+recursive, so even an env var VALUE could smuggle a ${file:…}).
+Opt back in with --allow-schemes env,file,yaml,http,https.
+
 Exit codes: 0 valid, 1 invalid (error printed to stderr), 2 unreadable.
 """
 
@@ -12,8 +18,9 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:
@@ -24,6 +31,12 @@ def main() -> int:
         action="store_true",
         help="validate the single-pipeline (processors-list) shape",
     )
+    ap.add_argument(
+        "--allow-schemes",
+        default="env,yaml",
+        help="comma-separated ${scheme:…} providers to resolve during "
+        "validation (default: env,yaml — no file/network access)",
+    )
     args = ap.parse_args()
 
     import yaml
@@ -31,6 +44,9 @@ def main() -> int:
     from opentelemetry_collector_spark.plans import config as cfg_mod
     from opentelemetry_collector_spark.plans.graph import GraphError
 
+    allowed = frozenset(
+        t.strip() for t in args.allow_schemes.split(",") if t.strip()
+    )
     try:
         with open(args.config) as f:
             raw = yaml.safe_load(f) or {}
@@ -39,10 +55,10 @@ def main() -> int:
         return 2
     try:
         if args.legacy:
-            spec = cfg_mod.load_spec(raw)
+            spec = cfg_mod.load_spec(raw, allowed_schemes=allowed)
             cfg_mod.build_graph(spec)
         else:
-            svc = cfg_mod.load_service(raw)
+            svc = cfg_mod.load_service(raw, allowed_schemes=allowed)
             cfg_mod.build_service_graph(svc)
         print(f"{args.config}: valid")
         return 0
