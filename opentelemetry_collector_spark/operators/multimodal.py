@@ -5,10 +5,12 @@ Spark-side plumbing for a training-data pipeline's media handling:
   (media_type, width/height or sample_rate/duration, codec);
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages — the schema, partitioning, UDF signature and
-  batch shape are real and tested; the actual codec call is STUBBED
-  (this container has no image/audio libraries) behind
-  ``_decode_stub``: a deterministic fake that derives pseudo-pixels
-  from the payload bytes, with the real-library call site marked.
+  batch shape are real and tested;
+- image/png rows decode for REAL via the stdlib codec
+  (functions/png.py: struct chunk walk + zlib inflate + 0-4 defilter);
+  audio/video decode stays STUBBED (no codec libs in this container)
+  behind ``_decode_stub``, a deterministic fake with the real-library
+  call site marked.
 
 Scale notes: mapInPandas streams Arrow batches (no full-partition
 materialization); media work is embarrassingly parallel so the only
@@ -41,14 +43,30 @@ FEATURE_SCHEMA = (
 RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
 
 
+def _png_pixels(i: int, seed: int, width: int, height: int) -> np.ndarray:
+    """Deterministic test image i: seeded noise + gradient; every third
+    image grayscale, the rest RGB — exercises both decoder color types."""
+    rng = np.random.RandomState(seed * 100_003 + i)
+    if i % 3 == 0:
+        grad = np.add.outer(np.arange(height), np.arange(width)) % 251
+        return ((grad + rng.randint(0, 64, size=(height, width))) % 256).astype(
+            np.uint8
+        )
+    return rng.randint(0, 256, size=(height, width, 3)).astype(np.uint8)
+
+
 def media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
-    """Deterministic fake media rows (binary payloads from a seeded
-    hash chain) — the pdata/testdata GenerateLogs analog for media.
+    """Deterministic media rows — the pdata/testdata GenerateLogs analog
+    for media. image/png rows carry REAL spec-conformant PNG bytes
+    (functions/png.py encoder, filter type i%5 so all five filters
+    appear in the fixtures); audio/video payloads stay seeded hash
+    chains (their decoders remain stubs — no codec libs here).
     Shared by synthetic_media (in-memory tests) and
     fixtures.ensure_media (the parquet the DuckDB oracle reads)."""
+    from opentelemetry_collector_spark.functions import png
+
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
         mt = ("image/png", "audio/wav", "video/mp4")[i % 3]
         meta = {
             "width": 64 + (i % 8) * 16 if mt.startswith("image") else None,
@@ -57,6 +75,13 @@ def media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
             "duration_ms": 1000 + i * 10 if not mt.startswith("image") else None,
             "codec": {"image/png": "png", "audio/wav": "pcm_s16le", "video/mp4": "h264"}[mt],
         }
+        if mt == "image/png":
+            payload = png.encode(
+                _png_pixels(i, seed, meta["width"], meta["height"]),
+                filter_type=i % 5,
+            )
+        else:
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
         rows.append((i, mt, bytearray(payload), meta))
     return rows
 
@@ -68,11 +93,11 @@ def synthetic_media(
 
 
 def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB for the real decoder.
+    """STUB for the audio/video decoders.
 
     Real implementation would be e.g.:
-        from PIL import Image; arr = np.asarray(Image.open(io.BytesIO(payload)))
         import soundfile; arr, sr = soundfile.read(io.BytesIO(payload))
+        import av  # frame decode
     Neither library ships in this container, so we derive a
     deterministic pseudo-decode from the payload bytes: same
     signature, same dtype/shape contract, fully testable plumbing.
@@ -90,6 +115,17 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
     return raw.astype(np.float32)
 
 
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Media decode dispatch: PNG images decode for REAL (stdlib codec,
+    functions/png.py — zlib inflate + full 0-4 defilter incl. Paeth);
+    audio/video fall through to the documented _decode_stub."""
+    from opentelemetry_collector_spark.functions import png
+
+    if media_type == "image/png" and payload[: len(png.PNG_MAGIC)] == png.PNG_MAGIC:
+        return png.decode(payload).astype(np.float32)
+    return _decode_stub(payload, media_type)
+
+
 def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: payload → small float vector.
 
@@ -100,7 +136,7 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
         for pdf in batches:
             feats, shapes, hashes, nbytes = [], [], [], []
             for payload, mt in zip(pdf["payload"], pdf["media_type"]):
-                arr = _decode_stub(bytes(payload), mt)
+                arr = decode_media(bytes(payload), mt)
                 flat = arr.ravel()
                 chunks = np.array_split(flat, feature_dim)
                 feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
@@ -131,7 +167,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             out_payload, ws, hs = [], [], []
             for payload, mt in zip(pdf["payload"], pdf["media_type"]):
                 if mt.startswith("image"):
-                    arr = _decode_stub(bytes(payload), mt)
+                    arr = decode_media(bytes(payload), mt)
                     yi = (np.linspace(0, arr.shape[0] - 1, height)).astype(int)
                     xi = (np.linspace(0, arr.shape[1] - 1, width)).astype(int)
                     small = arr[np.ix_(yi, xi)].astype(np.uint8)

@@ -48,6 +48,11 @@ def main(keys: list[str]) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # oracle keys that don't match any registered query are dead weight
+    # (or typos) — surface them loudly
+    orphans = sorted(set(oracles) - set(qs))
+    if orphans:
+        print(f"WARNING: oracle_sql keys with no queries() entry: {orphans}")
     keys = keys or list(qs)
     failed = []
     for k in keys:
@@ -80,8 +85,16 @@ def main(keys: list[str]) -> int:
         except Exception as e:  # noqa: BLE001
             failed.append(k)
             print(f"{k}: ERROR {type(e).__name__}: {e}")
-    print(f"\n{len(keys) - len(failed)}/{len(keys)} passed")
-    return 1 if failed else 0
+    # keys-vs-registry diff: the r2 driver file silently omitted 3
+    # registered queries — a subset run must never read as full coverage
+    missing = sorted(set(qs) - set(keys))
+    if missing:
+        print(f"\nNOT RUN ({len(missing)} registered queries): {missing}")
+    print(
+        f"\n{len(keys) - len(failed)}/{len(keys)} passed"
+        + (f" ({len(qs)} registered)" if not missing else "")
+    )
+    return 1 if failed or orphans else 0
 
 
 if __name__ == "__main__":
