@@ -640,6 +640,18 @@ def _q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_pipeline.clean_documents(docs).select("doc_id")
 
 
+def _q_profile_hot_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiles signal (pdata/pprofile): top-10 functions by self time
+    over the dictionary-encoded samples/stacks/locations/functions star
+    — broadcast dims, explode + two hash aggregates."""
+    from opentelemetry_collector_spark.functions import profiles
+
+    t = profiles.read_profile_tables(spark)
+    return profiles.hot_functions(
+        t["samples"], t["stacks"], t["locations"], t["functions"], k=10
+    )
+
+
 def _q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Obsreport counters derived from the routed frame
     (receiver/receiverhelper/obsreport.go:181-201 name scheme)."""
@@ -704,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
+        "profile_hot_functions": _q_profile_hot_functions,
     }
 
 
@@ -911,6 +924,10 @@ def oracle_sql() -> dict[str, str]:
                    payload_sha256 AS sha256
             FROM read_parquet('{fixtures.ensure_media()}')""",
         "docs_clean_pipeline": _docs_clean_oracle(),
+        "profile_hot_functions": __import__(
+            "opentelemetry_collector_spark.functions.profiles",
+            fromlist=["profiles"],
+        ).oracle_hot_functions(10),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
         "minhash_signatures": f"""

@@ -322,3 +322,97 @@ def ensure_dims() -> tuple[str, str]:
             ),
         )
     return str(rp), str(tp)
+
+
+# ------------------------------------------------------------- profiles
+
+
+def profiles_dir() -> Path:
+    return FIXTURE_ROOT / "profiles"
+
+
+def ensure_profiles(
+    n_samples: int = 4000,
+    n_functions: int = 48,
+    n_locations: int = 96,
+    n_stacks: int = 160,
+    seed: int = SEED,
+) -> dict[str, str]:
+    """Deterministic profiles-signal fixture, dictionary-encoded the
+    way pdata/pprofile is (generated_profilesdictionary.go:44-83:
+    FunctionTable / LocationTable / StackTable; generated_sample.go:51
+    Sample.StackIndex; generated_stack.go:51 Stack.LocationIndices,
+    leaf first):
+
+        profile_functions(function_id, name, filename)
+        profile_locations(location_id, function_id, line)
+        profile_stacks(stack_id, location_ids array<int32>)
+        profile_samples(sample_id, profile_id, stack_id, value, ts)
+
+    value is nanoseconds of CPU attributed to the sample. Written once;
+    Spark and the DuckDB oracle read the same bytes."""
+    d = profiles_dir()
+    paths = {
+        t: d / f"profile_{t}.parquet"
+        for t in ("functions", "locations", "stacks", "samples")
+    }
+    if all(p.exists() for p in paths.values()):
+        return {t: str(p) for t, p in paths.items()}
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+
+    fn_ids = np.arange(n_functions, dtype=np.int32)
+    funcs = pa.table(
+        {
+            "function_id": fn_ids,
+            "name": [f"pkg{i % 6}.Func{i}" for i in range(n_functions)],
+            "filename": [f"src/pkg{i % 6}/file{i % 11}.go" for i in range(n_functions)],
+        }
+    )
+    loc_fn = rng.randint(0, n_functions, size=n_locations).astype(np.int32)
+    locs = pa.table(
+        {
+            "location_id": np.arange(n_locations, dtype=np.int32),
+            "function_id": loc_fn,
+            "line": rng.randint(1, 500, size=n_locations).astype(np.int32),
+        }
+    )
+    # stacks: leaf-first location index lists, depth 1..8; a zipf-ish
+    # skew on leaf locations makes some functions genuinely hot
+    depths = rng.randint(1, 9, size=n_stacks)
+    hot_leaves = rng.randint(0, n_locations, size=max(4, n_locations // 12))
+    stacks_list = []
+    for s in range(n_stacks):
+        leaf = (
+            int(hot_leaves[s % len(hot_leaves)])
+            if rng.rand() < 0.35
+            else int(rng.randint(0, n_locations))
+        )
+        rest = rng.randint(0, n_locations, size=depths[s] - 1).tolist()
+        stacks_list.append([leaf] + [int(x) for x in rest])
+    stacks = pa.table(
+        {
+            "stack_id": np.arange(n_stacks, dtype=np.int32),
+            "location_ids": pa.array(stacks_list, type=pa.list_(pa.int32())),
+        }
+    )
+    sample_stack = rng.randint(0, n_stacks, size=n_samples).astype(np.int32)
+    values = (rng.pareto(2.0, size=n_samples) * 1e6 + 1e4).astype(np.int64)
+    ts = BASE_TS_US + np.arange(n_samples, dtype=np.int64) * 10_000
+    samples = pa.table(
+        {
+            "sample_id": np.arange(n_samples, dtype=np.int64),
+            "profile_id": (np.arange(n_samples) // 500).astype(np.int32),
+            "stack_id": sample_stack,
+            "value": values,
+            "ts": ts.view("datetime64[us]"),
+        }
+    )
+    for name, tbl in (
+        ("functions", funcs),
+        ("locations", locs),
+        ("stacks", stacks),
+        ("samples", samples),
+    ):
+        pq.write_table(tbl, paths[name], row_group_size=65536)
+    return {t: str(p) for t, p in paths.items()}
