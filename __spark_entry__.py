@@ -45,19 +45,22 @@ def _query_vec(sf_dir: str) -> list[float]:
 
 
 def _ann_bits(sf_dir: str) -> int:
-    """LSH bits scaled with corpus size so buckets-per-band stays
-    ≳ n/128 (similarity.embedding_neardup_pairs_lsh docstring): a fixed
-    bits=4 leaves only 16 buckets per band, so at sf0.1 every bucket
-    exceeds the hot-bucket cap (measured 7.8 s of capped-out cosine
-    verification). Deterministic in n, so the Spark query and the
-    oracle (built at ORACLE_SF_DIR, n=500 → 4 bits, the r2 value)
+    """LSH bits scaled with corpus size: 2^bits ≈ n/16 buckets per band
+    keeps EXPECTED random-pair candidates linear — two unrelated
+    vectors collide in one band with prob 0.5^bits, so candidates ≈
+    n_bands · (n²/2) · 16/n = 8·8·n = O(n) — while true near-dup
+    clusters (cos ≳ 0.9, per-bit agreement ≳ 0.86) still reach the
+    verifier through the OR over 8 bands (recall ≈ 1-(1-0.86^bits)^8).
+    The r2 fixed bits=4 made verification quadratic-ish at sf0.1
+    (measured ~250k candidate cosines for 2k vectors). Deterministic in
+    n, so the Spark query and the oracle (built at ORACLE_SF_DIR)
     always agree."""
     import math
 
     import pyarrow.parquet as pq
 
     n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    return max(4, math.ceil(math.log2(max(n, 128) / 128)))
+    return max(4, math.ceil(math.log2(max(n, 16) / 16)))
 
 
 def _transcripts_cte() -> str:

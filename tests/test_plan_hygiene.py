@@ -22,6 +22,11 @@ ARROW_OK = {
     "parse_turns_arrow",
     "media_features",
     "proto_roundtrip",  # wire-format encode/decode is export-boundary Python
+    # declared dense-numeric kernel: one numpy matmul per Arrow batch
+    # (similarity.band_keys_arrow) replaces ~1 ms/row of interpreted
+    # hyperplane dot products
+    "embedding_neardup_lsh",
+    "embedding_dedup",
 }
 CARTESIAN_OK = {"embedding_neardup"}  # documented O(n²) baseline
 
