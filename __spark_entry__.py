@@ -643,6 +643,20 @@ def _q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_pipeline.clean_documents(docs).select("doc_id")
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-100 terms with occurrence + doc
+    frequency (one exploded hash agg with map-side combine)."""
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return text_oracle.vocab_topk(docs, k=100)
+
+
+def _q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (exact integer/single-double-division
+    arithmetic — no float-log tie risk)."""
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return text_oracle.tfidf_topterms(docs, k=3)
+
+
 def _q_profile_hot_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profiles signal (pdata/pprofile): top-10 functions by self time
     over the dictionary-encoded samples/stacks/locations/functions star
@@ -720,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
         "profile_hot_functions": _q_profile_hot_functions,
+        "vocab_topk": _q_vocab_topk,
+        "tfidf_topterms": _q_tfidf_topterms,
     }
 
 
@@ -938,6 +954,8 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string({dedup_oracle.oracle_minhash(dedup_oracle.oracle_shingles('text'))}, '#')
                    AS minhash_sig
             FROM documents""",
+        "vocab_topk": text_oracle.oracle_vocab_topk(100),
+        "tfidf_topterms": text_oracle.oracle_tfidf_topterms(3),
         "text_stats": f"""
             SELECT doc_id,
                    {text_oracle.oracle_token_count('text')} AS n_tokens,

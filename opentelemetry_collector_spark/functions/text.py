@@ -115,6 +115,87 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+def corpus_vocab(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: term → (total occurrences, document
+    frequency) over normalized whitespace tokens.
+
+    Scale shape: explode → ONE hash aggregate keyed by term with
+    map-side partial combine (occurrences), plus an exact distinct-doc
+    count per term riding the same exchange — the canonical
+    vocab-build; the result is vocab-sized, orders smaller than the
+    corpus."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    return ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("id").alias("n_docs"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus terms by occurrence (bigint-deterministic ordering,
+    ties broken by term)."""
+    return (
+        corpus_vocab(df, id_col, text_col)
+        .orderBy(F.col("n_total").desc(), "term")
+        .limit(k)
+    )
+
+
+def tfidf_topterms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms by an exact-arithmetic TF-IDF variant:
+
+        score_ppm = floor(tf · 10⁶ · N / (len_d · df))
+
+    — raw inverse document frequency (no log), so every input is an
+    exact integer ≤ 2^53 and the single double division + floor is
+    bit-identical across engines (the float-log formulation would hit
+    the cross-engine round() tie problem).
+
+    Scale: explode → (doc, term) hash agg → term-keyed df join (the
+    term-frequency side is vocab-sized — broadcastable when the vocab
+    is bounded) → per-doc window over ≤ |doc vocab| rows. N arrives by
+    broadcasting a one-row aggregate, not a driver collect."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = ex.groupBy("id", "term").agg(F.count(F.lit(1)).alias("n_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dlen = ex.groupBy("id").agg(F.count(F.lit(1)).alias("len_d"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dlen, "id")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score_ppm",
+            F.floor(
+                F.col("n_tf").cast("double")
+                * F.lit(1000000.0)
+                * F.col("n_docs")
+                / (F.col("len_d") * F.col("df"))
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score_ppm").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id").alias(id_col), "term", "score_ppm", "rnk")
+    )
+
+
 # ------------------------------------------------------------- oracle SQL
 
 def oracle_tokens(col: str = "text") -> str:
@@ -186,3 +267,43 @@ def oracle_quality_score_ppm(col: str = "text") -> str:
 
 def oracle_fingerprint(col: str = "text") -> str:
     return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
+
+
+def _oracle_norm_terms_cte(table: str = "documents") -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+        nrm AS (SELECT doc_id, {norm} AS norm FROM {table}),
+        ex AS (SELECT doc_id AS id, unnest(string_split(norm, ' ')) AS term
+               FROM nrm)"""
+
+
+def oracle_vocab_topk(k: int = 100, table: str = "documents") -> str:
+    return f"""
+        WITH {_oracle_norm_terms_cte(table)}
+        SELECT term, cast(count(*) AS bigint) AS n_total,
+               cast(count(DISTINCT id) AS bigint) AS n_docs
+        FROM ex GROUP BY 1
+        ORDER BY n_total DESC, term LIMIT {k}"""
+
+
+def oracle_tfidf_topterms(k: int = 3, table: str = "documents") -> str:
+    """Mirror of tfidf_topterms: identical multiply order (left-assoc,
+    exact integers into ONE double division) + floor."""
+    return f"""
+        WITH {_oracle_norm_terms_cte(table)},
+        tf AS (SELECT id, term, count(*) AS n_tf FROM ex GROUP BY 1, 2),
+        dfq AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+        dlen AS (SELECT id, count(*) AS len_d FROM ex GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM {table}),
+        scored AS (
+            SELECT tf.id, tf.term,
+                   cast(floor(tf.n_tf * 1000000.0e0 * n.n_docs
+                              / (dlen.len_d * dfq.df)) AS bigint) AS score_ppm
+            FROM tf
+            JOIN dfq USING (term)
+            JOIN dlen USING (id)
+            CROSS JOIN n)
+        SELECT id AS doc_id, term, score_ppm,
+               cast(row_number() OVER (PARTITION BY id
+                    ORDER BY score_ppm DESC, term) AS int) AS rnk
+        FROM scored QUALIFY rnk <= {k}"""

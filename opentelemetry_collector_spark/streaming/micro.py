@@ -100,3 +100,127 @@ def run_to_sinks(
         # scrape controller: collection_interval = processing-time trigger
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ------------------------------------------------------- hot config reload
+#
+# The reference supports partial graph reload on config change
+# (service/internal/graph/graph.go:515-711: rebuild only the affected
+# components, keep running on a failed reload). A Spark streaming plan
+# is immutable once started, so the safe swap point is the micro-batch
+# boundary: the foreachBatch body re-reads a watched config file
+# between triggers, VALIDATES the new spec, and applies the reloadable
+# stage (the filter rules) to subsequent batches — an invalid new
+# config is recorded and the last-good one keeps serving, exactly the
+# reference's failed-reload contract.
+
+
+class ReloadableConfig:
+    """Watch a YAML config file; swap the validated spec at poll time.
+
+    Reloadable surface: the ``processors.filter`` rules (column +
+    strict/regexp OR-set, operators/filter.py). The structural plan
+    (parse/enrich/route) is fixed for the life of the stream — changing
+    it requires a restart, as in a collector full-graph rebuild.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.mtime: float | None = None
+        self.filter_set = None
+        self.errors: list[str] = []
+        self.reloads = 0
+        self.poll()
+
+    def _load(self):
+        import yaml
+
+        from opentelemetry_collector_spark.operators.filter import FilterSet
+        from opentelemetry_collector_spark.plans.config import ConfigError
+
+        with open(self.path) as f:
+            raw = yaml.safe_load(f) or {}
+        if not isinstance(raw, dict):
+            raise ConfigError(f"config root must be a mapping, got {raw!r}")
+        spec = (raw.get("processors") or {}).get("filter")
+        if spec is None:
+            return None
+        if not isinstance(spec, dict) or "column" not in spec:
+            raise ConfigError(f"processors.filter needs a column: {spec!r}")
+        unknown = set(spec) - {"column", "strict", "regexp"}
+        if unknown:
+            raise ConfigError(f"unknown filter keys {sorted(unknown)}")
+        return FilterSet(
+            column=spec["column"],
+            strict=tuple(spec.get("strict") or ()),
+            regexp=tuple(spec.get("regexp") or ()),
+        )
+
+    def poll(self) -> bool:
+        """Check mtime; swap on a valid change. Returns True when a new
+        config took effect. A failed load/validate keeps the last-good
+        spec and appends to ``errors`` (the collector's failed-reload
+        behavior)."""
+        import os
+
+        from opentelemetry_collector_spark.plans.config import ConfigError
+
+        try:
+            m = os.stat(self.path).st_mtime
+        except OSError:
+            return False  # config file gone: keep serving last-good
+        if self.mtime is not None and m == self.mtime:
+            return False
+        try:
+            new = self._load()
+        except (ConfigError, ValueError, OSError) as e:
+            self.errors.append(str(e))
+            self.mtime = m  # don't re-log the same broken version
+            return False
+        first = self.mtime is None
+        self.mtime = m
+        self.filter_set = new
+        if not first:
+            self.reloads += 1
+        return not first
+
+
+def run_to_sinks_reloadable(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    config_path: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = 1,
+    **src_kw,
+) -> tuple[StreamingQuery, ReloadableConfig]:
+    """run_to_sinks with a hot-reloadable filter stage (see
+    ReloadableConfig). Returns (query, reloader) so callers can inspect
+    reload state/errors."""
+    from opentelemetry_collector_spark.operators import filter as filter_mod
+
+    rc = ReloadableConfig(config_path)
+    routed = routed_stream(spark, src_dir, **src_kw)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rc.poll()
+        df = (
+            filter_mod.include(batch_df, rc.filter_set)
+            if rc.filter_set is not None
+            else batch_df
+        )
+        (
+            df.write.mode("overwrite")
+            .partitionBy("sink")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    writer = routed.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start(), rc

@@ -49,3 +49,38 @@ def test_arrow_plan_is_vectorized(transcripts):
     plan = parse.with_parsed(transcripts, "arrow")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
     assert "ArrowEvalPython" in plan
+
+
+def test_vocab_and_tfidf_semantics(spark):
+    """Hand-computed vocabulary + integer TF-IDF on a 3-doc corpus."""
+    from opentelemetry_collector_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r["term"]: (r["n_total"], r["n_docs"]) for r in T.corpus_vocab(docs).collect()}
+    assert vocab == {
+        "apple": (3, 2),
+        "banana": (2, 2),
+        "cherry": (3, 2),
+        "durian": (1, 1),
+    }
+    top = T.vocab_topk(docs, k=2).collect()
+    assert [(r["term"]) for r in top] == ["apple", "cherry"]  # tie → term asc
+    tfidf = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["score_ppm"])
+        for r in T.tfidf_topterms(docs, k=2).collect()
+    }
+    # doc 0: apple tf=2 len=3 df=2 N=3 → floor(2e6·3/(3·2)) = 1000000
+    assert tfidf[(0, 1)] == ("apple", 1_000_000)
+    # doc 0: banana tf=1 → floor(1e6·3/(3·2)) = 500000
+    assert tfidf[(0, 2)] == ("banana", 500_000)
+    # doc 2: cherry (tf=2,df=2) and durian (tf=1,df=1) both score
+    # floor(750000); the deterministic tie-break is term asc
+    assert tfidf[(2, 1)] == ("cherry", 750_000)
+    assert tfidf[(2, 2)] == ("durian", 750_000)

@@ -139,3 +139,83 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert not any(w == "2025-01-01T00:00:00" and n != 3 for w, n in got)
     finally:
         q.stop()
+
+
+def test_reloadable_config_swap_and_failed_reload(tmp_path):
+    """graph.go failed-reload contract: a valid change swaps at poll;
+    an invalid change keeps the last-good spec and records the error."""
+    import time
+
+    cfg = tmp_path / "live.yaml"
+    cfg.write_text("processors:\n  filter:\n    column: role\n    strict: [user]\n")
+    rc = micro.ReloadableConfig(str(cfg))
+    assert rc.filter_set is not None and rc.filter_set.strict == ("user",)
+    assert rc.reloads == 0
+
+    time.sleep(0.02)
+    cfg.write_text("processors:\n  filter:\n    column: role\n    strict: [tool]\n")
+    import os
+
+    os.utime(cfg, (time.time() + 1, time.time() + 1))  # force mtime change
+    assert rc.poll() is True
+    assert rc.filter_set.strict == ("tool",) and rc.reloads == 1
+
+    cfg.write_text("processors:\n  filter:\n    column: role\n    bogus: [x]\n")
+    os.utime(cfg, (time.time() + 2, time.time() + 2))
+    assert rc.poll() is False
+    assert rc.filter_set.strict == ("tool",)  # last-good kept
+    assert rc.errors and "bogus" in rc.errors[-1]
+    # same broken mtime isn't re-polled into duplicate errors
+    assert rc.poll() is False and len(rc.errors) == 1
+
+
+def test_stream_hot_reload_between_epochs(spark, sf_dir, tmp_path):
+    """A running query picks up a validated config change at the next
+    micro-batch: epoch written before the change obeys the old filter,
+    the epoch after obeys the new one — no restart."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    files = _split_fixture(sf_dir, tmp_path / "stage", parts=3)
+    cfg = tmp_path / "live.yaml"
+    cfg.write_text("processors:\n  filter:\n    column: role\n    strict: [user]\n")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    shutil.copy(files[0], src / files[0].name)
+    q, rc = micro.run_to_sinks_reloadable(
+        spark, str(src), str(out), str(ck), str(cfg), trigger_seconds=1
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not (out / "epoch=0").exists():
+            time.sleep(0.5)
+        assert (out / "epoch=0").exists(), "first epoch never arrived"
+
+        cfg.write_text(
+            "processors:\n  filter:\n    column: role\n    strict: [tool]\n"
+        )
+        import os
+
+        os.utime(cfg, (time.time() + 5, time.time() + 5))
+        time.sleep(2)  # let an (empty or pending) trigger observe the swap
+        shutil.copy(files[1], src / files[1].name)
+        deadline = time.time() + 60
+        later = lambda: [
+            p for p in out.glob("epoch=*") if p.name != "epoch=0" and
+            list(p.glob("sink=*"))
+        ]
+        while time.time() < deadline and not later():
+            time.sleep(0.5)
+        assert later(), "second epoch never arrived"
+    finally:
+        q.stop()
+
+    first = spark.read.parquet(str(out / "epoch=0"))
+    assert first.select("role").distinct().collect()[0]["role"] == "user"
+    second = spark.read.option("basePath", str(out)).parquet(
+        *[str(p) for p in later()]
+    )
+    roles = {r["role"] for r in second.select("role").distinct().collect()}
+    assert roles == {"tool"}
+    assert rc.reloads >= 1 and not rc.errors
