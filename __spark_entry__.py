@@ -24,6 +24,7 @@ from opentelemetry_collector_spark.operators import (
     order as order_mod,
     route as route_mod,
 )
+from opentelemetry_collector_spark.functions import profiles as profiles_oracle
 from opentelemetry_collector_spark.functions import text as text_oracle
 from opentelemetry_collector_spark.operators import dedup as dedup_oracle
 from opentelemetry_collector_spark.operators import similarity as sim_oracle
@@ -943,10 +944,7 @@ def oracle_sql() -> dict[str, str]:
                    payload_sha256 AS sha256
             FROM read_parquet('{fixtures.ensure_media()}')""",
         "docs_clean_pipeline": _docs_clean_oracle(),
-        "profile_hot_functions": __import__(
-            "opentelemetry_collector_spark.functions.profiles",
-            fromlist=["profiles"],
-        ).oracle_hot_functions(10),
+        "profile_hot_functions": profiles_oracle.oracle_hot_functions(10),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
         "minhash_signatures": f"""

@@ -236,8 +236,16 @@ def ensure_versioned_tool_dim() -> str:
     return str(path)
 
 
+# bump when a generator's OUTPUT changes: existence-only caching would
+# otherwise serve stale bytes from a prior round's fixtures/ dir (r3
+# switched media image payloads from hash chains to real PNGs — an old
+# cache would silently exercise the stub path forever)
+MEDIA_GEN_VERSION = 2
+PROFILES_GEN_VERSION = 1
+
+
 def media_path() -> Path:
-    return FIXTURE_ROOT / "media" / "media.parquet"
+    return FIXTURE_ROOT / "media" / f"media_v{MEDIA_GEN_VERSION}.parquet"
 
 
 def ensure_media(n: int = 96, seed: int = SEED) -> str:
@@ -328,7 +336,7 @@ def ensure_dims() -> tuple[str, str]:
 
 
 def profiles_dir() -> Path:
-    return FIXTURE_ROOT / "profiles"
+    return FIXTURE_ROOT / f"profiles_v{PROFILES_GEN_VERSION}"
 
 
 def ensure_profiles(

@@ -110,7 +110,20 @@ def decode(payload: bytes) -> np.ndarray:
     Full defilter support (types 0-4); the Paeth predictor runs
     per-scanline with vectorized left/up terms where the filter allows
     (types 0-3) and the sequential recurrence only where required
-    (types 1, 3, 4 depend on the defiltered left neighbor)."""
+    (types 1, 3, 4 depend on the defiltered left neighbor).
+
+    EVERY malformed-input failure surfaces as ValueError (truncated
+    chunks raise struct.error and corrupt deflate streams zlib.error
+    internally — both wrapped) so callers have ONE quarantine type."""
+    try:
+        return _decode(payload)
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"malformed PNG: {type(e).__name__}: {e}") from e
+
+
+def _decode(payload: bytes) -> np.ndarray:
     if payload[: len(PNG_MAGIC)] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
     i = len(PNG_MAGIC)

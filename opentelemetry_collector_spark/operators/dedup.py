@@ -623,6 +623,8 @@ def neardup_pairs_winnow(
     5k docs at sf0.1; ≥4 leaves 263k). The count aggregate rides the
     same shuffle dropDuplicates needed anyway — pairs whose overlap is
     mostly boilerplate (capped-out fingerprints) are the trade-off.
+    The floor is clamped to min_shared so a caller asking for
+    min_shared < 4 keeps the documented contract.
 
     The fingerprint frame is persisted BEFORE the explode: pushing a
     Generate through the staged winnow projections makes the optimizer
@@ -630,6 +632,7 @@ def neardup_pairs_winnow(
     (md5 count in the optimized plan went 2 → 18, measured ~100×
     slower); the cache barrier keeps the arrays materialized once per
     row. Pass ``persist_handle=[]`` to unpersist deterministically."""
+    min_cand_shared = min(min_cand_shared, min_shared)
     m = (
         with_winnow(df, text_col, id_col, k, w)
         .select(F.col(id_col).alias("id"), "winnow_fp")
@@ -823,6 +826,7 @@ def oracle_neardup_winnow(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     min_cand_shared: int = 4,
 ) -> str:
+    min_cand_shared = min(min_cand_shared, min_shared)
     cap = (
         f"QUALIFY count(*) OVER (PARTITION BY h) <= {max_bucket}"
         if max_bucket is not None

@@ -118,11 +118,19 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """Media decode dispatch: PNG images decode for REAL (stdlib codec,
     functions/png.py — zlib inflate + full 0-4 defilter incl. Paeth);
-    audio/video fall through to the documented _decode_stub."""
+    audio/video fall through to the documented _decode_stub.
+
+    A malformed/unsupported PNG (truncated, 16-bit, interlaced — dirty
+    corpora have all of them) must NOT kill the Spark task from inside
+    mapInPandas: it degrades to the deterministic stub decode, exactly
+    how the row would have been treated before the codec existed."""
     from opentelemetry_collector_spark.functions import png
 
     if media_type == "image/png" and payload[: len(png.PNG_MAGIC)] == png.PNG_MAGIC:
-        return png.decode(payload).astype(np.float32)
+        try:
+            return png.decode(payload).astype(np.float32)
+        except ValueError:
+            return _decode_stub(payload, media_type)
     return _decode_stub(payload, media_type)
 
 

@@ -143,7 +143,12 @@ def resolve_config(raw: dict, allowed_schemes: frozenset[str] | None = None) -> 
     allowed_schemes restricts the provider set (default: all) — see
     _retrieve for why validation of untrusted configs wants {env, yaml}
     only."""
-    return _resolve_any(raw, 0, allowed_schemes or ALL_SCHEMES)
+    # `or` would treat an EMPTY (deny-all) set as falsy and silently
+    # re-enable every provider — the exact bypass this knob exists to
+    # prevent
+    return _resolve_any(
+        raw, 0, ALL_SCHEMES if allowed_schemes is None else allowed_schemes
+    )
 
 
 def expand_env(value: Any) -> Any:

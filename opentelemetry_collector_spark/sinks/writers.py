@@ -277,15 +277,20 @@ def debug_sink(
     ``sampling_initial`` invocations print, after which only every
     ``sampling_thereafter``-th invocation does. The counter lives in
     the caller-supplied ``_batch_counter`` (a 1-element list) so
-    repeated sink calls of one configured exporter share it; None
-    keeps the r2 always-print behavior."""
+    repeated sink calls of one configured exporter share it — sampling
+    without a shared counter would silently reset per call (every
+    batch looks like the first), so that is a ValueError, not a
+    default."""
     n = df.count()
     if verbosity not in ("normal", "detailed"):
         return n
     show = True
     if sampling_initial is not None:
         if _batch_counter is None:
-            _batch_counter = [0]
+            raise ValueError(
+                "sampling_initial needs a shared _batch_counter "
+                "(one [0] list per configured debug exporter)"
+            )
         _batch_counter[0] += 1
         seen = _batch_counter[0]
         if seen > sampling_initial:

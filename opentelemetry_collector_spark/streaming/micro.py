@@ -126,11 +126,14 @@ class ReloadableConfig:
 
     def __init__(self, path: str):
         self.path = path
-        self.mtime: float | None = None
+        self._digest: str | None = None
         self.filter_set = None
         self.errors: list[str] = []
         self.reloads = 0
-        self.poll()
+        # the INITIAL config must be valid — the collector refuses to
+        # START on a bad config; only RELOADS fall back to last-good
+        self.filter_set = self._load()
+        self._digest = self._read_digest()
 
     def _load(self):
         import yaml
@@ -156,33 +159,37 @@ class ReloadableConfig:
             regexp=tuple(spec.get("regexp") or ()),
         )
 
+    def _read_digest(self) -> str:
+        """Content digest — mtime is unreliable (same-second rewrites
+        and coarse-granularity filesystems make distinct versions
+        indistinguishable), and the file is tiny."""
+        import hashlib
+
+        with open(self.path, "rb") as f:
+            return hashlib.md5(f.read()).hexdigest()
+
     def poll(self) -> bool:
-        """Check mtime; swap on a valid change. Returns True when a new
+        """Swap on a valid CONTENT change. Returns True when a new
         config took effect. A failed load/validate keeps the last-good
         spec and appends to ``errors`` (the collector's failed-reload
         behavior)."""
-        import os
-
         from opentelemetry_collector_spark.plans.config import ConfigError
 
         try:
-            m = os.stat(self.path).st_mtime
+            d = self._read_digest()
         except OSError:
             return False  # config file gone: keep serving last-good
-        if self.mtime is not None and m == self.mtime:
+        if d == self._digest:
             return False
+        self._digest = d  # don't re-log the same broken version
         try:
             new = self._load()
         except (ConfigError, ValueError, OSError) as e:
             self.errors.append(str(e))
-            self.mtime = m  # don't re-log the same broken version
             return False
-        first = self.mtime is None
-        self.mtime = m
         self.filter_set = new
-        if not first:
-            self.reloads += 1
-        return not first
+        self.reloads += 1
+        return True
 
 
 def run_to_sinks_reloadable(

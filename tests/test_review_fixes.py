@@ -114,3 +114,109 @@ def test_simhash_dynamic_banding_recall(spark):
         for r in dedup.simhash_neardup_pairs(df, max_hamming=max(3, d01)).collect()
     }
     assert (0, 1) in pairs and pairs[(0, 1)] == d01
+
+
+# ---------------------------------------------------------------- round 3
+
+
+def test_empty_scheme_allowlist_denies_all(monkeypatch, tmp_path):
+    """frozenset() must mean DENY ALL, not 'fall back to every
+    provider' — the `or` idiom bug."""
+    import pytest
+
+    from opentelemetry_collector_spark.plans import config as cfg_mod
+
+    p = tmp_path / "x.yaml"
+    p.write_text("42")
+    monkeypatch.setenv("SMUGGLE3", "${file:" + str(p) + "}")
+    with pytest.raises(cfg_mod.ConfigError, match="disabled"):
+        cfg_mod.resolve_config({"a": "${env:SMUGGLE3}"}, frozenset())
+
+
+def test_png_truncated_raises_valueerror_only():
+    """Truncated/corrupt PNGs must surface as ValueError (one
+    quarantine type), never struct.error/zlib.error."""
+    import numpy as np
+    import pytest
+
+    from opentelemetry_collector_spark.functions import png
+
+    buf = png.encode(np.zeros((4, 4), dtype=np.uint8))
+    for cut in (10, 20, len(buf) - 3):
+        with pytest.raises(ValueError):
+            png.decode(buf[:cut])
+
+
+def test_decode_media_malformed_png_falls_back_to_stub():
+    """A malformed PNG row degrades to the stub decode instead of
+    killing the mapInPandas task."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.functions import png
+    from opentelemetry_collector_spark.operators import multimodal as mm
+
+    bad = png.PNG_MAGIC + b"\x00\x00\x00\x0dIHDRjunkjunkjunk"
+    arr = mm.decode_media(bad, "image/png")
+    want = mm._decode_stub(bad, "image/png")
+    assert arr.shape == want.shape and (arr == want).all()
+
+
+def test_winnow_min_cand_clamped_to_min_shared(spark):
+    """min_shared < 4 must honor the documented contract (pairs sharing
+    >= min_shared fps), not the silent >=4 candidacy floor."""
+    from opentelemetry_collector_spark.operators import dedup
+
+    # two docs engineered to share a small fingerprint overlap
+    shared = "the quick brown fox jumps over"
+    rows = [
+        (0, f"{shared} completely different tail alpha beta gamma"),
+        (1, f"{shared} other ending entirely delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["winnow_fp"]) for r in dedup.with_winnow(df).collect()}
+    n_shared = len(fps[0] & fps[1])
+    assert n_shared >= 1
+    pairs = dedup.neardup_pairs_winnow(df, min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"], r["n_shared"]) for r in pairs] == [(0, 1, n_shared)]
+
+
+def test_reloadable_config_invalid_initial_raises(tmp_path):
+    """The collector refuses to START on an invalid config; only
+    reloads keep last-good."""
+    import pytest
+
+    from opentelemetry_collector_spark.plans.config import ConfigError
+    from opentelemetry_collector_spark.streaming import micro
+
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text("processors:\n  filter:\n    column: role\n    bogus: [x]\n")
+    with pytest.raises(ConfigError):
+        micro.ReloadableConfig(str(cfg))
+
+
+def test_reloadable_config_same_second_rewrite_detected(tmp_path):
+    """Change detection is by CONTENT, not mtime — a same-tick rewrite
+    must still swap."""
+    import os
+    import time
+
+    from opentelemetry_collector_spark.streaming import micro
+
+    cfg = tmp_path / "live.yaml"
+    cfg.write_text("processors:\n  filter:\n    column: role\n    strict: [user]\n")
+    rc = micro.ReloadableConfig(str(cfg))
+    st = os.stat(cfg)
+    cfg.write_text("processors:\n  filter:\n    column: role\n    strict: [tool]\n")
+    os.utime(cfg, (st.st_atime, st.st_mtime))  # force identical mtime
+    assert rc.poll() is True
+    assert rc.filter_set.strict == ("tool",)
+
+
+def test_debug_sink_sampling_requires_shared_counter(spark):
+    import pytest
+
+    from opentelemetry_collector_spark.sinks import writers
+
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="_batch_counter"):
+        writers.debug_sink(df, verbosity="normal", sampling_initial=1)

@@ -85,6 +85,12 @@ def main(keys: list[str]) -> int:
         except Exception as e:  # noqa: BLE001
             failed.append(k)
             print(f"{k}: ERROR {type(e).__name__}: {e}")
+        finally:
+            # LSH/simhash/winnow queries persist fingerprint frames for
+            # their own self-joins; 56 queries in one session would
+            # otherwise accumulate them (same lifecycle rule bench.py
+            # applies)
+            spark.catalog.clearCache()
     # keys-vs-registry diff: the r2 driver file silently omitted 3
     # registered queries — a subset run must never read as full coverage
     missing = sorted(set(qs) - set(keys))
