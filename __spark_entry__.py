@@ -658,6 +658,20 @@ def _q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_oracle.tfidf_topterms(docs, k=3)
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-2gram / duplicate
+    3-gram fractions, exact integer ppm)."""
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return text_oracle.repetition_signals(docs)
+
+
+def _q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/idnum/phone masking + per-type counts,
+    ordered patterns — see text.PII_PATTERNS)."""
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return text_oracle.redact_pii(docs)
+
+
 def _q_profile_hot_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profiles signal (pdata/pprofile): top-10 functions by self time
     over the dictionary-encoded samples/stacks/locations/functions star
@@ -736,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_turns": _q_first_turns,
         "profile_hot_functions": _q_profile_hot_functions,
         "vocab_topk": _q_vocab_topk,
+        "text_repetition": _q_text_repetition,
+        "text_redact": _q_text_redact,
         "tfidf_topterms": _q_tfidf_topterms,
     }
 
@@ -953,6 +969,8 @@ def oracle_sql() -> dict[str, str]:
                    AS minhash_sig
             FROM documents""",
         "vocab_topk": text_oracle.oracle_vocab_topk(100),
+        "text_repetition": text_oracle.oracle_repetition_signals(),
+        "text_redact": text_oracle.oracle_redact_pii(),
         "tfidf_topterms": text_oracle.oracle_tfidf_topterms(3),
         "text_stats": f"""
             SELECT doc_id,

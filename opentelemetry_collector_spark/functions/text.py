@@ -307,3 +307,140 @@ def oracle_tfidf_topterms(k: int = 3, table: str = "documents") -> str:
                cast(row_number() OVER (PARTITION BY id
                     ORDER BY score_ppm DESC, term) AS int) AS rnk
         FROM scored QUALIFY rnk <= {k}"""
+
+
+# ----------------------------------------------- repetition quality rules
+#
+# Gopher/C4-style repetition signals: heavily repeated n-grams are the
+# classic low-quality marker. Exact integer ppm (floor of a single
+# double division of exact ints — the cross-engine-safe arithmetic this
+# module standardizes on).
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition metrics over normalized word n-grams:
+
+      top_bigram_ppm:  count(most frequent 2-gram) · 10⁶ / total 2-grams
+      dup_trigram_ppm: (total − distinct 3-grams) · 10⁶ / total 3-grams
+
+    Scale: one explode per n-gram order → (doc, gram) hash agg with
+    map-side combine → per-doc max/sum. No windows over the corpus, no
+    joins except the final per-doc merge of two doc-keyed aggregates.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+
+    def grams(n: int) -> Column:
+        k = F.size(words) - (n - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+
+    bi = df.select(F.col(id_col).alias("id"), F.explode(grams(2)).alias("g"))
+    bi_counts = bi.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    bi_doc = bi_counts.groupBy("id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_bi")
+    )
+    tri = df.select(F.col(id_col).alias("id"), F.explode(grams(3)).alias("g"))
+    tri_doc = tri.groupBy("id").agg(
+        F.count(F.lit(1)).alias("total_tri"),
+        F.count_distinct("g").alias("distinct_tri"),
+    )
+    ppm = lambda num, den: F.floor(  # noqa: E731
+        num.cast("double") * F.lit(1000000.0) / den
+    ).cast("long")
+    return (
+        bi_doc.join(tri_doc, "id")
+        .select(
+            F.col("id").alias(id_col),
+            ppm(F.col("top_c"), F.col("total_bi")).alias("top_bigram_ppm"),
+            ppm(
+                F.col("total_tri") - F.col("distinct_tri"), F.col("total_tri")
+            ).alias("dup_trigram_ppm"),
+        )
+    )
+
+
+def oracle_repetition_signals(table: str = "documents") -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    words = f"string_split({norm}, ' ')"
+
+    def grams(n: int) -> str:
+        return (
+            f"CASE WHEN len({words}) >= {n} THEN "
+            f"list_transform(range(1, len({words}) - {n - 2}), "
+            f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) "
+            f"ELSE [array_to_string({words}, ' ')] END"
+        )
+
+    return f"""
+        WITH bi AS (SELECT doc_id AS id, unnest({grams(2)}) AS g FROM {table}),
+        bic AS (SELECT id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+        bid AS (SELECT id, max(c) AS top_c, sum(c) AS total_bi FROM bic GROUP BY 1),
+        tri AS (SELECT doc_id AS id, unnest({grams(3)}) AS g FROM {table}),
+        trid AS (SELECT id, count(*) AS total_tri,
+                        count(DISTINCT g) AS distinct_tri
+                 FROM tri GROUP BY 1)
+        SELECT bid.id AS doc_id,
+               cast(floor(top_c * 1000000.0e0 / total_bi) AS bigint)
+                 AS top_bigram_ppm,
+               cast(floor((total_tri - distinct_tri) * 1000000.0e0 / total_tri)
+                 AS bigint) AS dup_trigram_ppm
+        FROM bid JOIN trid USING (id)"""
+
+
+# ------------------------------------------------------------ PII redaction
+
+# deliberately simple, engine-portable patterns (Java regex and RE2
+# agree on this subset — no backrefs, no lookaround)
+# order matters and is part of the operator contract (mirrored in the
+# oracle): email first (so usernames' digits survive as one token),
+# then pure long digit runs (ids), then phone-ish runs — phone's
+# separator class would otherwise swallow every 9+-digit id
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("idnum", r"[0-9]{9,}"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mask emails / phone-ish runs / long id numbers with typed
+    placeholders; report per-type hit counts. Pure Catalyst
+    regexp_replace/regexp_extract_all — order matters (email first so
+    its digits aren't half-eaten by the number rule), mirrored exactly
+    in the oracle."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return df.select(F.col(id_col), out.alias("redacted"), *counts)
+
+
+def oracle_redact_pii(table: str = "documents") -> str:
+    out = "text"
+    cols = []
+    for name, pat in PII_PATTERNS:
+        # DuckDB standard string literals take backslashes literally —
+        # only quotes need escaping (doubling backslashes would corrupt
+        # the regex)
+        esc = pat.replace("'", "''")
+        cols.append(
+            f"cast(len(regexp_extract_all({out}, '{esc}')) AS bigint) AS n_{name}"
+        )
+        out = f"regexp_replace({out}, '{esc}', '<{name}>', 'g')"
+    return f"""
+        SELECT doc_id, {out} AS redacted, {", ".join(cols)}
+        FROM {table}"""

@@ -84,3 +84,38 @@ def test_vocab_and_tfidf_semantics(spark):
     # floor(750000); the deterministic tie-break is term asc
     assert tfidf[(2, 1)] == ("cherry", 750_000)
     assert tfidf[(2, 2)] == ("durian", 750_000)
+
+
+def test_repetition_signals_semantics(spark):
+    from opentelemetry_collector_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # bigrams: ab×3 ba×2 → top 3/5
+            (1, "x y z w v u"),          # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.repetition_signals(docs).collect()}
+    assert rows[0]["top_bigram_ppm"] == 600_000
+    # trigrams of doc0: aba bab aba bab → 4 total, 2 distinct → 500000
+    assert rows[0]["dup_trigram_ppm"] == 500_000
+    assert rows[1]["top_bigram_ppm"] == 200_000  # 1/5
+    assert rows[1]["dup_trigram_ppm"] == 0
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from opentelemetry_collector_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob@x.co or call +1 (555) 123-4567 ref 123456789"),
+            (1, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.redact_pii(docs).collect()}
+    assert rows[0]["redacted"] == "mail <email> or call <phone> ref <idnum>"
+    assert (rows[0]["n_email"], rows[0]["n_idnum"], rows[0]["n_phone"]) == (1, 1, 1)
+    assert rows[1]["redacted"] == "clean text with no pii at all"
+    assert (rows[1]["n_email"], rows[1]["n_idnum"], rows[1]["n_phone"]) == (0, 0, 0)
