@@ -658,18 +658,32 @@ def _q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_oracle.tfidf_topterms(docs, k=3)
 
 
+def _docs_with_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the adversarial edge rows (fixtures.ensure_edge_docs)
+    — the word-soup fixture alone leaves PII/NULL/unicode branches of
+    the text operators untested by the oracle gate."""
+    docs = tables.read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = spark.read.parquet(fixtures.ensure_edge_docs())
+    return docs.unionByName(edges)
+
+
+def _edge_docs_cte() -> str:
+    return (
+        f"docs_all AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id, text FROM read_parquet('{fixtures.ensure_edge_docs()}'))"
+    )
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (top-2gram / duplicate
     3-gram fractions, exact integer ppm)."""
-    docs = tables.read_table(spark, sf_dir, "documents")
-    return text_oracle.repetition_signals(docs)
+    return text_oracle.repetition_signals(_docs_with_edges(spark, sf_dir))
 
 
 def _q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (email/idnum/phone masking + per-type counts,
     ordered patterns — see text.PII_PATTERNS)."""
-    docs = tables.read_table(spark, sf_dir, "documents")
-    return text_oracle.redact_pii(docs)
+    return text_oracle.redact_pii(_docs_with_edges(spark, sf_dir))
 
 
 def _q_profile_hot_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -969,8 +983,11 @@ def oracle_sql() -> dict[str, str]:
                    AS minhash_sig
             FROM documents""",
         "vocab_topk": text_oracle.oracle_vocab_topk(100),
-        "text_repetition": text_oracle.oracle_repetition_signals(),
-        "text_redact": text_oracle.oracle_redact_pii(),
+        "text_repetition": text_oracle.oracle_repetition_signals(
+            "docs_all", extra_cte=_edge_docs_cte()
+        ),
+        "text_redact": f"WITH {_edge_docs_cte()} "
+        + text_oracle.oracle_redact_pii("docs_all"),
         "tfidf_topterms": text_oracle.oracle_tfidf_topterms(3),
         "text_stats": f"""
             SELECT doc_id,

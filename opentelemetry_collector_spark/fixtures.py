@@ -424,3 +424,47 @@ def ensure_profiles(
     ):
         pq.write_table(tbl, paths[name], row_group_size=65536)
     return {t: str(p) for t, p in paths.items()}
+
+
+# ---------------------------------------------------------- edge documents
+
+EDGE_DOCS_GEN_VERSION = 1
+
+
+def edge_docs_path() -> Path:
+    return FIXTURE_ROOT / "edge_docs" / f"edge_docs_v{EDGE_DOCS_GEN_VERSION}.parquet"
+
+
+def ensure_edge_docs() -> str:
+    """Deterministic adversarial document rows UNIONed into the text
+    operator driver queries, so their oracle gates exercise branches
+    the word-soup documents fixture never hits: real PII matches
+    (emails / phones-with-every-whitespace-kind / long id runs), NULL
+    and empty text, unicode, single tokens, and maximal repetition.
+    doc_ids start at 10_000_000 — far above any documents table."""
+    path = edge_docs_path()
+    if path.exists():
+        return str(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rows = [
+        (10_000_000, "contact alice.smith+spam@example-mail.org for details"),
+        (10_000_001, "call +1 (555) 123-4567 or 555\t123\n4567 maybe 555 123 4567"),
+        (10_000_002, "account 123456789 and card 9876543210123456 end"),
+        (10_000_003, "mixed bob@x.co then 123456789 then +44 20 7946 0958 done"),
+        (10_000_004, None),
+        (10_000_005, ""),
+        (10_000_006, "   "),
+        (10_000_007, "single"),
+        (10_000_008, "dup dup dup dup dup dup dup dup"),
+        (10_000_009, "ünïcode tëxt with çhars @ loose and 12345678 short-id"),
+        (10_000_010, "a b a b a b a b a b"),
+        (10_000_011, "no pii here just words " * 5),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=65536)
+    return str(path)

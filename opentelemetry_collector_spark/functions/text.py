@@ -105,6 +105,35 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def word_grams(text: Column, n: int) -> Column:
+    """Word n-grams of the normalized text (WITH duplicates — near-dup
+    shingles wrap this in array_distinct). NULL text ≡ '' (Spark
+    concat_ws silently maps NULL→'' where DuckDB array_to_string keeps
+    NULL — the coalesce keeps both engines on the '' branch). The ONE
+    definition shared by shingling, winnowing inputs and the
+    repetition signals; its SQL twin is oracle_word_grams."""
+    words = F.split(F.coalesce(normalize_text(text), F.lit("")), " ")
+    k = F.size(words) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def oracle_word_grams(col: str, n: int) -> str:
+    norm = f"coalesce(trim(regexp_replace(lower({col}), '\s+', ' ', 'g')), '')"
+    words = f"string_split({norm}, ' ')"
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN "
+        f"list_transform(range(1, len({words}) - {n - 2}), "
+        f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({words}, ' ')] END"
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Stable document fingerprint: md5 of the normalized text.
 
@@ -329,17 +358,8 @@ def repetition_signals(
     map-side combine → per-doc max/sum. No windows over the corpus, no
     joins except the final per-doc merge of two doc-keyed aggregates.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-
     def grams(n: int) -> Column:
-        k = F.size(words) - (n - 1)
-        return F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+        return word_grams(F.col(text_col), n)
 
     bi = df.select(F.col(id_col).alias("id"), F.explode(grams(2)).alias("g"))
     bi_counts = bi.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -366,20 +386,16 @@ def repetition_signals(
     )
 
 
-def oracle_repetition_signals(table: str = "documents") -> str:
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    words = f"string_split({norm}, ' ')"
-
+def oracle_repetition_signals(table: str = "documents", extra_cte: str = "") -> str:
+    """SQL twin of repetition_signals — grams via the ONE shared
+    oracle_word_grams builder (NULL-coalesced, matching the Spark
+    side); extra_cte lets callers prepend an input-table CTE."""
     def grams(n: int) -> str:
-        return (
-            f"CASE WHEN len({words}) >= {n} THEN "
-            f"list_transform(range(1, len({words}) - {n - 2}), "
-            f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) "
-            f"ELSE [array_to_string({words}, ' ')] END"
-        )
+        return oracle_word_grams("text", n)
 
+    lead = f"{extra_cte}," if extra_cte else ""
     return f"""
-        WITH bi AS (SELECT doc_id AS id, unnest({grams(2)}) AS g FROM {table}),
+        WITH {lead} bi AS (SELECT doc_id AS id, unnest({grams(2)}) AS g FROM {table}),
         bic AS (SELECT id, g, count(*) AS c FROM bi GROUP BY 1, 2),
         bid AS (SELECT id, max(c) AS top_c, sum(c) AS total_bi FROM bic GROUP BY 1),
         tri AS (SELECT doc_id AS id, unnest({grams(3)}) AS g FROM {table}),
@@ -405,7 +421,9 @@ def oracle_repetition_signals(table: str = "documents") -> str:
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("idnum", r"[0-9]{9,}"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    # explicit whitespace chars: Java's \s includes \x0b, RE2's does
+    # not — a \s here would silently diverge from the DuckDB oracle
+    ("phone", r"\+?[0-9][0-9()\- \t\n\r\f]{7,}[0-9]"),
 )
 
 

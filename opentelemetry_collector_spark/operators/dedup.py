@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from opentelemetry_collector_spark.functions.text import normalize_text, oracle_fingerprint
+from opentelemetry_collector_spark.functions.text import (
+    normalize_text,
+    oracle_fingerprint,
+    oracle_word_grams,
+    word_grams,
+)
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands × 4 rows
@@ -61,17 +66,9 @@ def normalized_dedup_keepers(
 # ---------------------------------------------------------------- minhash
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    words = F.split(normalize_text(text), " ")
-    k = F.size(words) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
-    return F.array_distinct(grams)
+    """Distinct word n-gram shingles (the ONE shared gram builder —
+    functions/text.word_grams — wrapped in a distinct)."""
+    return F.array_distinct(word_grams(text, n))
 
 
 def _seeded_md5(seed: int):

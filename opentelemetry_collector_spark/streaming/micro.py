@@ -131,18 +131,31 @@ class ReloadableConfig:
         self.errors: list[str] = []
         self.reloads = 0
         # the INITIAL config must be valid — the collector refuses to
-        # START on a bad config; only RELOADS fall back to last-good
-        self.filter_set = self._load()
-        self._digest = self._read_digest()
+        # START on a bad config; only RELOADS fall back to last-good.
+        # Read ONCE: digest and parsed spec must come from the same
+        # bytes, or a write landing between two reads pins a digest
+        # whose content was never applied.
+        data = self._read_bytes()
+        self.filter_set = self._load(data)
+        self._digest = self._hash(data)
 
-    def _load(self):
+    def _read_bytes(self) -> bytes:
+        with open(self.path, "rb") as f:
+            return f.read()
+
+    @staticmethod
+    def _hash(data: bytes) -> str:
+        import hashlib
+
+        return hashlib.md5(data).hexdigest()
+
+    def _load(self, data: bytes):
         import yaml
 
         from opentelemetry_collector_spark.operators.filter import FilterSet
         from opentelemetry_collector_spark.plans.config import ConfigError
 
-        with open(self.path) as f:
-            raw = yaml.safe_load(f) or {}
+        raw = yaml.safe_load(data.decode("utf-8")) or {}
         if not isinstance(raw, dict):
             raise ConfigError(f"config root must be a mapping, got {raw!r}")
         spec = (raw.get("processors") or {}).get("filter")
@@ -159,32 +172,27 @@ class ReloadableConfig:
             regexp=tuple(spec.get("regexp") or ()),
         )
 
-    def _read_digest(self) -> str:
-        """Content digest — mtime is unreliable (same-second rewrites
-        and coarse-granularity filesystems make distinct versions
-        indistinguishable), and the file is tiny."""
-        import hashlib
-
-        with open(self.path, "rb") as f:
-            return hashlib.md5(f.read()).hexdigest()
-
     def poll(self) -> bool:
-        """Swap on a valid CONTENT change. Returns True when a new
+        """Swap on a valid CONTENT change (digest of the SAME bytes
+        that get parsed — mtime is unreliable for same-second rewrites,
+        and a second read could race a writer). Returns True when a new
         config took effect. A failed load/validate keeps the last-good
         spec and appends to ``errors`` (the collector's failed-reload
-        behavior)."""
+        behavior); the broken version's digest is recorded so it is
+        not re-logged every trigger."""
         from opentelemetry_collector_spark.plans.config import ConfigError
 
         try:
-            d = self._read_digest()
+            data = self._read_bytes()
         except OSError:
             return False  # config file gone: keep serving last-good
+        d = self._hash(data)
         if d == self._digest:
             return False
-        self._digest = d  # don't re-log the same broken version
+        self._digest = d
         try:
-            new = self._load()
-        except (ConfigError, ValueError, OSError) as e:
+            new = self._load(data)
+        except (ConfigError, ValueError) as e:
             self.errors.append(str(e))
             return False
         self.filter_set = new
