@@ -686,6 +686,12 @@ def _q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_oracle.redact_pii(_docs_with_edges(spark, sf_dir))
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-informed LM-score proxy (mean corpus bigram frequency
+    per doc, exact integer ppm)."""
+    return text_oracle.lm_score(_docs_with_edges(spark, sf_dir))
+
+
 def _q_profile_hot_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profiles signal (pdata/pprofile): top-10 functions by self time
     over the dictionary-encoded samples/stacks/locations/functions star
@@ -766,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "text_repetition": _q_text_repetition,
         "text_redact": _q_text_redact,
+        "lm_score": _q_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
     }
 
@@ -988,6 +995,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_redact": f"WITH {_edge_docs_cte()} "
         + text_oracle.oracle_redact_pii("docs_all"),
+        "lm_score": text_oracle.oracle_lm_score(
+            "docs_all", extra_cte=_edge_docs_cte()
+        ),
         "tfidf_topterms": text_oracle.oracle_tfidf_topterms(3),
         "text_stats": f"""
             SELECT doc_id,

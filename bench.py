@@ -68,6 +68,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "ann_topk_ivf",
         "embedding_dedup",
         "enrich_asof",
+        "vocab_topk",
+        "tfidf_topterms",
+        "text_repetition",
+        "lm_score",
+        "profile_hot_functions",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))

@@ -462,3 +462,67 @@ def oracle_redact_pii(table: str = "documents") -> str:
     return f"""
         SELECT doc_id, {out} AS redacted, {", ".join(cols)}
         FROM {table}"""
+
+
+# ------------------------------------------------- corpus LM-score proxy
+
+
+def lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-informed fluency proxy (the n-gram-LM stand-in used by
+    training-data pipelines when a real LM is too expensive): each
+    document scores the MEAN corpus frequency of its bigrams,
+
+        bigram_freq_ppm = floor(count(g) · 10⁶ / total_bigrams)
+        lm_score_ppm    = floor(Σ bigram_freq_ppm / n_bigrams_doc)
+
+    Common-phrase documents score high, word-salad scores low. All
+    exact integers + floored double divisions (engine-bit-identical);
+    nested floors are mirrored in the oracle.
+
+    Scale: ONE corpus bigram-count aggregate (vocab²-bounded, in
+    practice Zipf-small) joined back to the exploded docs on the bigram
+    key — broadcastable when the bigram table is bounded — then a
+    per-doc mean. No corpus-wide windows."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(word_grams(F.col(text_col), 2)).alias("g")
+    )
+    counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = ex.agg(F.count(F.lit(1)).alias("total_bi"))
+    freq = counts.crossJoin(F.broadcast(total)).select(
+        "g",
+        F.floor(F.col("c").cast("double") * F.lit(1000000.0) / F.col("total_bi"))
+        .cast("long")
+        .alias("freq_ppm"),
+    )
+    return (
+        ex.join(freq, "g")
+        .groupBy("id")
+        .agg(
+            F.floor(
+                F.sum("freq_ppm").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("lm_score_ppm"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(F.col("id").alias(id_col), "lm_score_ppm", "n_bigrams")
+    )
+
+
+def oracle_lm_score(table: str = "documents", extra_cte: str = "") -> str:
+    lead = f"{extra_cte}," if extra_cte else ""
+    return f"""
+        WITH {lead} ex AS (SELECT doc_id AS id, unnest({oracle_word_grams("text", 2)}) AS g
+                   FROM {table}),
+        counts AS (SELECT g, count(*) AS c FROM ex GROUP BY 1),
+        tot AS (SELECT count(*) AS total_bi FROM ex),
+        freq AS (SELECT g,
+                        cast(floor(c * 1000000.0e0 / tot.total_bi) AS bigint)
+                          AS freq_ppm
+                 FROM counts CROSS JOIN tot)
+        SELECT ex.id AS doc_id,
+               cast(floor(sum(freq_ppm) * 1.0e0 / count(*)) AS bigint)
+                 AS lm_score_ppm,
+               cast(count(*) AS bigint) AS n_bigrams
+        FROM ex JOIN freq USING (g)
+        GROUP BY 1"""

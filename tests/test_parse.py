@@ -119,3 +119,22 @@ def test_redact_pii_masks_and_counts(spark):
     assert (rows[0]["n_email"], rows[0]["n_idnum"], rows[0]["n_phone"]) == (1, 1, 1)
     assert rows[1]["redacted"] == "clean text with no pii at all"
     assert (rows[1]["n_email"], rows[1]["n_idnum"], rows[1]["n_phone"]) == (0, 0, 0)
+
+
+def test_lm_score_semantics(spark):
+    """Common-phrase docs outscore word salad; hand-checked ppm."""
+    from opentelemetry_collector_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),   # bigrams: ab, bc
+            (1, "a b d"),   # bigrams: ab, bd
+        ],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: ab×2, bc×1, bd×1 → total 4
+    # freq_ppm: ab=500000, bc=250000, bd=250000
+    rows = {r["doc_id"]: r for r in T.lm_score(docs).collect()}
+    assert rows[0]["lm_score_ppm"] == (500_000 + 250_000) // 2
+    assert rows[0]["n_bigrams"] == 2
+    assert rows[1]["lm_score_ppm"] == (500_000 + 250_000) // 2
