@@ -144,6 +144,14 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to session parallelism before CPU-dense exploded
+    gram stages — single-row-group parquet inputs scan as ONE task
+    (same rule as operators/dedup._spread; measured 2-task stages on
+    the 32-core box without it)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def corpus_vocab(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -155,7 +163,7 @@ def corpus_vocab(
     count per term riding the same exchange — the canonical
     vocab-build; the result is vocab-sized, orders smaller than the
     corpus."""
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
@@ -195,7 +203,7 @@ def tfidf_topterms(
     broadcasting a one-row aggregate, not a driver collect."""
     from pyspark.sql import Window
 
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
@@ -361,6 +369,7 @@ def repetition_signals(
     def grams(n: int) -> Column:
         return word_grams(F.col(text_col), n)
 
+    df = _spread(df)
     bi = df.select(F.col(id_col).alias("id"), F.explode(grams(2)).alias("g"))
     bi_counts = bi.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
     bi_doc = bi_counts.groupBy("id").agg(
@@ -484,10 +493,15 @@ def lm_score(
     Scale: ONE corpus bigram-count aggregate (vocab²-bounded, in
     practice Zipf-small) joined back to the exploded docs on the bigram
     key — broadcastable when the bigram table is bounded — then a
-    per-doc mean. No corpus-wide windows."""
-    ex = df.select(
+    per-doc mean. No corpus-wide windows.
+
+    The exploded (id, gram) frame feeds THREE consumers (count agg,
+    total agg, join-back), so it is persisted — without the cache the
+    normalize/split/concat gram construction runs three times
+    (measured ~2× wall on the sf0.1 corpus)."""
+    ex = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(word_grams(F.col(text_col), 2)).alias("g")
-    )
+    ).persist()
     counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     total = ex.agg(F.count(F.lit(1)).alias("total_bi"))
     freq = counts.crossJoin(F.broadcast(total)).select(
