@@ -51,3 +51,34 @@ def transcript_ddl() -> str:
         "conv_id string, turn_idx int, role string, text string, "
         "tool string, ts timestamp"
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...] = ("conv_id",),
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    n_buckets: int = 16,
+) -> None:
+    """Materialize a bucketed + sorted table — the persisted-layout
+    side of the 100 TB shuffle story: a table bucketed on its join/
+    window key reports HashPartitioning(key) to Catalyst, so
+    downstream windows over (conv_id, turn_idx) and conv_id-keyed
+    joins between co-bucketed tables run with ZERO exchanges (plan
+    evidence pinned in tests/test_bucketing.py). On a real deployment
+    this is the Iceberg table's bucket partition transform
+    (`bucket(N, conv_id)`); the session-catalog saveAsTable is the
+    sandbox analog.
+
+    Paying one layout shuffle at WRITE time amortizes across every
+    subsequent stable-ordering window, sessionization, as-of join and
+    per-conversation aggregate — at 10^12 rows the re-shuffle per
+    query is the single largest avoidable cost.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
