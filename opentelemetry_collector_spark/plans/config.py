@@ -151,6 +151,40 @@ def resolve_config(raw: dict, allowed_schemes: frozenset[str] | None = None) -> 
     )
 
 
+def apply_set_overrides(raw: dict, sets: list[str]) -> dict:
+    """`--set a.b.c=v` overrides (otelcol/flags.go:39-48: each entry
+    becomes a highest-precedence yaml snippet; maps are JOINED, scalars
+    and arrays are OVERRIDDEN). Values parse as YAML so types survive
+    (`--set processors.batch.size=100` yields an int)."""
+    import copy
+
+    import yaml
+
+    out = copy.deepcopy(raw)
+    for entry in sets:
+        key, sep, val = entry.partition("=")
+        if not sep or not key.strip():
+            raise ConfigError(f"--set expects key=value, got {entry!r}")
+        try:
+            parsed = yaml.safe_load(val.strip()) if val.strip() else None
+        except yaml.YAMLError as e:
+            raise ConfigError(f"--set {entry!r}: unparsable value: {e}") from None
+        node = out
+        parts = [p.strip() for p in key.strip().split(".")]
+        for part in parts[:-1]:
+            nxt = node.get(part)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[part] = nxt
+            node = nxt
+        leaf = parts[-1]
+        if isinstance(node.get(leaf), dict) and isinstance(parsed, dict):
+            node[leaf] = {**node[leaf], **parsed}  # maps join
+        else:
+            node[leaf] = parsed  # scalars/arrays override
+    return out
+
+
 def expand_env(value: Any) -> Any:
     """${env:VAR} / ${env:VAR:-default} expansion — now a view over the
     full resolver (kept for the original name)."""
@@ -179,6 +213,7 @@ class ConfigError(ValueError):
     pass
 
 
+PIPELINE_SIGNALS = ("logs", "metrics", "traces", "profiles")
 RECEIVER_TYPES = ("transcripts", "nop", "table")
 PROCESSOR_TYPES = ("parse", "enrich", "filter", "order", "batch", "route")
 EXPORTER_TYPES = ("parquet", "debug", "nop")
@@ -442,6 +477,25 @@ def load_service(
     connectors = raw.get("connectors", {}) or {}
     pipelines: dict[str, PipelineDef] = {}
     for pname, pdef in pipes_raw.items():
+        # pipeline IDs are signal-typed `signal[/name]`
+        # (pipeline/pipeline.go ID semantics; service/pipelines/
+        # config.go Validate): unknown signals are errors, and the
+        # profiles signal is gated behind an alpha feature gate exactly
+        # as upstream (ServiceProfilesSupportFeatureGate)
+        signal = _ctype(pname)
+        if signal not in PIPELINE_SIGNALS:
+            raise ConfigError(
+                f"pipeline {pname!r}: unknown signal {signal!r} "
+                f"(IDs are signal[/name]; known: {PIPELINE_SIGNALS})"
+            )
+        if signal == "profiles":
+            from opentelemetry_collector_spark.plans import featuregate
+
+            if not featuregate.REGISTRY.is_enabled("service.profilesSupport"):
+                raise ConfigError(
+                    f"pipeline {pname!r}: profiling signal support is at "
+                    f"alpha level, gated under 'service.profilesSupport'"
+                )
         rs = tuple(pdef.get("receivers", ()))
         ps = tuple(pdef.get("processors", ()))
         es = tuple(pdef.get("exporters", ()))
@@ -449,6 +503,12 @@ def load_service(
             raise ConfigError(f"pipeline {pname!r} declares no receivers")
         if not es:
             raise ConfigError(f"pipeline {pname!r} declares no exporters")
+        dup = {p for p in ps if ps.count(p) > 1}
+        if dup:
+            raise ConfigError(
+                f"pipeline {pname!r} references processor(s) "
+                f"{sorted(dup)} more than once"
+            )
         for r in rs:
             if r not in receivers and r not in connectors:
                 raise ConfigError(

@@ -98,6 +98,12 @@ def default_registry() -> Registry:
         "(AQE map-side partial aggregation already absorbs fixture skew)",
     )
     r.register(
+        "service.profilesSupport",
+        ALPHA,
+        "allow profiles-signal pipelines in service.pipelines "
+        "(service/pipelines/config.go ServiceProfilesSupportFeatureGate)",
+    )
+    r.register(
         "engine.singlePassFanout",
         BETA,
         "write all sinks in one partitionBy(sink) pass instead of "

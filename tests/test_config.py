@@ -155,14 +155,14 @@ def test_forward_connector_fans_in(spark, sf_dir):
         "exporters": {"debug": {}},
         "service": {
             "pipelines": {
-                "in_a": {"receivers": ["transcripts"], "exporters": ["forward"]},
-                "in_b": {"receivers": ["transcripts/b"], "exporters": ["forward"]},
-                "out": {"receivers": ["forward"], "exporters": ["debug"]},
+                "logs/in_a": {"receivers": ["transcripts"], "exporters": ["forward"]},
+                "logs/in_b": {"receivers": ["transcripts/b"], "exporters": ["forward"]},
+                "logs/out": {"receivers": ["forward"], "exporters": ["debug"]},
             }
         },
     }
     frames = cfg_mod.build_service_frames(spark, cfg_mod.load_service(raw), sf_dir)
-    assert frames["out"].count() == frames["in_a"].count() + frames["in_b"].count()
+    assert frames["logs/out"].count() == frames["logs/in_a"].count() + frames["logs/in_b"].count()
 
 
 def test_half_wired_connector_rejected():
@@ -180,8 +180,8 @@ def test_connector_cycle_rejected(spark, sf_dir):
         "exporters": {"debug": {}},
         "service": {
             "pipelines": {
-                "p1": {"receivers": ["transcripts", "forward/b"], "exporters": ["forward/a"]},
-                "p2": {"receivers": ["forward/a"], "exporters": ["forward/b", "debug"]},
+                "logs/p1": {"receivers": ["transcripts", "forward/b"], "exporters": ["forward/a"]},
+                "logs/p2": {"receivers": ["forward/a"], "exporters": ["forward/b", "debug"]},
             }
         },
     }
@@ -235,3 +235,80 @@ def test_telemetry_in_service_spec_and_null_subsections():
     spec = cfg_mod.load_service(raw)
     assert spec.telemetry.metrics_level == "none" and not spec.telemetry.write_metrics
     assert spec.telemetry.logs_level == "info"  # YAML-null subsection → default
+
+
+def test_pipeline_ids_are_signal_typed():
+    """pipeline/pipeline.go ID semantics: signal[/name], unknown
+    signals are config errors."""
+    raw = {
+        "receivers": {"transcripts": {}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {
+            "telemetry": {"receivers": ["transcripts"], "exporters": ["debug"]},
+        }},
+    }
+    with pytest.raises(cfg_mod.ConfigError, match="unknown signal"):
+        cfg_mod.load_service(raw)
+    raw["service"]["pipelines"] = {
+        "logs/custom": {"receivers": ["transcripts"], "exporters": ["debug"]},
+    }
+    assert "logs/custom" in cfg_mod.load_service(raw).pipelines
+
+
+def test_profiles_pipeline_gated(monkeypatch):
+    """service/pipelines/config.go: profiles pipelines need the alpha
+    service.profilesSupport gate."""
+    from opentelemetry_collector_spark.plans import featuregate
+
+    raw = {
+        "receivers": {"transcripts": {}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {
+            "profiles": {"receivers": ["transcripts"], "exporters": ["debug"]},
+        }},
+    }
+    with pytest.raises(cfg_mod.ConfigError, match="profilesSupport"):
+        cfg_mod.load_service(raw)
+    monkeypatch.setattr(
+        featuregate, "REGISTRY", featuregate.default_registry()
+    )
+    featuregate.REGISTRY.set("service.profilesSupport", True)
+    assert "profiles" in cfg_mod.load_service(raw).pipelines
+
+
+def test_duplicate_processor_in_pipeline_rejected():
+    raw = {
+        "receivers": {"transcripts": {}},
+        "processors": {"parse": {}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {
+            "logs": {
+                "receivers": ["transcripts"],
+                "processors": ["parse", "parse"],
+                "exporters": ["debug"],
+            },
+        }},
+    }
+    with pytest.raises(cfg_mod.ConfigError, match="more than once"):
+        cfg_mod.load_service(raw)
+
+
+def test_set_overrides():
+    """--set flag semantics (otelcol/flags.go): typed YAML values,
+    maps join, scalars/arrays override, last entry wins."""
+    raw = {"processors": {"batch": {"size": 10, "keep": True}}}
+    out = cfg_mod.apply_set_overrides(
+        raw,
+        [
+            "processors.batch.size=100",
+            "processors.filter.column=role",
+            "service.telemetry.logs.level=debug",
+            "processors.batch.size=200",
+        ],
+    )
+    assert out["processors"]["batch"] == {"size": 200, "keep": True}
+    assert out["processors"]["filter"] == {"column": "role"}
+    assert out["service"]["telemetry"]["logs"]["level"] == "debug"
+    assert raw["processors"]["batch"]["size"] == 10  # input untouched
+    with pytest.raises(cfg_mod.ConfigError, match="key=value"):
+        cfg_mod.apply_set_overrides({}, ["novalue"])

@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--metrics-level", default="normal",
                     help="service.telemetry metrics level; 'none' suppresses "
                          "the obsreport metrics + status tables")
+    ap.add_argument("--set", action="append", default=[], dest="sets",
+                    metavar="KEY=VALUE",
+                    help="telemetry-config override, e.g. "
+                         "--set service.telemetry.metrics.level=none "
+                         "(otelcol --set analog; highest precedence)")
     ap.add_argument("--feature-gates", default="",
                     help="comma-separated gate ids, '-' prefix disables "
                          "(featuregate flag syntax, e.g. 'engine.arrowParse,"
@@ -70,10 +75,13 @@ def main() -> None:
         if args.single_pass is not None
         else featuregate.REGISTRY.is_enabled("engine.singlePassFanout")
     )
-    telemetry = cfg_mod.load_telemetry(
-        {"service": {"telemetry": {"logs": {"level": args.logs_level},
-                                   "metrics": {"level": args.metrics_level}}}}
-    )
+    telemetry_raw = {
+        "service": {"telemetry": {"logs": {"level": args.logs_level},
+                                  "metrics": {"level": args.metrics_level}}}
+    }
+    if args.sets:
+        telemetry_raw = cfg_mod.apply_set_overrides(telemetry_raw, args.sets)
+    telemetry = cfg_mod.load_telemetry(telemetry_raw)
     # logs level drives driver/executor log verbosity (zap-config analog)
     spark.sparkContext.setLogLevel(telemetry.logs_level.upper())
     cfg = pipeline.PipelineConfig(parse_method=args.parse_method, salted=salted)

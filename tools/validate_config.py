@@ -32,6 +32,16 @@ def main() -> int:
         help="validate the single-pipeline (processors-list) shape",
     )
     ap.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        dest="sets",
+        help="config override applied before validation, highest "
+        "precedence (otelcol --set analog; repeatable, maps join, "
+        "scalars/arrays override)",
+    )
+    ap.add_argument(
         "--allow-schemes",
         default="env,yaml",
         help="comma-separated ${scheme:…} providers to resolve during "
@@ -54,6 +64,8 @@ def main() -> int:
         print(f"cannot read config: {e}", file=sys.stderr)
         return 2
     try:
+        if args.sets:
+            raw = cfg_mod.apply_set_overrides(raw, args.sets)
         if args.legacy:
             spec = cfg_mod.load_spec(raw, allowed_schemes=allowed)
             cfg_mod.build_graph(spec)
