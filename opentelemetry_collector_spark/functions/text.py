@@ -144,12 +144,21 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to session parallelism before CPU-dense exploded
-    gram stages — single-row-group parquet inputs scan as ONE task
-    (same rule as operators/dedup._spread; measured 2-task stages on
-    the 32-core box without it)."""
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before CPU-dense
+    per-row stages (exploded grams, minhash/simhash fingerprints):
+    single-row-group parquet inputs scan as ONE task, which serializes
+    the work — measured 7.5× on the sf0.1 documents table and 2-task
+    stages for the corpus text operators on a 32-core box.
+
+    Unconditional: peeking at df.rdd.getNumPartitions() forces an RDD
+    plan conversion on the driver per call, which costs more than the
+    (cheap, pre-hash, narrow-row) round-robin shuffle it avoids. The
+    ONE copy of this tuning rule — operators/dedup imports it too."""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+_spread = spread_to_parallelism
 
 
 def corpus_vocab(
@@ -477,7 +486,10 @@ def oracle_redact_pii(table: str = "documents") -> str:
 
 
 def lm_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist_handle: list | None = None,
 ) -> DataFrame:
     """Corpus-informed fluency proxy (the n-gram-LM stand-in used by
     training-data pipelines when a real LM is too expensive): each
@@ -498,10 +510,16 @@ def lm_score(
     The exploded (id, gram) frame feeds THREE consumers (count agg,
     total agg, join-back), so it is persisted — without the cache the
     normalize/split/concat gram construction runs three times
-    (measured ~2× wall on the sf0.1 corpus)."""
+    (measured ~2× wall on the sf0.1 corpus). Pass ``persist_handle=[]``
+    to unpersist deterministically (the family contract of every
+    persisting operator here); otherwise the ContextCleaner reclaims it
+    on GC and long-lived sessions should clearCache between queries
+    (bench.py / check_correctness.py both do)."""
     ex = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(word_grams(F.col(text_col), 2)).alias("g")
     ).persist()
+    if persist_handle is not None:
+        persist_handle.append(ex)
     counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     total = ex.agg(F.count(F.lit(1)).alias("total_bi"))
     freq = counts.crossJoin(F.broadcast(total)).select(

@@ -31,6 +31,7 @@ from opentelemetry_collector_spark.functions.text import (
     normalize_text,
     oracle_fingerprint,
     oracle_word_grams,
+    spread_to_parallelism,
     word_grams,
 )
 
@@ -89,16 +90,8 @@ def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) ->
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to the session's parallelism before CPU-dense
-    per-row stages. Single-row-group parquet inputs scan as ONE task,
-    which serializes the (interpreted higher-order-function) minhash /
-    simhash work — measured 7.5× on the sf0.1 documents table.
-
-    Unconditional: peeking at df.rdd.getNumPartitions() forces an
-    RDD plan conversion on the driver per call, which costs more than
-    the (cheap, pre-hash, narrow-row) round-robin shuffle it avoids."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+# the ONE spread rule lives in functions/text.spread_to_parallelism
+_spread = spread_to_parallelism
 
 
 def with_minhash(

@@ -179,9 +179,22 @@ def apply_set_overrides(raw: dict, sets: list[str]) -> dict:
             node = nxt
         leaf = parts[-1]
         if isinstance(node.get(leaf), dict) and isinstance(parsed, dict):
-            node[leaf] = {**node[leaf], **parsed}  # maps join
+            node[leaf] = _deep_merge(node[leaf], parsed)  # maps join
         else:
             node[leaf] = parsed  # scalars/arrays override
+    return out
+
+
+def _deep_merge(base: dict, over: dict) -> dict:
+    """confmap merge: maps join RECURSIVELY, scalars/arrays override —
+    a shallow {**a, **b} would wipe sibling keys of any nested map the
+    override touches."""
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(out.get(k), dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
     return out
 
 
@@ -477,6 +490,13 @@ def load_service(
     connectors = raw.get("connectors", {}) or {}
     pipelines: dict[str, PipelineDef] = {}
     for pname, pdef in pipes_raw.items():
+        # a null pipeline body (`logs:` with no value) or a scalar is a
+        # ConfigError, same null tolerance as the service level above
+        pdef = pdef or {}
+        if not isinstance(pdef, dict):
+            raise ConfigError(
+                f"pipeline {pname!r} body must be a mapping, got {pdef!r}"
+            )
         # pipeline IDs are signal-typed `signal[/name]`
         # (pipeline/pipeline.go ID semantics; service/pipelines/
         # config.go Validate): unknown signals are errors, and the

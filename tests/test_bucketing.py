@@ -22,7 +22,7 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_window_over_bucketed_table_has_no_exchange(spark, bucketed):
+def test_window_over_bucketed_table_has_no_exchange(spark, bucketed, sf_dir):
     """The stable-ordering window (ordered_turns shape) over a
     conv_id-bucketed table must satisfy its clustering from the
     bucketing — no shuffle before the window."""
@@ -35,7 +35,7 @@ def test_window_over_bucketed_table_has_no_exchange(spark, bucketed):
     assert "Exchange" not in plan, plan
     # same query over the plain parquet path DOES shuffle — the
     # comparison that proves the bucketing is what removed it
-    plain = tables.read_transcripts(spark, "/root/testdata/sf0.001")
+    plain = tables.read_transcripts(spark, sf_dir)
     plain_out = plain.withColumn("turn_seq", F.row_number().over(w))
     assert "Exchange" in _plan(plain_out)
 
@@ -61,9 +61,10 @@ def test_cobucketed_join_has_no_exchange(spark, bucketed, sf_dir):
         plan = _plan(joined)
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert "Exchange" not in plan, plan
-        # correctness: every row got its conversation count
-        row = joined.filter(F.col("n_turns").isNull()).count()
-        assert row == 0
+        # correctness: the inner join must keep EVERY fact row (a
+        # mis-bucketed read would drop rows — a null-check after an
+        # inner join could never see that)
+        assert joined.count() == spark.table("tx_bucketed").count()
     finally:
         spark.sql("DROP TABLE IF EXISTS tx_counts_bucketed")
 

@@ -220,3 +220,28 @@ def test_debug_sink_sampling_requires_shared_counter(spark):
     df = spark.createDataFrame([(1,)], "v int")
     with pytest.raises(ValueError, match="_batch_counter"):
         writers.debug_sink(df, verbosity="normal", sampling_initial=1)
+
+
+def test_null_pipeline_body_is_config_error():
+    import pytest
+
+    from opentelemetry_collector_spark.plans import config as cfg_mod
+
+    raw = {
+        "receivers": {"transcripts": {}},
+        "exporters": {"debug": {}},
+        "service": {"pipelines": {"logs": None}},
+    }
+    with pytest.raises(cfg_mod.ConfigError):
+        cfg_mod.load_service(raw)
+    raw["service"]["pipelines"] = {"logs": "scalar"}
+    with pytest.raises(cfg_mod.ConfigError):
+        cfg_mod.load_service(raw)
+
+
+def test_set_overrides_merge_is_recursive():
+    from opentelemetry_collector_spark.plans import config as cfg_mod
+
+    raw = {"a": {"b": {"c": {"e": 2}}}}
+    out = cfg_mod.apply_set_overrides(raw, ["a.b={c: {d: 1}}"])
+    assert out["a"]["b"]["c"] == {"e": 2, "d": 1}  # sibling key survives

@@ -42,6 +42,13 @@ def main() -> int:
         "scalars/arrays override)",
     )
     ap.add_argument(
+        "--feature-gates",
+        default="",
+        help="comma-separated gate ids, '-' prefix disables — needed to "
+        "validate gated surfaces (e.g. service.profilesSupport for "
+        "profiles pipelines), same syntax as submit_pipeline",
+    )
+    ap.add_argument(
         "--allow-schemes",
         default="env,yaml",
         help="comma-separated ${scheme:…} providers to resolve during "
@@ -63,6 +70,14 @@ def main() -> int:
     except (OSError, yaml.YAMLError) as e:
         print(f"cannot read config: {e}", file=sys.stderr)
         return 2
+    if args.feature_gates:
+        from opentelemetry_collector_spark.plans import featuregate
+
+        try:
+            featuregate.REGISTRY.apply_flags(args.feature_gates)
+        except featuregate.GateError as e:
+            print(f"invalid configuration: {e}", file=sys.stderr)
+            return 1
     try:
         if args.sets:
             raw = cfg_mod.apply_set_overrides(raw, args.sets)
