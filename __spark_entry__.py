@@ -686,6 +686,20 @@ def _q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_oracle.redact_pii(_docs_with_edges(spark, sf_dir))
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ingestion shape: dedup a 20% increment (doc_id%5==0)
+    against the persisted dedup STATE of the other 80% — exact
+    fingerprint anti-join + band-key candidates + signature
+    component-agreement verification; corpus text is never rescanned."""
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    newb = docs.filter(F.col("doc_id") % 5 == 0)
+    store = dedup.minhash_store(corpus)
+    return dedup.incremental_dedup_keep_ids(newb, store)
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-informed LM-score proxy (mean corpus bigram frequency
     per doc, exact integer ppm)."""
@@ -773,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_redact": _q_text_redact,
         "lm_score": _q_lm_score,
+        "dedup_incremental": _q_dedup_incremental,
         "tfidf_topterms": _q_tfidf_topterms,
     }
 
@@ -972,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
             FROM routed GROUP BY 1, 2""",
         "embedding_neardup": sim_oracle.oracle_embedding_neardup(0.5),
         "neardup_minhash": dedup_oracle.oracle_neardup_pairs_lsh(0.5),
+        "dedup_incremental": dedup_oracle.oracle_incremental_dedup(),
         "simhash_pairs": dedup_oracle.oracle_simhash_pairs(8),
         "text_winnow": dedup_oracle.oracle_winnow_stats("documents"),
         "neardup_winnow": dedup_oracle.oracle_neardup_winnow(30),

@@ -928,3 +928,187 @@ def oracle_minhash(shingles_expr: str, num_hashes: int = DEFAULT_NUM_HASHES) -> 
         for i in range(num_hashes)
     )
     return f"[{mins}]"
+
+
+# ----------------------------------------------------- incremental dedup
+#
+# The production ingestion shape: a corpus of N documents already
+# cleaned, a daily increment of n << N new documents to admit. The
+# corpus contributes only its persisted DEDUP STATE (minhash_store) —
+# its text is never rescanned; at scale the store is an Iceberg table
+# bucketed by band key, so the candidate join is co-located.
+
+MINHASH_EST_MIN_EQUAL = 8  # of DEFAULT_NUM_HASHES=16 → est. Jaccard ≥ 0.5
+
+
+def minhash_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc dedup state: normalized fingerprint, minhash signature,
+    band keys. This is what a production run PERSISTS so later
+    increments dedup against hashes instead of text."""
+    m = with_minhash(df, text_col, num_hashes, shingle_n)
+    return m.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("fp"),
+        F.col("minhash"),
+        band_keys(F.col("minhash"), bands, num_hashes).alias("bks"),
+    )
+
+
+def _sig_equal_components(a: Column, b: Column) -> Column:
+    """# of positions where two minhash signatures agree — the standard
+    Jaccard estimator (E[equal/num_hashes] = J) used when original
+    shingles are cold storage."""
+    return F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda z: z)
+    )
+
+
+def incremental_dedup_keep_ids(
+    new_docs: DataFrame,
+    corpus_store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    min_equal: int = MINHASH_EST_MIN_EQUAL,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    persist_handle: list | None = None,
+) -> DataFrame:
+    """Kept NEW doc ids after dedup against (a) the corpus store and
+    (b) the new batch itself.
+
+    1. exact: a new doc whose normalized fingerprint exists in the
+       corpus is dropped (anti-join on the 16-byte fp); within the
+       batch the smallest id per fingerprint survives;
+    2. near-dup: band-key candidates against corpus + batch stores
+       (windowed hot-bucket cap over the COMBINED bucket population),
+       verified by signature agreement ≥ min_equal components — new
+       ids matching any corpus doc, or a smaller surviving new id, are
+       dropped. Deterministic and replay-stable.
+    """
+    ns = minhash_store(new_docs, id_col, text_col, num_hashes, bands, shingle_n).persist()
+    if persist_handle is not None:
+        persist_handle.append(ns)
+    # 1) exact
+    from pyspark.sql import Window
+
+    in_corpus = corpus_store.select("fp").distinct()
+    w = Window.partitionBy("fp").orderBy("id")
+    survivors = (
+        ns.join(in_corpus, "fp", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # 2) near-dup candidates over band keys (corpus ∪ surviving new)
+    nb = survivors.select(F.col("id"), F.explode("bks").alias("bk")).withColumn(
+        "src", F.lit("new")
+    )
+    cb = corpus_store.select(F.col("id"), F.explode("bks").alias("bk")).withColumn(
+        "src", F.lit("corpus")
+    )
+    keyed = nb.unionByName(cb)
+    if max_bucket is not None:
+        wb = Window.partitionBy("bk")
+        keyed = (
+            keyed.withColumn("_bc", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
+    new_side = keyed.filter(F.col("src") == "new").select(
+        "bk", F.col("id").alias("id_new")
+    )
+    other = keyed.select("bk", F.col("id").alias("id_other"), "src")
+    cand = (
+        new_side.join(other, "bk")
+        .filter(
+            (F.col("src") == "corpus")
+            | (F.col("id_other") < F.col("id_new"))  # smaller NEW id wins
+        )
+        .select("id_new", "id_other", "src")
+        .dropDuplicates(["id_new", "id_other", "src"])
+    )
+    sig_new = survivors.select(F.col("id").alias("id_new"), F.col("minhash").alias("mh_new"))
+    sig_corpus = corpus_store.select(F.col("id").alias("id_other"), F.col("minhash").alias("mh_other"))
+    sig_newb = survivors.select(F.col("id").alias("id_other"), F.col("minhash").alias("mh_other"))
+    cand_c = cand.filter(F.col("src") == "corpus").join(sig_corpus, "id_other")
+    cand_n = cand.filter(F.col("src") == "new").join(sig_newb, "id_other")
+    verified = (
+        cand_c.unionByName(cand_n)
+        .join(sig_new, "id_new")
+        .filter(
+            _sig_equal_components(F.col("mh_new"), F.col("mh_other")) >= min_equal
+        )
+    )
+    drops = verified.select(F.col("id_new").alias("id")).distinct()
+    return survivors.join(drops, "id", "left_anti").select(
+        F.col("id").alias(id_col)
+    )
+
+
+def oracle_incremental_dedup(
+    table: str = "documents",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    min_equal: int = MINHASH_EST_MIN_EQUAL,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
+    """DuckDB mirror of incremental_dedup_keep_ids over the canonical
+    corpus/new split (doc_id % 5: 80% corpus, 20% increment) — exact
+    store anti-join, capped combined-bucket band candidates, signature
+    component-agreement verification, pairwise-deterministic drops."""
+    sh = oracle_shingles("text")
+    mh = oracle_minhash("sh", num_hashes)
+    fp = oracle_fingerprint("text")
+    rows = num_hashes // bands
+    band_list = ", ".join(
+        "'" + str(b) + "#' || " + " || '#' || ".join(
+            f"mh[{b * rows + r + 1}]" for r in range(rows)
+        )
+        for b in range(bands)
+    )
+    cap = (
+        f"QUALIFY count(*) OVER (PARTITION BY bk) <= {max_bucket}"
+        if max_bucket is not None
+        else ""
+    )
+    eq = (
+        f"len(list_filter(range(1, {num_hashes + 1}), "
+        f"i -> sn.mh[i] = so.mh[i]))"
+    )
+    return f"""
+        WITH cs AS (SELECT doc_id AS id, {fp} AS fp, {mh} AS mh
+                    FROM (SELECT doc_id, text, {sh} AS sh FROM {table}
+                          WHERE doc_id % 5 <> 0)),
+        ns AS (SELECT doc_id AS id, {fp} AS fp, {mh} AS mh
+               FROM (SELECT doc_id, text, {sh} AS sh FROM {table}
+                     WHERE doc_id % 5 = 0)),
+        surv AS (SELECT * FROM ns
+                 WHERE NOT EXISTS (SELECT 1 FROM cs WHERE cs.fp = ns.fp)
+                 QUALIFY row_number() OVER (PARTITION BY fp ORDER BY id) = 1),
+        keyed0 AS (
+            SELECT id, unnest([{band_list}]) AS bk, 'new' AS src FROM surv
+            UNION ALL
+            SELECT id, unnest([{band_list}]) AS bk, 'corpus' AS src FROM cs),
+        keyed AS (SELECT * FROM keyed0 {cap}),
+        cand AS (SELECT DISTINCT n.id AS id_new, o.id AS id_other, o.src
+                 FROM keyed n JOIN keyed o ON n.bk = o.bk
+                 WHERE n.src = 'new'
+                   AND (o.src = 'corpus' OR (o.src = 'new' AND o.id < n.id))),
+        verified AS (
+            SELECT DISTINCT c.id_new FROM cand c
+            JOIN surv sn ON sn.id = c.id_new
+            JOIN (SELECT id, mh, 'corpus' AS src FROM cs
+                  UNION ALL SELECT id, mh, 'new' AS src FROM surv) so
+              ON so.id = c.id_other AND so.src = c.src
+            WHERE {eq} >= {min_equal})
+        SELECT s.id AS doc_id FROM surv s
+        WHERE s.id NOT IN (SELECT id_new FROM verified)"""

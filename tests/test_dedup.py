@@ -279,3 +279,49 @@ def test_winnow_cap_prunes_candidates_not_scores(spark):
     # candidates came from the uncapped distinctive fingerprints, but
     # the score is the FULL intersection (boilerplate included)
     assert pairs[(100, 101)] == full_shared
+
+
+def test_incremental_dedup_semantics(spark):
+    """Daily-increment dedup against the persisted corpus STATE: exact
+    corpus dup dropped, within-batch dup keeps min id, near-dup of a
+    corpus doc dropped via signature agreement, novel doc kept."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "completely different text about spark adaptive query execution engines"),
+        ],
+        "doc_id long, text string",
+    )
+    newb = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact corpus dup
+            (101, "a genuinely novel document about streaming watermarks and state"),
+            (102, "a genuinely novel document about streaming watermarks and state"),  # batch dup of 101
+            (103, "the quick brown fox jumps over the lazy CAT near the river bank"),  # near-dup of corpus 0
+        ],
+        "doc_id long, text string",
+    )
+    store = dedup.minhash_store(corpus)
+    kept = {r["doc_id"] for r in dedup.incremental_dedup_keep_ids(newb, store).collect()}
+    assert 100 not in kept  # exact corpus dup
+    assert 101 in kept and 102 not in kept  # min id survives the batch
+    assert 103 not in kept  # near-dup of corpus content, caught by signatures
+    assert kept == {101}
+
+
+def test_incremental_dedup_never_rescans_corpus_text(spark):
+    """The store is self-sufficient: dropping the corpus text column
+    entirely must not change the result — proof the increment path
+    touches hashes only."""
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} about topic {i * 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    newb = spark.createDataFrame(
+        [(100 + i, f"corpus document number {i} about topic {i * 3}") for i in range(5)]
+        + [(200, "something else entirely unrelated to anything above")],
+        "doc_id long, text string",
+    )
+    store = dedup.minhash_store(corpus).select("id", "fp", "minhash", "bks")
+    kept = {r["doc_id"] for r in dedup.incremental_dedup_keep_ids(newb, store).collect()}
+    assert kept == {200}
