@@ -239,3 +239,26 @@ def run_to_sinks_reloadable(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start(), rc
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest dedup: suppress re-delivered rows (retried
+    requests, at-least-once sources) by unique key within a watermark
+    horizon — dropDuplicatesWithinWatermark keeps the dedup state
+    BOUNDED (keys older than the watermark are evicted), which is the
+    only admissible shape for an unbounded stream; an unwatermarked
+    dropDuplicates would grow state forever.
+
+    This is the streaming face of the exactly-once contract the batch
+    side gets from idempotent writes + the lineage manifest: the
+    reference relies on the persistent queue's consumed-offset
+    tracking, Spark's analog is checkpointed source offsets PLUS this
+    key-level guard for duplicates the source itself re-sends."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

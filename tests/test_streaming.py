@@ -219,3 +219,33 @@ def test_stream_hot_reload_between_epochs(spark, sf_dir, tmp_path):
     roles = {r["role"] for r in second.select("role").distinct().collect()}
     assert roles == {"tool"}
     assert rc.reloads >= 1 and not rc.errors
+
+
+def test_stream_dedup_suppresses_redelivery(spark, sf_dir, tmp_path):
+    """A re-delivered file (at-least-once source) must contribute no
+    duplicate rows downstream of dedup_stream — and the dedup state is
+    watermark-bounded, not unbounded."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    files = _split_fixture(sf_dir, tmp_path / "stage", parts=3)
+    shutil.copy(files[0], src / "a.parquet")
+    # the SAME rows again under a different name: a retried request
+    shutil.copy(files[0], src / "a-retry.parquet")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    stream = micro.stream_transcripts(spark, str(src))
+    deduped = micro.dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    n_unique = pq.read_table(files[0]).num_rows
+    assert got.count() == n_unique
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
