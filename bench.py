@@ -73,6 +73,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "text_repetition",
         "lm_score",
         "profile_hot_functions",
+        "dedup_incremental",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))

@@ -45,6 +45,25 @@ DEFAULT_BANDS = 4  # 4 bands × 4 rows
 DEFAULT_MAX_BUCKET = 256
 
 
+def _cap_hot_buckets(keyed: DataFrame, key_col: str, max_bucket: int | None) -> DataFrame:
+    """THE hot-bucket cap (one definition for every candidate
+    generator): drop rows whose bucket key holds more than max_bucket
+    members — a bucket of m emits m²/2 candidate pairs, which AQE can
+    split but never shrink. Window form measured 21% faster than
+    aggregate+semi-join at sf0.1 and its exchange co-locates with the
+    self-join that follows."""
+    if max_bucket is None:
+        return keyed
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    return (
+        keyed.withColumn("_bc", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bc") <= max_bucket)
+        .drop("_bc")
+    )
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -178,19 +197,7 @@ def lsh_candidate_pairs(
     m = m.persist()
     if persist_handle is not None:
         persist_handle.append(m)
-    if max_bucket is not None:
-        # per-bucket member count via a window over bk (high-cardinality
-        # key — group size IS the bucket size, exactly what we bound);
-        # measured 21% faster than aggregate+semi-join at sf0.1 and the
-        # bk exchange co-locates with the self-join below
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("bk")
-        keyed = (
-            keyed.withColumn("_bc", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bc") <= max_bucket)
-            .drop("_bc")
-        )
+    keyed = _cap_hot_buckets(keyed, "bk", max_bucket)
     a = keyed.select("bk", F.col("id").alias("id_a"))
     b = keyed.select("bk", F.col("id").alias("id_b"))
     pairs = (
@@ -445,15 +452,7 @@ def simhash_neardup_pairs(
         persist_handle.append(sh)
     keys = simhash_key_exprs(F.col("simhash0"), F.col("simhash1"), max_hamming)
     chunks = sh.select("id", F.explode(F.array(*keys)).alias("chunk"))
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("chunk")
-        chunks = (
-            chunks.withColumn("_bc", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bc") <= max_bucket)
-            .drop("_bc")
-        )
+    chunks = _cap_hot_buckets(chunks, "chunk", max_bucket)
     # NARROW candidate dedup (ids only — a pair collides in up to
     # C(m,2) keys, so the dedup shuffle dominates; 2 longs beat 6), then
     # fingerprints rejoin once from the persisted frame — the exact
@@ -630,16 +629,9 @@ def neardup_pairs_winnow(
     )
     if persist_handle is not None:
         persist_handle.append(m)
-    fp = m.select("id", F.explode("winnow_fp").alias("h"))
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        wd = Window.partitionBy("h")
-        fp = (
-            fp.withColumn("_hc", F.count(F.lit(1)).over(wd))
-            .filter(F.col("_hc") <= max_bucket)
-            .drop("_hc")
-        )
+    fp = _cap_hot_buckets(
+        m.select("id", F.explode("winnow_fp").alias("h")), "h", max_bucket
+    )
     a = fp.select("h", F.col("id").alias("id_a"))
     b = fp.select("h", F.col("id").alias("id_b"))
     cand = (
@@ -994,9 +986,14 @@ def incremental_dedup_keep_ids(
        ids matching any corpus doc, or a smaller surviving new id, are
        dropped. Deterministic and replay-stable.
     """
+    # both stores feed MULTIPLE lazy branches (fp distinct, explode of
+    # the expensive bks array, signature joins) — the explode would
+    # splice the seeded-md5 transforms into each consumer without the
+    # cache barriers (the lsh_candidate_pairs rule)
     ns = minhash_store(new_docs, id_col, text_col, num_hashes, bands, shingle_n).persist()
+    corpus_store = corpus_store.persist()
     if persist_handle is not None:
-        persist_handle.append(ns)
+        persist_handle.extend([ns, corpus_store])
     # 1) exact
     from pyspark.sql import Window
 
@@ -1007,7 +1004,9 @@ def incremental_dedup_keep_ids(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    )
+    ).persist()  # four consumers: nb, two signature joins, final anti-join
+    if persist_handle is not None:
+        persist_handle.append(survivors)
     # 2) near-dup candidates over band keys (corpus ∪ surviving new)
     nb = survivors.select(F.col("id"), F.explode("bks").alias("bk")).withColumn(
         "src", F.lit("new")
@@ -1015,14 +1014,7 @@ def incremental_dedup_keep_ids(
     cb = corpus_store.select(F.col("id"), F.explode("bks").alias("bk")).withColumn(
         "src", F.lit("corpus")
     )
-    keyed = nb.unionByName(cb)
-    if max_bucket is not None:
-        wb = Window.partitionBy("bk")
-        keyed = (
-            keyed.withColumn("_bc", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_bc") <= max_bucket)
-            .drop("_bc")
-        )
+    keyed = _cap_hot_buckets(nb.unionByName(cb), "bk", max_bucket)
     new_side = keyed.filter(F.col("src") == "new").select(
         "bk", F.col("id").alias("id_new")
     )

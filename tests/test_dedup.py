@@ -309,10 +309,11 @@ def test_incremental_dedup_semantics(spark):
     assert kept == {101}
 
 
-def test_incremental_dedup_never_rescans_corpus_text(spark):
-    """The store is self-sufficient: dropping the corpus text column
-    entirely must not change the result — proof the increment path
-    touches hashes only."""
+def test_incremental_dedup_never_rescans_corpus_text(spark, tmp_path):
+    """The store is SELF-SUFFICIENT: a store round-tripped through
+    parquet (corpus DataFrame gone entirely, text column never
+    written) must give identical results — proof the increment path
+    touches persisted hashes only."""
     corpus = spark.createDataFrame(
         [(i, f"corpus document number {i} about topic {i * 3}") for i in range(20)],
         "doc_id long, text string",
@@ -322,6 +323,8 @@ def test_incremental_dedup_never_rescans_corpus_text(spark):
         + [(200, "something else entirely unrelated to anything above")],
         "doc_id long, text string",
     )
-    store = dedup.minhash_store(corpus).select("id", "fp", "minhash", "bks")
+    path = str(tmp_path / "store")
+    dedup.minhash_store(corpus).write.parquet(path)
+    store = spark.read.parquet(path)  # no lineage back to corpus text
     kept = {r["doc_id"] for r in dedup.incremental_dedup_keep_ids(newb, store).collect()}
     assert kept == {200}
