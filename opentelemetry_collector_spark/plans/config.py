@@ -185,16 +185,40 @@ def apply_set_overrides(raw: dict, sets: list[str]) -> dict:
     return out
 
 
-def _deep_merge(base: dict, over: dict) -> dict:
-    """confmap merge: maps join RECURSIVELY, scalars/arrays override —
-    a shallow {**a, **b} would wipe sibling keys of any nested map the
-    override touches."""
+def _deep_merge(base: dict, over: dict, append_lists: bool = False) -> dict:
+    """confmap merge: maps join RECURSIVELY, scalars override — a
+    shallow {**a, **b} would wipe sibling keys of any nested map the
+    override touches. Lists OVERRIDE by default (koanf merge,
+    confmap/internal/conf.go:100-105); with append_lists they
+    concatenate with dedup (the mergeAppend variant gated upstream
+    behind ConfmapEnableMergeAppendOptionFeatureGate,
+    conf.go:117-123)."""
     out = dict(base)
     for k, v in over.items():
         if isinstance(out.get(k), dict) and isinstance(v, dict):
-            out[k] = _deep_merge(out[k], v)
+            out[k] = _deep_merge(out[k], v, append_lists)
+        elif append_lists and isinstance(out.get(k), list) and isinstance(v, list):
+            merged = list(out[k])
+            merged.extend(x for x in v if x not in merged)
+            out[k] = merged
         else:
             out[k] = v
+    return out
+
+
+def merge_configs(confs: list[dict]) -> dict:
+    """Multi-source config merge (`--config a.yaml --config b.yaml`):
+    later sources win, maps join recursively. List behavior follows the
+    confmap.enableMergeAppendOption feature gate exactly as upstream:
+    off (default) → later list replaces; on → lists append + dedup."""
+    from opentelemetry_collector_spark.plans import featuregate
+
+    append = featuregate.REGISTRY.is_enabled("confmap.enableMergeAppendOption")
+    out: dict = {}
+    for c in confs:
+        if not isinstance(c, dict):
+            raise ConfigError(f"config source must be a mapping, got {c!r}")
+        out = _deep_merge(out, c, append_lists=append)
     return out
 
 

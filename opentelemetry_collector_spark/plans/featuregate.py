@@ -98,6 +98,12 @@ def default_registry() -> Registry:
         "(AQE map-side partial aggregation already absorbs fixture skew)",
     )
     r.register(
+        "confmap.enableMergeAppendOption",
+        ALPHA,
+        "multi-config merge appends+dedups lists instead of replacing "
+        "them (confmap/internal/conf.go mergeAppend)",
+    )
+    r.register(
         "service.profilesSupport",
         ALPHA,
         "allow profiles-signal pipelines in service.pipelines "

@@ -304,3 +304,49 @@ def debug_sink(
 def nop_sink(df: DataFrame) -> int:
     """nopexporter: consume and discard (count-only action)."""
     return df.count()
+
+
+def write_sink_time_partitioned(
+    df: DataFrame,
+    base_dir: str,
+    run_id: str,
+    sink: str,
+    ts_col: str = "ts",
+    granularity: str = "hour",
+    rows_per_file: int = batch_mod.DEFAULT_SEND_BATCH_SIZE,
+    retry: RetryConfig | None = None,
+) -> str:
+    """Telemetry-table layout: the sink partitioned by event-time
+    bucket (`ts_bucket=2025-01-01 13:00:00/…`), so every time-ranged
+    read — the dominant query pattern over log tables — prunes to the
+    touched partitions instead of scanning the run (PartitionFilters
+    evidence in tests/test_sinks.py). On Iceberg this is the
+    `hour(ts)`/`day(ts)` partition transform; the parquet fallback
+    derives an explicit bucket column (partitionBy strips it from the
+    data files, the raw ts column stays).
+
+    Late data lands in its OWN (older) partition — an idempotent replay
+    of the run overwrites deterministically either way.
+    """
+    if granularity not in ("hour", "day"):
+        raise ValueError(f"granularity must be hour|day, got {granularity!r}")
+    path = str(Path(base_dir) / f"run_id={run_id}" / f"tsink={sink}")
+    # bucket as a FORMATTED string ('2025-01-01-13'), not a castable
+    # timestamp string: parquet partition-column type inference would
+    # otherwise read the directory values back as timestamps, silently
+    # changing the column's type between writer and reader
+    fmt = "yyyy-MM-dd-HH" if granularity == "hour" else "yyyy-MM-dd"
+    shaped = df.withColumn(
+        "ts_bucket", F.date_format(F.col(ts_col), fmt)
+    )
+
+    def _commit() -> None:
+        (
+            shaped.write.mode("overwrite")
+            .option("maxRecordsPerFile", str(rows_per_file))
+            .partitionBy("ts_bucket")
+            .parquet(path)
+        )
+
+    retry_commit(_commit, retry)
+    return path

@@ -312,3 +312,26 @@ def test_set_overrides():
     assert raw["processors"]["batch"]["size"] == 10  # input untouched
     with pytest.raises(cfg_mod.ConfigError, match="key=value"):
         cfg_mod.apply_set_overrides({}, ["novalue"])
+
+
+def test_merge_configs_later_wins_and_gate(monkeypatch):
+    """Multi---config merge: maps join recursively, later scalar wins;
+    lists replace by default and append+dedup under the
+    confmap.enableMergeAppendOption gate (conf.go mergeAppend)."""
+    from opentelemetry_collector_spark.plans import featuregate
+
+    a = {"exporters": {"debug": {"verbosity": "basic"}},
+         "service": {"pipelines": {"logs": {"receivers": ["transcripts"]}}}}
+    b = {"exporters": {"debug": {"sample": 5}},
+         "service": {"pipelines": {"logs": {"receivers": ["nop"]}}}}
+    out = cfg_mod.merge_configs([a, b])
+    assert out["exporters"]["debug"] == {"verbosity": "basic", "sample": 5}
+    assert out["service"]["pipelines"]["logs"]["receivers"] == ["nop"]  # replace
+    monkeypatch.setattr(featuregate, "REGISTRY", featuregate.default_registry())
+    featuregate.REGISTRY.set("confmap.enableMergeAppendOption", True)
+    out2 = cfg_mod.merge_configs([a, b, {"service": {"pipelines": {"logs": {
+        "receivers": ["transcripts"]}}}}])
+    # append + dedup: transcripts appears once despite two sources
+    assert out2["service"]["pipelines"]["logs"]["receivers"] == [
+        "transcripts", "nop"
+    ]

@@ -161,3 +161,35 @@ def test_debug_sink_sampling(spark, capsys):
         )
         out2.append(bool(capsys.readouterr().out.strip()))
     assert out2 == [True, False, False]
+
+
+def test_time_partitioned_sink_prunes_reads(spark, sf_dir, tmp_path):
+    """Hour-partitioned sink layout: a time-ranged read must prune to
+    the touched partitions (PartitionFilters on ts_bucket), and the
+    full table must round-trip every row."""
+    from opentelemetry_collector_spark.sources import tables
+
+    # events spans ~30 days (transcripts at sf0.001 spans minutes —
+    # a single bucket would make the pruning assertion vacuous)
+    df = tables.read_table(spark, sf_dir, "events")
+    path = writers.write_sink_time_partitioned(
+        df, str(tmp_path), "r1", "s", granularity="day"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == df.count()
+    one_bucket = back.select("ts_bucket").orderBy("ts_bucket").first()["ts_bucket"]
+    pruned = back.filter(F.col("ts_bucket") == one_bucket)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "PartitionFilters" in scan[0] and "ts_bucket" in scan[0]
+    assert 0 < pruned.count() < back.count()
+    # bucket values are exact formatted truncations of the raw ts
+    # (which itself survives inside the data files)
+    bad = back.filter(
+        F.date_format(F.col("ts"), "yyyy-MM-dd") != F.col("ts_bucket")
+    )
+    assert bad.count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        writers.write_sink_time_partitioned(df, str(tmp_path), "r1", "s", granularity="minute")

@@ -25,7 +25,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", help="YAML config path")
+    ap.add_argument(
+        "config", nargs="+",
+        help="YAML config path(s) — multiple sources merge in order, "
+        "later wins (maps join recursively; list behavior per the "
+        "confmap.enableMergeAppendOption gate)",
+    )
     ap.add_argument(
         "--legacy",
         action="store_true",
@@ -64,12 +69,14 @@ def main() -> int:
     allowed = frozenset(
         t.strip() for t in args.allow_schemes.split(",") if t.strip()
     )
-    try:
-        with open(args.config) as f:
-            raw = yaml.safe_load(f) or {}
-    except (OSError, yaml.YAMLError) as e:
-        print(f"cannot read config: {e}", file=sys.stderr)
-        return 2
+    raws = []
+    for path in args.config:
+        try:
+            with open(path) as f:
+                raws.append(yaml.safe_load(f) or {})
+        except (OSError, yaml.YAMLError) as e:
+            print(f"cannot read config: {e}", file=sys.stderr)
+            return 2
     if args.feature_gates:
         from opentelemetry_collector_spark.plans import featuregate
 
@@ -79,6 +86,7 @@ def main() -> int:
             print(f"invalid configuration: {e}", file=sys.stderr)
             return 1
     try:
+        raw = cfg_mod.merge_configs(raws)
         if args.sets:
             raw = cfg_mod.apply_set_overrides(raw, args.sets)
         if args.legacy:
@@ -87,7 +95,7 @@ def main() -> int:
         else:
             svc = cfg_mod.load_service(raw, allowed_schemes=allowed)
             cfg_mod.build_service_graph(svc)
-        print(f"{args.config}: valid")
+        print(f"{' + '.join(args.config)}: valid")
         return 0
     except (cfg_mod.ConfigError, GraphError) as e:
         print(f"invalid configuration: {e}", file=sys.stderr)
