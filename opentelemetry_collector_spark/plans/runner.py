@@ -35,6 +35,7 @@ def run_pipeline(
     rows_per_file: int = 8192,
     single_pass: bool = False,
     telemetry=None,
+    time_partition: str | None = None,
 ) -> dict[str, str]:
     """Execute parse→enrich→route, fan out to per-sink tables, write
     metrics + aggregate. Returns {sink: output_path}.
@@ -43,6 +44,11 @@ def run_pipeline(
     one scan, zero extra shuffles — the 100 TB default) with the whole
     fan-out as one lineage unit; False keeps per-sink units
     (persistent-queue-grade resume granularity).
+
+    time_partition='hour'|'day' lays each per-sink table out in
+    event-time partitions (write_sink_time_partitioned — the Iceberg
+    hour()/day() transform analog) so downstream time-ranged reads
+    prune; per-sink mode only (single-pass already partitions by sink).
 
     crash_after=<sink> injects a failure after that sink's write but
     before its commit record — the CheckConsumeContract kill scenario
@@ -79,20 +85,30 @@ def run_pipeline(
                 crash_after="fanout" if crash_after is not None else None,
             )
         else:
-            paths = {s: writers.sink_path(out_dir, run_id, s) for s in sinks}
+            if time_partition:
+                paths = {
+                    s: str(Path(out_dir) / f"run_id={run_id}" / f"tsink={s}")
+                    for s in sinks
+                }
+            else:
+                paths = {s: writers.sink_path(out_dir, run_id, s) for s in sinks}
 
             def execute(sink: str) -> None:
-                status_mod.run_reported(
-                    reporter,
-                    f"exporter/{sink}",
-                    lambda: writers.write_sink(
-                        routed.filter(F.col("sink") == sink),
-                        out_dir,
-                        run_id,
-                        sink,
-                        rows_per_file=rows_per_file,
-                    ),
-                )
+                def _write() -> None:
+                    part = routed.filter(F.col("sink") == sink)
+                    if time_partition:
+                        writers.write_sink_time_partitioned(
+                            part, out_dir, run_id, sink,
+                            granularity=time_partition,
+                            rows_per_file=rows_per_file,
+                        )
+                    else:
+                        writers.write_sink(
+                            part, out_dir, run_id, sink,
+                            rows_per_file=rows_per_file,
+                        )
+
+                status_mod.run_reported(reporter, f"exporter/{sink}", _write)
 
             checkpoint.run_with_resume(manifest, sinks, execute, crash_after=crash_after)
 

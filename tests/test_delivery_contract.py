@@ -110,3 +110,27 @@ def test_metrics_contract(spark, sf_dir, transcripts, tmp_path):
     assert rows[("processor_parse", "outgoing_items")] == total - dropped
     sent = sum(v for (s, k), v in rows.items() if k == "sent_log_records")
     assert sent == total  # per-sink sent sums to accepted
+
+
+def test_run_pipeline_time_partitioned(spark, sf_dir, tmp_path):
+    """Config-reachable time layout: per-sink tables land in ts_bucket
+    partitions with identical total counts to the plain layout."""
+    from pathlib import Path
+
+    from opentelemetry_collector_spark.plans import runner
+
+    plain = runner.run_pipeline(spark, sf_dir, str(tmp_path / "a"), run_id="r")
+    timed = runner.run_pipeline(
+        spark, sf_dir, str(tmp_path / "b"), run_id="r", time_partition="hour"
+    )
+    assert set(plain) == set(timed)
+    for sink in plain:
+        n_plain = spark.read.parquet(plain[sink]).count()
+        got = spark.read.parquet(timed[sink])
+        assert got.count() == n_plain
+        assert "ts_bucket" in got.columns
+        assert any(
+            p.name.startswith("ts_bucket=")
+            for p in Path(timed[sink]).iterdir()
+            if p.is_dir()
+        )

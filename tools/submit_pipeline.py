@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--metrics-level", default="normal",
                     help="service.telemetry metrics level; 'none' suppresses "
                          "the obsreport metrics + status tables")
+    ap.add_argument("--time-partition", default=None, choices=["hour", "day"],
+                    help="lay per-sink tables out in event-time partitions "
+                         "(Iceberg hour()/day() transform analog; implies "
+                         "per-sink units, not single-pass)")
     ap.add_argument("--set", action="append", default=[], dest="sets",
                     metavar="KEY=VALUE",
                     help="telemetry-config override, e.g. "
@@ -85,9 +89,12 @@ def main() -> None:
     # logs level drives driver/executor log verbosity (zap-config analog)
     spark.sparkContext.setLogLevel(telemetry.logs_level.upper())
     cfg = pipeline.PipelineConfig(parse_method=args.parse_method, salted=salted)
+    if args.time_partition:
+        single_pass = False  # time layout is a per-sink-unit feature
     paths = runner.run_pipeline(
         spark, args.sf_dir, args.out_dir, run_id=args.run_id, cfg=cfg,
         telemetry=telemetry, single_pass=single_pass,
+        time_partition=args.time_partition,
     )
     counts = {s: spark.read.parquet(p).count() for s, p in paths.items()}
     print("PIPELINE_RESULT " + json.dumps({"run_id": args.run_id, "sink_rows": counts}))
