@@ -54,6 +54,12 @@ def run_pipeline(
     before its commit record — the CheckConsumeContract kill scenario
     (exporter/exportertest/contract_checker.go:45-83).
     """
+    if time_partition and single_pass:
+        raise ValueError(
+            "time_partition requires per-sink units (single_pass=False): "
+            "silently ignoring either option would change layout or "
+            "resume granularity behind the caller's back"
+        )
     cfg = cfg or pipeline.PipelineConfig()
     reporter = status_mod.StatusReporter()
     routed = pipeline.routed_frame(spark, sf_dir, cfg).persist()
@@ -87,8 +93,7 @@ def run_pipeline(
         else:
             if time_partition:
                 paths = {
-                    s: str(Path(out_dir) / f"run_id={run_id}" / f"tsink={s}")
-                    for s in sinks
+                    s: writers.time_sink_path(out_dir, run_id, s) for s in sinks
                 }
             else:
                 paths = {s: writers.sink_path(out_dir, run_id, s) for s in sinks}
@@ -135,5 +140,16 @@ def run_pipeline(
         routed.unpersist()
 
 
-def read_sink(spark: SparkSession, out_dir: str, run_id: str, sink: str) -> DataFrame:
-    return spark.read.parquet(writers.sink_path(out_dir, run_id, sink))
+def read_sink(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    sink: str,
+    time_partitioned: bool = False,
+) -> DataFrame:
+    path = (
+        writers.time_sink_path(out_dir, run_id, sink)
+        if time_partitioned
+        else writers.sink_path(out_dir, run_id, sink)
+    )
+    return spark.read.parquet(path)

@@ -306,6 +306,11 @@ def nop_sink(df: DataFrame) -> int:
     return df.count()
 
 
+def time_sink_path(base_dir: str, run_id: str, sink: str) -> str:
+    """Leaf dir of one time-partitioned sink (shared by writer+runner)."""
+    return str(Path(base_dir) / f"run_id={run_id}" / f"tsink={sink}")
+
+
 def write_sink_time_partitioned(
     df: DataFrame,
     base_dir: str,
@@ -330,23 +335,25 @@ def write_sink_time_partitioned(
     """
     if granularity not in ("hour", "day"):
         raise ValueError(f"granularity must be hour|day, got {granularity!r}")
-    path = str(Path(base_dir) / f"run_id={run_id}" / f"tsink={sink}")
-    # bucket as a FORMATTED string ('2025-01-01-13'), not a castable
-    # timestamp string: parquet partition-column type inference would
-    # otherwise read the directory values back as timestamps, silently
-    # changing the column's type between writer and reader
-    fmt = "yyyy-MM-dd-HH" if granularity == "hour" else "yyyy-MM-dd"
-    shaped = df.withColumn(
-        "ts_bucket", F.date_format(F.col(ts_col), fmt)
+    path = time_sink_path(base_dir, run_id, sink)
+    # bucket as a NON-CASTABLE formatted string, identical shape for
+    # BOTH granularities ('2025-01-01-13' / '2025-01-01-00'): partition
+    # type inference parses bare '2025-01-01' back as DateType, which
+    # would silently retype the column between writer and reader and
+    # between hour- and day-partitioned tables
+    bucketed = F.date_trunc(granularity, F.col(ts_col))
+    shaped = df.withColumn("ts_bucket", F.date_format(bucketed, "yyyy-MM-dd-HH"))
+    # repartition on the bucket before partitionBy: without it every
+    # upstream task writes one file per bucket it holds (tasks×buckets
+    # tiny files — the small-files trap compact_sink exists to fix)
+    shaped, opts = batch_mod.shape_for_write(
+        shaped, rows_per_file, shard_keys=("ts_bucket",)
     )
 
     def _commit() -> None:
-        (
-            shaped.write.mode("overwrite")
-            .option("maxRecordsPerFile", str(rows_per_file))
-            .partitionBy("ts_bucket")
-            .parquet(path)
-        )
+        w = shaped.write.mode("overwrite")
+        w = batch_mod.apply_write_options(w, opts)
+        w.partitionBy("ts_bucket").parquet(path)
 
     retry_commit(_commit, retry)
     return path

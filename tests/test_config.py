@@ -320,6 +320,8 @@ def test_merge_configs_later_wins_and_gate(monkeypatch):
     confmap.enableMergeAppendOption gate (conf.go mergeAppend)."""
     from opentelemetry_collector_spark.plans import featuregate
 
+    # isolate from the shared global registry for BOTH halves
+    monkeypatch.setattr(featuregate, "REGISTRY", featuregate.default_registry())
     a = {"exporters": {"debug": {"verbosity": "basic"}},
          "service": {"pipelines": {"logs": {"receivers": ["transcripts"]}}}}
     b = {"exporters": {"debug": {"sample": 5}},
@@ -327,7 +329,6 @@ def test_merge_configs_later_wins_and_gate(monkeypatch):
     out = cfg_mod.merge_configs([a, b])
     assert out["exporters"]["debug"] == {"verbosity": "basic", "sample": 5}
     assert out["service"]["pipelines"]["logs"]["receivers"] == ["nop"]  # replace
-    monkeypatch.setattr(featuregate, "REGISTRY", featuregate.default_registry())
     featuregate.REGISTRY.set("confmap.enableMergeAppendOption", True)
     out2 = cfg_mod.merge_configs([a, b, {"service": {"pipelines": {"logs": {
         "receivers": ["transcripts"]}}}}])

@@ -184,9 +184,15 @@ def test_time_partitioned_sink_prunes_reads(spark, sf_dir, tmp_path):
     assert scan and "PartitionFilters" in scan[0] and "ts_bucket" in scan[0]
     assert 0 < pruned.count() < back.count()
     # bucket values are exact formatted truncations of the raw ts
-    # (which itself survives inside the data files)
+    # (which itself survives inside the data files) — and the column
+    # reads back as a STRING for every granularity (bare dates would be
+    # inferred as DateType, silently retyping the table)
+    from pyspark.sql.types import StringType
+
+    assert isinstance(back.schema["ts_bucket"].dataType, StringType)
     bad = back.filter(
-        F.date_format(F.col("ts"), "yyyy-MM-dd") != F.col("ts_bucket")
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd-HH")
+        != F.col("ts_bucket")
     )
     assert bad.count() == 0
     import pytest

@@ -90,7 +90,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel(telemetry.logs_level.upper())
     cfg = pipeline.PipelineConfig(parse_method=args.parse_method, salted=salted)
     if args.time_partition:
-        single_pass = False  # time layout is a per-sink-unit feature
+        if args.single_pass:
+            ap.error("--time-partition requires per-sink units; "
+                     "drop --single-pass")
+        single_pass = False  # gate-default single-pass yields to time layout
     paths = runner.run_pipeline(
         spark, args.sf_dir, args.out_dir, run_id=args.run_id, cfg=cfg,
         telemetry=telemetry, single_pass=single_pass,
