@@ -124,7 +124,7 @@ def word_grams(text: Column, n: int) -> Column:
 
 
 def oracle_word_grams(col: str, n: int) -> str:
-    norm = f"coalesce(trim(regexp_replace(lower({col}), '\s+', ' ', 'g')), '')"
+    norm = rf"coalesce(trim(regexp_replace(lower({col}), '\s+', ' ', 'g')), '')"
     words = f"string_split({norm}, ' ')"
     return (
         f"CASE WHEN len({words}) >= {n} THEN "

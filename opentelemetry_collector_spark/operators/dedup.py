@@ -367,6 +367,20 @@ def _chunk_val(fp0: Column, fp1: Column, lo: int, hi: int) -> Column:
 SIMHASH_PAIR_KEY_MIN_HAMMING = 4
 
 
+def _pair_key_regime(max_hamming: int) -> bool:
+    """Pair-of-chunks keys need ≥2 intact chunks, i.e. t+2 ≤ 64 chunks
+    over the 64 fingerprint bits. At t ≥ 63 only one chunk is
+    guaranteed intact, so the pair pigeonhole no longer holds — fall
+    back to single-chunk keys (64 one-bit chunks still guarantee one
+    intact chunk at t = 63) instead of silently losing recall."""
+    if max_hamming >= 64:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= 64: every 64-bit pair is "
+            "within budget — banding is meaningless"
+        )
+    return SIMHASH_PAIR_KEY_MIN_HAMMING <= max_hamming <= 62
+
+
 def simhash_chunk_bounds(max_hamming: int) -> list[int]:
     """Pigeonhole chunk boundaries over the 64 fingerprint bits.
 
@@ -379,8 +393,8 @@ def simhash_chunk_bounds(max_hamming: int) -> list[int]:
     keys are all C(t+2, 2) chunk pairs (simhash_key_exprs). Key width
     doubles: at t=8 that is 45 pair positions × ~2^12.8 values ≈ 3·10^5
     distinct keys vs 9 × ~2^7 for thin single chunks."""
-    pair_keys = max_hamming >= SIMHASH_PAIR_KEY_MIN_HAMMING
-    n_chunks = min(64, max(2, max_hamming + (2 if pair_keys else 1)))
+    pair_keys = _pair_key_regime(max_hamming)
+    n_chunks = max(2, max_hamming + (2 if pair_keys else 1))
     return [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
 
 
@@ -399,11 +413,12 @@ def simhash_key_exprs(fp0: Column, fp1: Column, max_hamming: int) -> list[Column
     bit-packed into one 64-bit integer: 45 string concats per row and a
     string-keyed shuffle measured ~3× slower at sf0.1. Pair regime:
     m = t+2 ≥ 6 chunks → each value < 2^16, index < 2^11, so
-    ((idx << 16) | v1) << 16 | v2 < 2^43. Single regime: ≤ 4 chunks of
-    ≤ 32 bits → (idx << 32) | v < 2^34."""
+    ((idx << 16) | v1) << 16 | v2 < 2^43. Single regime (t < 4, or the
+    t=63 degenerate fallback of one-bit chunks): (idx << 32) | v with
+    v < 2^32 → < 2^39."""
     bounds = simhash_chunk_bounds(max_hamming)
     vals = _simhash_chunk_vals(fp0, fp1, bounds)
-    if max_hamming < SIMHASH_PAIR_KEY_MIN_HAMMING:
+    if not _pair_key_regime(max_hamming):
         return [
             (F.lit(c * (1 << 32)).cast("long") + v.cast("long"))
             for c, v in enumerate(vals)

@@ -281,6 +281,14 @@ def debug_sink(
     without a shared counter would silently reset per call (every
     batch looks like the first), so that is a ValueError, not a
     default."""
+    if sampling_thereafter is not None and sampling_initial is None:
+        # a caller configuring only 'thereafter' would otherwise get
+        # every batch printed with no error — match the loud contract
+        # the missing-_batch_counter case already gets
+        raise ValueError(
+            "sampling_thereafter requires sampling_initial "
+            "(exporter/debugexporter/config.go pairs them)"
+        )
     n = df.count()
     if verbosity not in ("normal", "detailed"):
         return n

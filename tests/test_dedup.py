@@ -328,3 +328,20 @@ def test_incremental_dedup_never_rescans_corpus_text(spark, tmp_path):
     store = spark.read.parquet(path)  # no lineage back to corpus text
     kept = {r["doc_id"] for r in dedup.incremental_dedup_keep_ids(newb, store).collect()}
     assert kept == {200}
+
+
+def test_simhash_degenerate_hamming_falls_back_to_single_keys(spark):
+    """ADVICE r3: at max_hamming ≥ 63 only one chunk is guaranteed
+    intact, so pair keys (which need 2) would silently lose recall —
+    the regime must fall back to single-chunk keys; ≥ 64 is meaningless
+    and raises."""
+    import pytest
+
+    bounds63 = dedup.simhash_chunk_bounds(63)
+    assert len(bounds63) - 1 == 64  # one-bit chunks, single-key regime
+    keys63 = dedup.simhash_key_exprs(F.lit(0), F.lit(0), 63)
+    assert len(keys63) == 64  # t+1 single keys, not C(t+2,2) pairs
+    with pytest.raises(ValueError, match="64"):
+        dedup.simhash_chunk_bounds(64)
+    # the normal pair regime is untouched
+    assert len(dedup.simhash_key_exprs(F.lit(0), F.lit(0), 8)) == 45

@@ -192,3 +192,34 @@ def test_embedding_lsh_hot_bucket_cap_bounds_candidates(spark):
     )
     n = uncapped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
     assert n == 40 * 39 // 2
+
+
+def test_band_key_sign_margin_over_fixtures():
+    """Structural guard for band_keys_arrow's cross-engine sign parity
+    (ADVICE r3): the numpy-matmul dot and the oracle's sequential dot
+    may differ by float64 summation order (~1e-13 relative); a bucket
+    bit flips only if some |dot| falls inside that band. Assert the
+    minimum |dot| margin over EVERY (vector, plane) pair the registered
+    queries actually evaluate — all fixture scales, both the bits=8
+    ANN bucketing planes and the scaled-bits 8-band neardup planes —
+    stays ≥ 1e-9, four orders above the discrepancy bound. New fixture
+    data that violates this fails HERE, loudly, not as a spurious
+    oracle hash mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        mat = np.asarray(tbl.column("embedding").to_pylist(), dtype="float64")
+        dim = mat.shape[1]
+        plane_sets = [similarity.hyperplanes(dim, 8, similarity.ANN_SEED)]
+        bits = entry._ann_bits(sf_dir)
+        plane_sets += [
+            similarity.hyperplanes(dim, bits, similarity.ANN_SEED + b)
+            for b in range(8)
+        ]
+        planes = np.vstack(plane_sets)
+        margin = np.abs(mat @ planes.T).min()
+        assert margin >= 1e-9, f"{sf_dir}: sign margin {margin} too small"

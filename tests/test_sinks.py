@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_spark.plans import pipeline
@@ -199,3 +201,12 @@ def test_time_partitioned_sink_prunes_reads(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         writers.write_sink_time_partitioned(df, str(tmp_path), "r1", "s", granularity="minute")
+
+
+def test_debug_sink_thereafter_without_initial_is_loud(spark):
+    """Configuring only sampling_thereafter must raise (ADVICE r3): the
+    silent alternative prints every batch, indistinguishable from
+    no-sampling, unlike the loud missing-counter contract."""
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="sampling_initial"):
+        writers.debug_sink(df, verbosity="basic", sampling_thereafter=3)
