@@ -5,10 +5,19 @@ oracle_sql() in DuckDB against the same parquet files, compares
 (row count, column names, order-insensitive values).
 
 Usage: python tools/check_correctness.py [key ...]
+       python tools/check_correctness.py --json CORRECTNESS_local_rN.json
+
+--json writes the full per-key result as a checked-in artifact so the
+rounds where the driver's frozen key list lags the registry still have
+visible, regression-diffable coverage for every registered query
+(VERDICT r3 "what's wrong" #1). tests/test_correctness_coverage.py
+gates on it: a registered query missing from BOTH the newest driver
+artifact and the newest local artifact fails CI.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 import duckdb
@@ -42,6 +51,12 @@ TABLES = (
 
 
 def main(keys: list[str]) -> int:
+    json_path = None
+    if "--json" in keys:
+        i = keys.index("--json")
+        json_path = keys[i + 1] if i + 1 < len(keys) else "CORRECTNESS_local.json"
+        keys = keys[:i] + keys[i + 2:]
+    results: dict[str, dict] = {}
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:  # mirror the driver's pre-registered views
@@ -59,20 +74,24 @@ def main(keys: list[str]) -> int:
         try:
             got = normalize(qs[k](spark, SF_DIR).toPandas())
             if k not in oracles:
+                results[k] = {"match": "rows_only", "rows": len(got)}
                 print(f"{k}: rows-only check, {len(got)} rows")
                 continue
             want = normalize(con.sql(oracles[k]).df())
             if list(got.columns) != list(want.columns):
                 failed.append(k)
+                results[k] = {"match": "column_mismatch", "rows": len(got)}
                 print(f"{k}: COLUMN MISMATCH spark={list(got.columns)} oracle={list(want.columns)}")
                 continue
             if len(got) != len(want):
                 failed.append(k)
+                results[k] = {"match": "rowcount_mismatch", "rows": len(got)}
                 print(f"{k}: ROWCOUNT MISMATCH spark={len(got)} oracle={len(want)}")
                 continue
             eq = got.values == want.values
             if not eq.all():
                 failed.append(k)
+                results[k] = {"match": "value_mismatch", "rows": len(got)}
                 import numpy as np
 
                 bad = np.argwhere(~eq)[:5]
@@ -81,9 +100,11 @@ def main(keys: list[str]) -> int:
                     col = got.columns[c]
                     print(f"   row {r} col {col}: spark={got.iloc[r, c]!r} oracle={want.iloc[r, c]!r}")
                 continue
+            results[k] = {"match": "ok", "rows": len(got), "cols": len(got.columns)}
             print(f"{k}: OK ({len(got)} rows, {len(got.columns)} cols)")
         except Exception as e:  # noqa: BLE001
             failed.append(k)
+            results[k] = {"match": "error", "error": f"{type(e).__name__}: {e}"}
             print(f"{k}: ERROR {type(e).__name__}: {e}")
         finally:
             # LSH/simhash/winnow queries persist fingerprint frames for
@@ -100,6 +121,19 @@ def main(keys: list[str]) -> int:
         f"\n{len(keys) - len(failed)}/{len(keys)} passed"
         + (f" ({len(qs)} registered)" if not missing else "")
     )
+    if json_path:
+        artifact = {
+            "sf_dir": SF_DIR,
+            "registered": len(qs),
+            "checked": len(keys),
+            "passed": len(keys) - len(failed),
+            "not_run": missing,
+            "results": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_path}")
     return 1 if failed or orphans else 0
 
 
