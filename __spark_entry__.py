@@ -55,13 +55,11 @@ def _ann_bits(sf_dir: str) -> int:
     The r2 fixed bits=4 made verification quadratic-ish at sf0.1
     (measured ~250k candidate cosines for 2k vectors). Deterministic in
     n, so the Spark query and the oracle (built at ORACLE_SF_DIR)
-    always agree."""
-    import math
+    always agree. One definition, shared with the scale-growth bench:
+    operators/similarity.ann_bits_for."""
+    from opentelemetry_collector_spark.operators.similarity import ann_bits_for
 
-    import pyarrow.parquet as pq
-
-    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    return max(4, math.ceil(math.log2(max(n, 16) / 16)))
+    return ann_bits_for(sf_dir)
 
 
 def _transcripts_cte() -> str:
@@ -230,11 +228,23 @@ def _q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_pairs_minhash(docs, threshold=0.5)
 
 
+def _simhash_q(sf_dir: str) -> int:
+    """q-of-m simhash key tuple size scaled with corpus size (the
+    simhash analog of _ann_bits — one rule, dedup.simhash_q_for,
+    shared with the oracle and the scale-growth bench)."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_spark.operators import dedup
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return dedup.simhash_q_for(n, max_hamming=8)
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import dedup
 
     docs = tables.read_table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(docs, max_hamming=8)
+    return dedup.simhash_neardup_pairs(docs, max_hamming=8, q=_simhash_q(sf_dir))
 
 
 def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,7 +998,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": sim_oracle.oracle_embedding_neardup(0.5),
         "neardup_minhash": dedup_oracle.oracle_neardup_pairs_lsh(0.5),
         "dedup_incremental": dedup_oracle.oracle_incremental_dedup(),
-        "simhash_pairs": dedup_oracle.oracle_simhash_pairs(8),
+        "simhash_pairs": dedup_oracle.oracle_simhash_pairs(
+            8, q=_simhash_q(ORACLE_SF_DIR)
+        ),
         "text_winnow": dedup_oracle.oracle_winnow_stats("documents"),
         "neardup_winnow": dedup_oracle.oracle_neardup_winnow(30),
         "media_features": f"""

@@ -214,9 +214,25 @@ def run_scaling(
     }
 
 
+def run_scale_growth(base_docs: int = 5000, base_vecs: int = 2000) -> dict:
+    """Two-scale candidate-growth evidence for the dedup/ANN family
+    (plans/scale_growth.py): candidate-pair counts + wall seconds for
+    every generator at 1× and 4× corpora. Recorded per-round in
+    BENCH/BASELINE.md; the pytest gate (tests/test_scale_growth.py)
+    pins the ratio at CI scale."""
+    from opentelemetry_collector_spark.plans import scale_growth
+    from opentelemetry_collector_spark.session import get_spark
+
+    spark = get_spark("otelcol-scale-growth", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    return scale_growth.growth_report(spark, base_docs, base_vecs)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         res = run_scaling()
         print(json.dumps(res))
+    elif "--scale-growth" in sys.argv:
+        print(json.dumps(run_scale_growth()))
     else:
         print(json.dumps(run_once()))

@@ -468,3 +468,116 @@ def ensure_edge_docs() -> str:
     )
     pq.write_table(tbl, path, row_group_size=65536)
     return str(path)
+
+
+# ------------------------------------------------- scale-growth corpora
+
+SCALEGROWTH_GEN_VERSION = 4
+# Zipf(s=0.5) vocabulary of 2000 tokens. NOT the driver table's
+# 31-word soup: with 31 words two RANDOM 50-word docs are within
+# hamming-8 simhash distance ~27% of the time (measured, v1) —
+# ground-truth near-dup density is itself quadratic and NO candidate
+# generator can be linear against it. The skew is capped at s=0.5
+# because simhash here is tf-weighted (token MULTISET): at s≥0.8 the
+# repeated head tokens dominate every doc's bit sums and a residual
+# ~1e-4 of RANDOM pairs lands within hamming 8 (simulated), which is
+# again a quadratic ground-truth term. (Production corpora with
+# stopword-dominated text need idf weighting / stopword stripping
+# upstream of simhash for the same reason.) With s=0.5 the only
+# near-dups are the planted copies below — scale-invariant density,
+# so superlinear candidate growth can only come from a generator.
+SCALEGROWTH_VOCAB = 2000
+SCALEGROWTH_ZIPF_S = 0.5
+# tokens are random a-z strings (not "tokNNNN"): winnowing hashes
+# 8-CHAR grams, and a numbered-token vocabulary collapses the gram
+# space ("tok0" prefixes everywhere) into quadratic random gram
+# sharing — another ground-truth artifact, not generator behavior
+SCALEGROWTH_WORD_LEN = (3, 11)
+SCALEGROWTH_NEARDUP_FRAC = 0.06  # perturbed copies of earlier docs
+SCALEGROWTH_EXACT_FRAC = 0.01  # verbatim copies
+SCALEGROWTH_VEC_CLUSTER_FRAC = 0.08  # noisy copies of earlier vectors
+
+
+def scalegrowth_dir(scale: int, base_docs: int = 5000, base_vecs: int = 2000) -> Path:
+    return (
+        FIXTURE_ROOT
+        / "scalegrowth"
+        / f"x{scale}_d{base_docs}_e{base_vecs}_v{SCALEGROWTH_GEN_VERSION}"
+    )
+
+
+def ensure_scalegrowth(
+    scale: int, base_docs: int = 5000, base_vecs: int = 2000, seed: int = SEED
+) -> str:
+    """Deterministic documents+embeddings corpus at `scale`× the base
+    size, SAME generative process at every scale — the two-scale
+    candidate-growth experiment (VERDICT r3 #1) needs corpora that
+    differ only in n, which the driver's fixed-size testdata cannot
+    provide. Duplicate structure: ~1% verbatim copies, ~6% 3-word
+    perturbations of earlier docs, ~8% noisy copies of earlier
+    vectors — true-positive density is scale-invariant, so superlinear
+    candidate growth can only come from the generators themselves."""
+    out = scalegrowth_dir(scale, base_docs, base_vecs)
+    if (out / "documents.parquet").exists() and (out / "embeddings.parquet").exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)  # same seed: x4 EXTENDS x1 stats
+    n_docs = base_docs * scale
+    lo, hi = SCALEGROWTH_WORD_LEN
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    seen: set[str] = set()
+    words: list[str] = []
+    while len(words) < SCALEGROWTH_VOCAB:  # distinct: Zipf ranks stay honest
+        w = "".join(letters[rng.randint(0, 26, size=rng.randint(lo, hi))])
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    vocab = np.array(words)
+    zipf_p = 1.0 / np.arange(1, SCALEGROWTH_VOCAB + 1) ** SCALEGROWTH_ZIPF_S
+    zipf_p /= zipf_p.sum()
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = rng.rand()
+        if i > 10 and r < SCALEGROWTH_EXACT_FRAC:
+            texts.append(texts[rng.randint(0, i)])
+        elif i > 10 and r < SCALEGROWTH_EXACT_FRAC + SCALEGROWTH_NEARDUP_FRAC:
+            words = texts[rng.randint(0, i)].split(" ")
+            for p in rng.randint(0, len(words), size=3):
+                words[p] = str(vocab[rng.randint(0, SCALEGROWTH_VOCAB)])
+            texts.append(" ".join(words))
+        else:
+            ln = rng.randint(10, 101)
+            texts.append(" ".join(rng.choice(vocab, size=ln, p=zipf_p)))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype="int64")),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(
+                np.array(["en", "zh", "es", "fr", "de"])[rng.randint(0, 5, size=n_docs)]
+            ),
+            "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype="int64")
+            ),
+        }
+    )
+    pq.write_table(docs, out / "documents.parquet", row_group_size=65536)
+
+    n_vecs = base_vecs * scale
+    dim = 64
+    vecs = np.empty((n_vecs, dim), dtype="float32")
+    for i in range(n_vecs):
+        if i > 10 and rng.rand() < SCALEGROWTH_VEC_CLUSTER_FRAC:
+            v = vecs[rng.randint(0, i)] + rng.normal(scale=0.05, size=dim).astype("float32")
+        else:
+            v = rng.normal(size=dim).astype("float32")
+        vecs[i] = v / np.linalg.norm(v)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_vecs, dtype="int64")),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+            "label": pa.array([f"l{i % 16}" for i in range(n_vecs)]),
+        }
+    )
+    pq.write_table(emb, out / "embeddings.parquet", row_group_size=65536)
+    return str(out)

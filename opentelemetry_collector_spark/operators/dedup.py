@@ -175,8 +175,13 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     persist_handle: list | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band bucket.
+
+    ``candidates_only=True`` returns the bare (id_a, id_b) candidate
+    frame without the shingle payload join — the scale-growth bench
+    counts EXACTLY the frame verification would consume.
 
     Scale: explode to (band_key, id), self-join per bucket — shuffle on
     band_key. Hot buckets (boilerplate docs) are the skew risk: AQE
@@ -206,6 +211,8 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if candidates_only:
+        return pairs
     sh = m.select(F.col(id_col).alias("id"), F.col("shingles"))
     return (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
@@ -381,20 +388,47 @@ def _pair_key_regime(max_hamming: int) -> bool:
     return SIMHASH_PAIR_KEY_MIN_HAMMING <= max_hamming <= 62
 
 
-def simhash_chunk_bounds(max_hamming: int) -> list[int]:
+def simhash_q_for(n_docs: int, max_hamming: int = 8, q_max: int = 8) -> int:
+    """Key tuple size q scaled with corpus size — the simhash analog
+    of similarity.ann_bits_for.
+
+    q-of-m keys (m = t+q chunks) have width ≈ q·64/(t+q) bits, which
+    GROWS with q toward 64: the fixed pair keys (q=2, ~12.8 bits at
+    t=8) leave random-collision candidates growing as n²/2^12.8 until
+    the hot-bucket cap degenerates (~1.8M docs at t=8) — measured
+    15.8× candidate growth for a 4× corpus (plans/scale_growth.py).
+    Rule: smallest q in [2, q_max] whose key space holds ≥ 8·n values,
+    so expected random candidates per key position stay ≤ n/16 and
+    total candidate volume is O(n · C(t+q, q)). Cost: C(t+q, q) keys
+    per doc (45 at q=2 → 165 at q=3 → 12870 at q=8); q_max=8 covers
+    corpora to ~2^32·16 ≈ 7·10^10 docs at t=8."""
+    if not _pair_key_regime(max_hamming):
+        return 1
+    for q in range(2, q_max + 1):
+        if max_hamming + q > 64:
+            break
+        if (1 << (q * 64 // (max_hamming + q))) >= 8 * max(n_docs, 1):
+            return q
+    return min(q_max, 64 - max_hamming)
+
+
+def simhash_chunk_bounds(max_hamming: int, q: int = 2) -> list[int]:
     """Pigeonhole chunk boundaries over the 64 fingerprint bits.
 
-    Single-key regime (t < SIMHASH_PAIR_KEY_MIN_HAMMING): t+1 chunks —
-    ≤ t flipped bits leave ≥1 chunk intact, so any in-budget pair
-    shares ≥1 exact chunk.
+    Single-key regime (t < SIMHASH_PAIR_KEY_MIN_HAMMING, or the t=63
+    degenerate, or q=1): t+1 chunks — ≤ t flipped bits leave ≥1 chunk
+    intact, so any in-budget pair shares ≥1 exact chunk.
 
-    Pair-key regime (t ≥ 4): t+2 chunks — ≤ t flips corrupt ≤ t
-    chunks, leaving ≥2 intact, so some PAIR of chunks matches exactly;
-    keys are all C(t+2, 2) chunk pairs (simhash_key_exprs). Key width
-    doubles: at t=8 that is 45 pair positions × ~2^12.8 values ≈ 3·10^5
-    distinct keys vs 9 × ~2^7 for thin single chunks."""
-    pair_keys = _pair_key_regime(max_hamming)
-    n_chunks = max(2, max_hamming + (2 if pair_keys else 1))
+    q-tuple regime (t ≥ 4, q ≥ 2): t+q chunks — ≤ t flips corrupt ≤ t
+    chunks, leaving ≥ q intact, so some q-SUBSET of chunks matches
+    exactly; keys are all C(t+q, q) chunk combinations
+    (simhash_key_exprs). Key width scales with q: q·64/(t+q) bits
+    (12.8 at q=2, 32 at q=8 for t=8) — choose q via simhash_q_for so
+    key cardinality tracks corpus size."""
+    multi = _pair_key_regime(max_hamming) and q >= 2
+    if multi and max_hamming + q > 64:
+        raise ValueError(f"max_hamming={max_hamming} + q={q} exceeds 64 bits")
+    n_chunks = max(2, max_hamming + (q if multi else 1))
     return [round(i * 64 / n_chunks) for i in range(n_chunks + 1)]
 
 
@@ -405,35 +439,92 @@ def _simhash_chunk_vals(fp0: Column, fp1: Column, bounds: list[int]) -> list[Col
     ]
 
 
-def simhash_key_exprs(fp0: Column, fp1: Column, max_hamming: int) -> list[Column]:
+def simhash_key_exprs(
+    fp0: Column, fp1: Column, max_hamming: int, q: int = 2
+) -> list[Column]:
     """Banding keys guaranteeing recall for hamming ≤ max_hamming (see
-    simhash_chunk_bounds for the two regimes).
+    simhash_chunk_bounds for the regimes; q from simhash_q_for).
 
     Keys are packed LONGS, not strings — (key_index, chunk values)
     bit-packed into one 64-bit integer: 45 string concats per row and a
-    string-keyed shuffle measured ~3× slower at sf0.1. Pair regime:
-    m = t+2 ≥ 6 chunks → each value < 2^16, index < 2^11, so
-    ((idx << 16) | v1) << 16 | v2 < 2^43. Single regime (t < 4, or the
-    t=63 degenerate fallback of one-bit chunks): (idx << 32) | v with
-    v < 2^32 → < 2^39."""
-    bounds = simhash_chunk_bounds(max_hamming)
+    string-keyed shuffle measured ~3× slower at sf0.1. Pair regime
+    (q=2): m = t+2 ≥ 6 chunks → each value < 2^16, index < 2^11, so
+    ((idx << 16) | v1) << 16 | v2 < 2^43. q ≥ 3: each value shifted by
+    the max chunk width w (q·w ≤ 48 bits of values for q ≤ 8 at t=8)
+    with the combination index above — fits signed 64 for every valid
+    (t, q). Single regime (t < 4, or the t=63 degenerate fallback of
+    one-bit chunks): (idx << 32) | v with v < 2^32 → < 2^39."""
+    from itertools import combinations
+
+    bounds = simhash_chunk_bounds(max_hamming, q)
     vals = _simhash_chunk_vals(fp0, fp1, bounds)
-    if not _pair_key_regime(max_hamming):
+    if not (_pair_key_regime(max_hamming) and q >= 2):
         return [
             (F.lit(c * (1 << 32)).cast("long") + v.cast("long"))
             for c, v in enumerate(vals)
         ]
+    if q == 2:  # byte-stable with the r3 pair packing
+        keys = []
+        idx = 0
+        for c1 in range(len(vals)):
+            for c2 in range(c1 + 1, len(vals)):
+                keys.append(
+                    F.lit(idx << 32).cast("long")
+                    + F.shiftleft(vals[c1].cast("long"), 16)
+                    + vals[c2].cast("long")
+                )
+                idx += 1
+        return keys
+    w = max(bounds[c + 1] - bounds[c] for c in range(len(bounds) - 1))
+    combos = list(combinations(range(len(vals)), q))
+    assert q * w + max(1, (len(combos) - 1).bit_length()) <= 63, (max_hamming, q)
     keys = []
-    idx = 0
-    for c1 in range(len(vals)):
-        for c2 in range(c1 + 1, len(vals)):
-            keys.append(
-                F.lit(idx << 32).cast("long")
-                + F.shiftleft(vals[c1].cast("long"), 16)
-                + vals[c2].cast("long")
-            )
-            idx += 1
+    for idx, combo in enumerate(combos):
+        key = F.lit(idx << (q * w)).cast("long")
+        for j, c in enumerate(combo):
+            key = key + F.shiftleft(vals[c].cast("long"), (q - 1 - j) * w)
+        keys.append(key)
     return keys
+
+
+def _keyed_chunks(sh: DataFrame, max_hamming: int, q: int) -> DataFrame:
+    """(id, chunk-key) rows for the banding self-join.
+
+    q ≤ 2 / single regime: explode over the literal key-expression
+    array (byte-stable with r3). q ≥ 3: C(t+q, q) key expressions
+    exceed janino's 64 KB method limit (measured: whole-stage codegen
+    falls back to interpreted eval, ~2.4× slower at q=3) — so the
+    combination table becomes DATA: stage the m chunk values as ONE
+    array column, posexplode a constant array of combination index
+    arrays, and assemble each key from element_at. Expression size is
+    O(q) regardless of C(t+q, q); key values are identical to
+    simhash_key_exprs (pinned by test)."""
+    from itertools import combinations
+
+    if not (_pair_key_regime(max_hamming) and q >= 3):
+        keys = simhash_key_exprs(
+            F.col("simhash0"), F.col("simhash1"), max_hamming, q
+        )
+        return sh.select("id", F.explode(F.array(*keys)).alias("chunk"))
+    bounds = simhash_chunk_bounds(max_hamming, q)
+    vals = _simhash_chunk_vals(F.col("simhash0"), F.col("simhash1"), bounds)
+    w = max(bounds[c + 1] - bounds[c] for c in range(len(bounds) - 1))
+    combos = list(combinations(range(len(vals)), q))
+    assert q * w + max(1, (len(combos) - 1).bit_length()) <= 63, (max_hamming, q)
+    combo_lit = F.array(
+        *[F.array(*[F.lit(c) for c in combo]) for combo in combos]
+    )
+    staged = sh.select("id", F.array(*[v.cast("long") for v in vals]).alias("_chunks"))
+    rows = staged.select(
+        "id", "_chunks", F.posexplode(combo_lit).alias("_idx", "_combo")
+    )
+    key = F.shiftleft(F.col("_idx").cast("long"), q * w)
+    for j in range(q):
+        key = key + F.shiftleft(
+            F.element_at(F.col("_chunks"), F.element_at(F.col("_combo"), j + 1) + 1),
+            (q - 1 - j) * w,
+        )
+    return rows.select("id", key.alias("chunk"))
 
 
 def simhash_neardup_pairs(
@@ -443,8 +534,13 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     persist_handle: list | None = None,
+    candidates_only: bool = False,
+    q: int = 2,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+    ``candidates_only=True``: the bare pre-verify candidate frame.
+    ``q``: key tuple size — pass simhash_q_for(n_docs, max_hamming)
+    so key cardinality scales with the corpus.
 
     Scale path: chunk/pair-key banding (simhash_key_exprs) — the join
     is on key equality, never all-pairs — plus the same windowed
@@ -465,8 +561,7 @@ def simhash_neardup_pairs(
     )
     if persist_handle is not None:
         persist_handle.append(sh)
-    keys = simhash_key_exprs(F.col("simhash0"), F.col("simhash1"), max_hamming)
-    chunks = sh.select("id", F.explode(F.array(*keys)).alias("chunk"))
+    chunks = _keyed_chunks(sh, max_hamming, q)
     chunks = _cap_hot_buckets(chunks, "chunk", max_bucket)
     # NARROW candidate dedup (ids only — a pair collides in up to
     # C(m,2) keys, so the dedup shuffle dominates; 2 longs beat 6), then
@@ -480,6 +575,8 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if candidates_only:
+        return pairs
     fa = sh.select(
         F.col("id").alias("id_a"),
         F.col("simhash0").alias("a0"), F.col("simhash1").alias("a1"),
@@ -511,7 +608,14 @@ def simhash_neardup_pairs(
 # per position instead of the r2 md5-per-position (measured ~10 s for
 # 500 docs at sf0.01), and reproducible bit-exactly in DuckDB.
 
-WINNOW_K = 8  # k-gram length (chars of normalized text)
+# k=20 chars ≈ a 3-word run: a shared k-gram then implies verbatim
+# copying, not vocabulary overlap. The r3 default k=8 fit inside ONE
+# common word, so every pair of docs sharing ≥4 frequent words became
+# a candidate — measured 7.9× candidate growth for a 4× corpus
+# (plans/scale_growth.py) even with the match-count candidacy rule;
+# k=20 restores MOSS's intended "matches of length ≥ k+w-1" semantic
+# (≥ 23 chars) and makes random candidacy rare.
+WINNOW_K = 20  # k-gram length (chars of normalized text)
 WINNOW_W = 4  # window size
 KR_BASE = 257  # > any code point byte spread; odd → invertible mod 2^32
 KR_MOD = 1 << 32
@@ -609,8 +713,10 @@ def neardup_pairs_winnow(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     min_cand_shared: int = 4,
     persist_handle: list | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Near-dup pairs sharing ≥ min_shared winnowing fingerprints.
+    ``candidates_only=True``: the bare pre-score candidate frame.
 
     Scale shape — the exact MinHash-LSH posture: CANDIDATE pairs come
     from a per-fingerprint self-join with a hot-bucket cap (a
@@ -657,6 +763,8 @@ def neardup_pairs_winnow(
         .filter(F.col("_nc") >= min_cand_shared)
         .select("id_a", "id_b")
     )
+    if candidates_only:
+        return cand
     fa = m.select(F.col("id").alias("id_a"), F.col("winnow_fp").alias("fp_a"))
     fb = m.select(F.col("id").alias("id_b"), F.col("winnow_fp").alias("fp_b"))
     return (
@@ -881,16 +989,18 @@ def _oracle_chunk_val(lo: int, hi: int) -> str:
     )
 
 
-def oracle_simhash_keys(max_hamming: int) -> str:
+def oracle_simhash_keys(max_hamming: int, q: int = 2) -> str:
     """SQL list literal mirroring simhash_key_exprs (packed-long keys,
-    both regimes — identical integer arithmetic in DuckDB)."""
-    bounds = simhash_chunk_bounds(max_hamming)
+    all regimes — identical integer arithmetic in DuckDB)."""
+    from itertools import combinations
+
+    bounds = simhash_chunk_bounds(max_hamming, q)
     vals = [
         _oracle_chunk_val(bounds[c], bounds[c + 1]) for c in range(len(bounds) - 1)
     ]
-    if max_hamming < SIMHASH_PAIR_KEY_MIN_HAMMING:
+    if not (_pair_key_regime(max_hamming) and q >= 2):
         keys = [f"({c * (1 << 32)} + ({v}))" for c, v in enumerate(vals)]
-    else:
+    elif q == 2:
         keys = []
         idx = 0
         for c1 in range(len(vals)):
@@ -899,6 +1009,14 @@ def oracle_simhash_keys(max_hamming: int) -> str:
                     f"({idx << 32} + (({vals[c1]}) << 16) + ({vals[c2]}))"
                 )
                 idx += 1
+    else:
+        w = max(bounds[c + 1] - bounds[c] for c in range(len(bounds) - 1))
+        keys = []
+        for idx, combo in enumerate(combinations(range(len(vals)), q)):
+            parts = [str(idx << (q * w))] + [
+                f"(({vals[c]}) << {(q - 1 - j) * w})" for j, c in enumerate(combo)
+            ]
+            keys.append("(" + " + ".join(parts) + ")")
     return ", ".join(keys)
 
 
@@ -906,6 +1024,7 @@ def oracle_simhash_pairs(
     max_hamming: int,
     table: str = "documents",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    q: int = 2,
 ) -> str:
     """DuckDB mirror of simhash_neardup_pairs (same keying + cap)."""
     # cap in its own CTE: QUALIFY over the post-unnest rows needs the
@@ -919,7 +1038,7 @@ def oracle_simhash_pairs(
     return f"""
         WITH {oracle_simhash_cte(table)},
         keyed0 AS (SELECT id, fp0, fp1,
-                          unnest([{oracle_simhash_keys(max_hamming)}]) AS chunk
+                          unnest([{oracle_simhash_keys(max_hamming, q)}]) AS chunk
                    FROM fp),
         keyed AS (SELECT * FROM keyed0 {cap}),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
@@ -988,6 +1107,7 @@ def incremental_dedup_keep_ids(
     min_equal: int = MINHASH_EST_MIN_EQUAL,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     persist_handle: list | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Kept NEW doc ids after dedup against (a) the corpus store and
     (b) the new batch itself.
@@ -1043,6 +1163,8 @@ def incremental_dedup_keep_ids(
         .select("id_new", "id_other", "src")
         .dropDuplicates(["id_new", "id_other", "src"])
     )
+    if candidates_only:
+        return cand
     sig_new = survivors.select(F.col("id").alias("id_new"), F.col("minhash").alias("mh_new"))
     sig_corpus = corpus_store.select(F.col("id").alias("id_other"), F.col("minhash").alias("mh_other"))
     sig_newb = survivors.select(F.col("id").alias("id_other"), F.col("minhash").alias("mh_other"))

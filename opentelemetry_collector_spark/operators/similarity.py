@@ -324,6 +324,7 @@ def embedding_neardup_pairs_lsh(
     seed: int = ANN_SEED,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     persist_handle: list | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Scale path: classic OR-of-bands LSH. A single AND-of-bits bucket
     misses most true pairs (p_bit^bits ≈ 0.43 at cos 0.95 with 8 bits);
@@ -372,6 +373,8 @@ def embedding_neardup_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # pairs collide in many bands
     )
+    if candidates_only:
+        return pairs
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (
         pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a")
@@ -560,3 +563,18 @@ def oracle_cosine_topk(query_vec: list[float], k: int, table: str = "embeddings"
         f"SELECT vec_id, round({cos}, 4) AS cos_sim FROM {table} "
         f"ORDER BY {cos} DESC, vec_id LIMIT {k}"
     )
+
+
+def ann_bits_for(sf_dir: str) -> int:
+    """LSH bits scaled with corpus size (2^bits ≈ n/16 buckets per
+    band, expected random-pair candidates O(n) — see
+    __spark_entry__._ann_bits for the full derivation). THE one
+    definition: the registered queries, their oracles and the
+    scale-growth bench must bucket identically or the candidate-growth
+    measurement would measure a parameter change, not the generator."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return max(4, math.ceil(math.log2(max(n, 16) / 16)))

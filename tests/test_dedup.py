@@ -345,3 +345,61 @@ def test_simhash_degenerate_hamming_falls_back_to_single_keys(spark):
         dedup.simhash_chunk_bounds(64)
     # the normal pair regime is untouched
     assert len(dedup.simhash_key_exprs(F.lit(0), F.lit(0), 8)) == 45
+
+
+def test_simhash_q_scaling_rule():
+    """simhash_q_for: key cardinality tracks corpus size (the simhash
+    analog of ann_bits_for) — q=2 at driver-gate scale (oracle SQL
+    unchanged), growing toward q=8 at web scale."""
+    assert dedup.simhash_q_for(500, 8) == 2
+    assert dedup.simhash_q_for(2000, 8) == 3
+    assert dedup.simhash_q_for(5000, 8) == 3
+    assert dedup.simhash_q_for(20000, 8) == 4
+    assert dedup.simhash_q_for(10**9, 8) == 8
+    assert dedup.simhash_q_for(10**6, 3) == 1  # single-key regime
+
+
+def test_simhash_q3_data_shaped_keys_match_expressions(spark):
+    """The posexplode/element_at key path (q ≥ 3, janino 64 KB guard)
+    must emit byte-identical (id, chunk) rows to the literal
+    key-expression array."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i} words alpha beta gamma delta-{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sh = dedup.with_simhash(df).select(
+        F.col("doc_id").alias("id"), "simhash0", "simhash1"
+    )
+    keys = dedup.simhash_key_exprs(F.col("simhash0"), F.col("simhash1"), 8, 3)
+    expr_rows = sh.select("id", F.explode(F.array(*keys)).alias("chunk"))
+    data_rows = dedup._keyed_chunks(sh, 8, 3)
+    assert expr_rows.exceptAll(data_rows).count() == 0
+    assert data_rows.exceptAll(expr_rows).count() == 0
+
+
+def test_simhash_q3_oracle_parity(spark):
+    """simhash_neardup_pairs(q=3) must match the DuckDB oracle with the
+    same q — the q ladder may not drift from its SQL mirror."""
+    import duckdb
+
+    from opentelemetry_collector_spark import fixtures
+
+    fx = fixtures.ensure_scalegrowth(1, base_docs=500, base_vecs=200)
+    got = (
+        dedup.simhash_neardup_pairs(
+            spark.read.parquet(f"{fx}/documents.parquet"), max_hamming=8, q=3
+        )
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{fx}/documents.parquet')"
+    )
+    want = con.sql(
+        dedup.oracle_simhash_pairs(8, q=3) + " ORDER BY id_a, id_b"
+    ).fetchall()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [
+        (a, b, h) for a, b, h in want
+    ]
+    assert len(got) > 0  # non-vacuous: the corpus plants near-dups
