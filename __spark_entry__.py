@@ -485,6 +485,64 @@ def _q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return protowire.decode_records(protowire.encode_records(parsed))
 
 
+def _q_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ptrace wire-format round-trip (pdata/ptrace/json.go +
+    encoding.go Sizer analog): spans → Span protobuf wire bytes →
+    decode → OTLP/JSON (to_json/from_json) → fields. The oracle reads
+    the same span fields straight from the parsed table, so a green
+    row proves BOTH codecs are lossless for trace/span/parent IDs
+    (hex ↔ 16/8-byte bytes), kind/status enums and ns timestamps."""
+    from opentelemetry_collector_spark.functions import signals, signalwire
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    spans = signals.spans_from_turns(parsed).select(
+        "conv_id", "turn_idx", "trace_id", "span_id", "parent_span_id",
+        "name", "kind", "status",
+        (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).alias("start_ns"),
+        (F.unix_micros(F.col("end_ts").cast("timestamp")) * 1000).alias("end_ns"),
+    )
+    decoded = signalwire.decode_spans(signalwire.encode_spans(spans))
+    fields = (
+        "trace_id", "span_id", "parent_span_id", "name", "kind", "status",
+        "start_ns", "end_ns",
+    )
+    json_schema = (
+        "trace_id string, span_id string, parent_span_id string, "
+        "name string, kind string, status string, start_ns long, end_ns long"
+    )
+    return (
+        decoded.withColumn("otlp_json", F.to_json(F.struct(*fields)))
+        .select("conv_id", "turn_idx", F.from_json("otlp_json", json_schema).alias("s"))
+        .select("conv_id", "turn_idx", "s.*")
+    )
+
+
+def _q_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pmetric wire-format round-trip (pdata/pmetric/json.go:15 +
+    encoding.go Sizer analog): per-turn latency gauge points →
+    NumberDataPoint protobuf (as_int sfixed64, svc attribute) →
+    decode → OTLP/JSON → fields. NULL latency omits the value oneof
+    and NULL svc omits the attribute — presence must survive both
+    codecs. The other four datapoint types (histogram / exponential
+    histogram / summary / double gauge) are pinned by golden-bytes +
+    round-trip tests in tests/test_signalwire.py."""
+    from opentelemetry_collector_spark.functions import signalwire
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    points = parsed.select(
+        "conv_id", "turn_idx", "svc",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        F.col("latency_ms").cast("long").alias("value"),
+    )
+    decoded = signalwire.decode_number_points(signalwire.encode_number_points(points))
+    json_schema = "svc string, ts_ns long, value long"
+    return (
+        decoded.withColumn("otlp_json", F.to_json(F.struct("svc", "ts_ns", "value")))
+        .select("conv_id", "turn_idx", F.from_json("otlp_json", json_schema).alias("m"))
+        .select("conv_id", "turn_idx", "m.*")
+    )
+
+
 def _q_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Config-built two-pipeline DAG: logs (parse → route) exports into
     a count connector, which feeds a metrics pipeline — the
@@ -789,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_exp_histogram": _q_metrics_exp_histogram,
         "metrics_summary": _q_metrics_summary,
         "trace_spans": _q_trace_spans,
+        "spans_roundtrip": _q_spans_roundtrip,
+        "metrics_roundtrip": _q_metrics_roundtrip,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
@@ -981,6 +1041,27 @@ def oracle_sql() -> dict[str, str]:
                      AS parent_span_id,
                    name, kind, status, start_ts, end_ts
             FROM spans""",
+        "spans_roundtrip": f"""{_parsed_cte()}, spans AS (
+            SELECT conv_id, turn_idx,
+                   md5(conv_id) AS trace_id,
+                   substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
+                   tool || '/' || coalesce(svc, '') AS name,
+                   'SPAN_KIND_CLIENT' AS kind,
+                   CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
+                        ELSE 'STATUS_CODE_OK' END AS status,
+                   epoch_ns(ts) AS start_ns,
+                   epoch_ns(ts + to_microseconds(coalesce(latency_ms, 0) * 1000))
+                     AS end_ns
+            FROM parsed WHERE role = 'tool')
+            SELECT conv_id, turn_idx, trace_id, span_id,
+                   lag(span_id) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     AS parent_span_id,
+                   name, kind, status, start_ns, end_ns
+            FROM spans""",
+        "metrics_roundtrip": f"""{_parsed_cte()}
+            SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
+                   cast(latency_ms AS bigint) AS value
+            FROM parsed""",
         "severity_turns": f"""{_parsedcte_sev()}""",
         "otlp_roundtrip": f"""{_transcripts_cte()}
             SELECT conv_id, role, text FROM transcripts""",

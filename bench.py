@@ -74,6 +74,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "lm_score",
         "profile_hot_functions",
         "dedup_incremental",
+        # r4: per-signal wire formats (pmetric/ptrace codecs)
+        "spans_roundtrip",
+        "metrics_roundtrip",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))

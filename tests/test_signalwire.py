@@ -1,0 +1,183 @@
+"""pmetric/ptrace wire formats (functions/signalwire.py).
+
+Golden bytes are independent literals hand-derived from the public
+opentelemetry-proto schemas (field numbers / wire types verified
+against metrics.proto + trace.proto by hand), so an encoder regression
+cannot hide behind a matching decoder. Round trips additionally pin
+decode(encode(x)) == x for every datapoint type, including presence
+edges (NULL value oneof, absent attribute, absent parent span).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opentelemetry_collector_spark.functions import signalwire as W
+
+ATTRS = [("svc", "api")]
+
+
+def test_number_point_golden_bytes():
+    got = W.encode_number_point(ATTRS, 0, 5, as_int=7)
+    assert got.hex() == (
+        "190500000000000000"  # field 3 fixed64 time=5
+        "310700000000000000"  # field 6 sfixed64 as_int=7
+        "3a0c0a0373766312050a03617069"  # field 7 KeyValue{svc: api}
+    )
+    assert W.decode_number_point(got) == {
+        "attributes": {"svc": "api"}, "as_int": 7, "as_double": None,
+        "start_ns": 0, "ts_ns": 5,
+    }
+
+
+def test_histogram_point_golden_bytes():
+    got = W.encode_histogram_point(
+        ATTRS, 1, 2, count=3, bucket_counts=[1, 2], explicit_bounds=[10.0],
+        value_sum=30.0, value_min=5.0, value_max=25.0,
+    )
+    assert got.hex() == (
+        "110100000000000000"  # 2: start=1
+        "190200000000000000"  # 3: time=2
+        "210300000000000000"  # 4: count=3
+        "290000000000003e40"  # 5: sum=30.0
+        "321001000000000000000200000000000000"  # 6: packed fixed64 [1,2]
+        "3a080000000000002440"  # 7: packed double [10.0]
+        "4a0c0a0373766312050a03617069"  # 9: attributes
+        "590000000000001440"  # 11: min=5.0
+        "610000000000003940"  # 12: max=25.0
+    )
+    back = W.decode_histogram_point(got)
+    assert back["bucket_counts"] == [1, 2]
+    assert back["explicit_bounds"] == [10.0]
+    assert (back["count"], back["sum"], back["min"], back["max"]) == (3, 30.0, 5.0, 25.0)
+
+
+def test_exp_histogram_point_golden_bytes():
+    got = W.encode_exp_histogram_point(
+        ATTRS, 0, 2, count=4, scale=0, zero_count=1,
+        positive_offset=-1, positive_counts=[2, 2],
+    )
+    assert got.hex() == (
+        "0a0c0a0373766312050a03617069"  # 1: attributes
+        "190200000000000000"  # 3: time=2
+        "210400000000000000"  # 4: count=4
+        "3000"  # 6: scale sint32 zigzag(0)
+        "390100000000000000"  # 7: zero_count=1
+        "420608011202" + "0202"  # 8: Buckets{offset=-1 zigzag, counts [2,2]}
+    )
+    back = W.decode_exp_histogram_point(got)
+    assert back["positive_offset"] == -1
+    assert back["positive_counts"] == [2, 2]
+    assert back["scale"] == 0 and back["zero_count"] == 1
+
+
+def test_summary_point_golden_bytes():
+    got = W.encode_summary_point(ATTRS, 0, 2, count=10, value_sum=55.0,
+                                 quantiles=[(0.5, 7.0)])
+    assert got.hex() == (
+        "190200000000000000"  # 3: time=2
+        "210a00000000000000"  # 4: count=10
+        "290000000000804b40"  # 5: sum=55.0
+        "321209000000000000e03f110000000000001c40"  # 6: {q=0.5, v=7.0}
+        "3a0c0a0373766312050a03617069"  # 7: attributes
+    )
+    back = W.decode_summary_point(got)
+    assert back["quantiles"] == [(0.5, 7.0)]
+    assert back["count"] == 10 and back["sum"] == 55.0
+
+
+def test_span_golden_bytes():
+    got = W.encode_span(
+        "00" * 15 + "ff", "11" * 8, None, "n", "SPAN_KIND_CLIENT",
+        9, 10, "STATUS_CODE_ERROR",
+    )
+    assert got.hex() == (
+        "0a10" + "00" * 15 + "ff"  # 1: trace_id (16 bytes)
+        + "1208" + "11" * 8  # 2: span_id (8 bytes)
+        + "2a016e"  # 5: name "n"
+        + "3003"  # 6: kind CLIENT=3
+        + "390900000000000000"  # 7: start=9
+        + "410a00000000000000"  # 8: end=10
+        + "7a021802"  # 15: Status{code=ERROR=2}
+    )
+    back = W.decode_span(got)
+    assert back["trace_id"] == "00" * 15 + "ff"
+    assert back["parent_span_id"] is None  # absent field stays absent
+    assert back["kind"] == "SPAN_KIND_CLIENT"
+    assert back["status"] == "STATUS_CODE_ERROR"
+
+
+def test_span_parent_roundtrip():
+    got = W.encode_span(
+        "ab" * 16, "cd" * 8, "ef" * 8, "tool/api", "SPAN_KIND_SERVER",
+        1_700_000_000_000_000_000, 1_700_000_000_500_000_000, "STATUS_CODE_OK",
+    )
+    back = W.decode_span(got)
+    assert back["parent_span_id"] == "ef" * 8
+    assert back["end_ns"] - back["start_ns"] == 500_000_000
+
+
+def test_number_point_presence_edges():
+    """NULL value oneof and absent attribute must survive: neither an
+    as_int nor as_double field is emitted, and decode keeps None."""
+    got = W.encode_number_point([], 0, 1)
+    back = W.decode_number_point(got)
+    assert back["as_int"] is None and back["as_double"] is None
+    assert back["attributes"] == {}
+    gd = W.encode_number_point([], 0, 1, as_double=2.5)
+    assert W.decode_number_point(gd)["as_double"] == 2.5
+
+
+@given(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.integers(min_value=0, max_value=2**62),
+)
+@settings(max_examples=100, deadline=None)
+def test_number_point_int_roundtrip(v, ts):
+    back = W.decode_number_point(W.encode_number_point(ATTRS, 0, ts, as_int=v))
+    assert back["as_int"] == v and back["ts_ns"] == ts
+
+
+@given(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.lists(st.integers(min_value=0, max_value=2**40), max_size=8),
+)
+@settings(max_examples=100, deadline=None)
+def test_exp_histogram_offset_scale_roundtrip(offset, counts):
+    back = W.decode_exp_histogram_point(
+        W.encode_exp_histogram_point([], 0, 1, 1, scale=-3,
+                                     zero_count=0, positive_offset=offset,
+                                     positive_counts=counts)
+    )
+    assert back["positive_offset"] == offset
+    assert back["positive_counts"] == counts
+    assert back["scale"] == -3
+
+
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False), max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_histogram_bounds_roundtrip(bounds):
+    back = W.decode_histogram_point(
+        W.encode_histogram_point([], 0, 1, count=0,
+                                 bucket_counts=[0] * (len(bounds) + 1),
+                                 explicit_bounds=bounds)
+    )
+    assert back["explicit_bounds"] == bounds  # IEEE bytes: bit-exact
+
+
+def test_spark_stage_sizer_and_roundtrip(spark):
+    """The mapInPandas stages: proto_bytes is the real Sizer, and the
+    decoded frame matches the input, including NULL svc / NULL value
+    (metrics) and NULL parent (spans)."""
+    pts = spark.createDataFrame(
+        [("c1", 0, "api", 1000, 7), ("c1", 1, None, 2000, None)],
+        "conv_id string, turn_idx int, svc string, ts_ns long, value long",
+    )
+    enc = W.encode_number_points(pts)
+    rows = {r["turn_idx"]: r for r in enc.collect()}
+    assert all(r["proto_bytes"] == len(r["proto"]) for r in rows.values())
+    assert rows[1]["proto_bytes"] < rows[0]["proto_bytes"]  # omitted fields
+    back = {r["turn_idx"]: r for r in W.decode_number_points(enc).collect()}
+    assert back[0]["svc"] == "api" and back[0]["value"] == 7
+    assert back[1]["svc"] is None and back[1]["value"] is None
