@@ -618,9 +618,12 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark → Arrow → pandas byte-exactly."""
     from opentelemetry_collector_spark.operators import multimodal as mm
 
-    media = spark.read.parquet(fixtures.ensure_media()).drop("payload_sha256")
+    media = spark.read.parquet(fixtures.ensure_media()).drop(
+        "payload_sha256", "audio_sample_sum"
+    )
     return mm.extract_features(media).select(
-        "media_id", "media_type", "n_bytes", "sha256"
+        "media_id", "media_type", "n_bytes", "sha256",
+        "decoded_duration_ms", "sample_sum",
     )
 
 
@@ -1087,7 +1090,11 @@ def oracle_sql() -> dict[str, str]:
         "media_features": f"""
             SELECT media_id, media_type,
                    cast(octet_length(payload) AS bigint) AS n_bytes,
-                   payload_sha256 AS sha256
+                   payload_sha256 AS sha256,
+                   cast(CASE WHEN media_type = 'audio/wav'
+                        THEN meta.duration_ms END AS int)
+                     AS decoded_duration_ms,
+                   audio_sample_sum AS sample_sum
             FROM read_parquet('{fixtures.ensure_media()}')""",
         "docs_clean_pipeline": _docs_clean_oracle(),
         "profile_hot_functions": profiles_oracle.oracle_hot_functions(10),

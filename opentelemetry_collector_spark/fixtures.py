@@ -240,7 +240,7 @@ def ensure_versioned_tool_dim() -> str:
 # otherwise serve stale bytes from a prior round's fixtures/ dir (r3
 # switched media image payloads from hash chains to real PNGs — an old
 # cache would silently exercise the stub path forever)
-MEDIA_GEN_VERSION = 2
+MEDIA_GEN_VERSION = 3
 PROFILES_GEN_VERSION = 1
 
 
@@ -256,11 +256,27 @@ def ensure_media(n: int = 96, seed: int = SEED) -> str:
     (DuckDB 1.0 cannot hash BLOBs itself)."""
     import hashlib
 
-    from opentelemetry_collector_spark.operators.multimodal import media_rows
+    from opentelemetry_collector_spark.operators.multimodal import (
+        _wav_samples,
+        media_rows,
+    )
 
     path = media_path()
     if not path.exists():
         rows = media_rows(n, seed)
+        # audio ground truth computed from the SOURCE samples, before
+        # any encoding — the Spark side recomputes it from the DECODED
+        # wav stream, so oracle parity is a true codec check (not the
+        # decoder checking itself)
+        sample_sums = []
+        for i, mt, _payload, meta in rows:
+            if mt == "audio/wav":
+                ns = meta["sample_rate"] * meta["duration_ms"] // 1000
+                sample_sums.append(
+                    int(_wav_samples(i, seed, ns).sum(dtype="int64"))
+                )
+            else:
+                sample_sums.append(None)
         meta_type = pa.struct(
             [
                 ("width", pa.int32()),
@@ -280,6 +296,7 @@ def ensure_media(n: int = 96, seed: int = SEED) -> str:
                     [hashlib.sha256(bytes(r[2])).hexdigest() for r in rows],
                     pa.string(),
                 ),
+                "audio_sample_sum": pa.array(sample_sums, pa.int64()),
             }
         )
         path.parent.mkdir(parents=True, exist_ok=True)

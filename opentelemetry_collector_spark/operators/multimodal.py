@@ -8,9 +8,11 @@ Spark-side plumbing for a training-data pipeline's media handling:
   batch shape are real and tested;
 - image/png rows decode for REAL via the stdlib codec
   (functions/png.py: struct chunk walk + zlib inflate + 0-4 defilter);
-  audio/video decode stays STUBBED (no codec libs in this container)
-  behind ``_decode_stub``, a deterministic fake with the real-library
-  call site marked.
+- audio/wav rows decode for REAL via the stdlib codec
+  (functions/wav.py: `wave` + numpy → PCM s16le samples);
+- video decode stays STUBBED (no codec libs in this container) behind
+  ``_decode_stub``, a deterministic fake with the real-library call
+  site marked.
 
 Scale notes: mapInPandas streams Arrow batches (no full-partition
 materialization); media work is embarrassingly parallel so the only
@@ -37,7 +39,8 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes long, sha256 string, "
-    "feature array<float>, decoded_shape array<int>"
+    "feature array<float>, decoded_shape array<int>, "
+    "decoded_duration_ms int, sample_sum long"
 )
 
 RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
@@ -55,15 +58,25 @@ def _png_pixels(i: int, seed: int, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width, 3)).astype(np.uint8)
 
 
+def _wav_samples(i: int, seed: int, n_samples: int) -> np.ndarray:
+    """Deterministic test audio i: seeded int16 noise; every third
+    audio row stereo — exercises both channel layouts."""
+    rng = np.random.RandomState(seed * 100_003 + i)
+    shape = (n_samples, 2) if i % 9 == 1 else (n_samples,)
+    return rng.randint(-(2**15), 2**15, size=shape).astype("<i2")
+
+
 def media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic media rows — the pdata/testdata GenerateLogs analog
     for media. image/png rows carry REAL spec-conformant PNG bytes
     (functions/png.py encoder, filter type i%5 so all five filters
-    appear in the fixtures); audio/video payloads stay seeded hash
-    chains (their decoders remain stubs — no codec libs here).
-    Shared by synthetic_media (in-memory tests) and
-    fixtures.ensure_media (the parquet the DuckDB oracle reads)."""
-    from opentelemetry_collector_spark.functions import png
+    appear in the fixtures); audio/wav rows carry REAL RIFF/WAVE PCM
+    s16le bytes (functions/wav.py, mono + stereo, duration matching
+    the metadata); video payloads stay seeded hash chains (decoder
+    remains a stub — no codec libs here). Shared by synthetic_media
+    (in-memory tests) and fixtures.ensure_media (the parquet the
+    DuckDB oracle reads)."""
+    from opentelemetry_collector_spark.functions import png, wav
 
     rows = []
     for i in range(n):
@@ -80,6 +93,11 @@ def media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 _png_pixels(i, seed, meta["width"], meta["height"]),
                 filter_type=i % 5,
             )
+        elif mt == "audio/wav":
+            n_samples = meta["sample_rate"] * meta["duration_ms"] // 1000
+            payload = wav.encode(
+                _wav_samples(i, seed, n_samples), meta["sample_rate"]
+            )
         else:
             payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
         rows.append((i, mt, bytearray(payload), meta))
@@ -93,12 +111,12 @@ def synthetic_media(
 
 
 def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB for the audio/video decoders.
+    """STUB for the video decoder (and the degrade path for malformed
+    image/audio payloads).
 
     Real implementation would be e.g.:
-        import soundfile; arr, sr = soundfile.read(io.BytesIO(payload))
         import av  # frame decode
-    Neither library ships in this container, so we derive a
+    The library does not ship in this container, so we derive a
     deterministic pseudo-decode from the payload bytes: same
     signature, same dtype/shape contract, fully testable plumbing.
     """
@@ -117,18 +135,25 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """Media decode dispatch: PNG images decode for REAL (stdlib codec,
-    functions/png.py — zlib inflate + full 0-4 defilter incl. Paeth);
-    audio/video fall through to the documented _decode_stub.
+    functions/png.py — zlib inflate + full 0-4 defilter incl. Paeth),
+    WAV audio decodes for REAL (functions/wav.py — PCM s16le samples);
+    video falls through to the documented _decode_stub.
 
-    A malformed/unsupported PNG (truncated, 16-bit, interlaced — dirty
-    corpora have all of them) must NOT kill the Spark task from inside
-    mapInPandas: it degrades to the deterministic stub decode, exactly
-    how the row would have been treated before the codec existed."""
-    from opentelemetry_collector_spark.functions import png
+    A malformed/unsupported payload (truncated PNG, compressed WAV —
+    dirty corpora have all of them) must NOT kill the Spark task from
+    inside mapInPandas: it degrades to the deterministic stub decode,
+    exactly how the row would have been treated before the codec
+    existed."""
+    from opentelemetry_collector_spark.functions import png, wav
 
     if media_type == "image/png" and payload[: len(png.PNG_MAGIC)] == png.PNG_MAGIC:
         try:
             return png.decode(payload).astype(np.float32)
+        except ValueError:
+            return _decode_stub(payload, media_type)
+    if media_type == "audio/wav" and payload[:4] == b"RIFF":
+        try:
+            return wav.decode(payload)[0].astype(np.float32)
         except ValueError:
             return _decode_stub(payload, media_type)
     return _decode_stub(payload, media_type)
@@ -140,9 +165,12 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     Arrow batches in, Arrow batches out; pure function of payload bytes.
     """
 
+    from opentelemetry_collector_spark.functions import wav
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, shapes, hashes, nbytes = [], [], [], []
+            durations, sample_sums = [], []
             for payload, mt in zip(pdf["payload"], pdf["media_type"]):
                 arr = decode_media(bytes(payload), mt)
                 flat = arr.ravel()
@@ -151,6 +179,19 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                 shapes.append(list(arr.shape))
                 hashes.append(hashlib.sha256(bytes(payload)).hexdigest())
                 nbytes.append(len(bytes(payload)))
+                # audio: duration + exact integer sample sum from the
+                # DECODED stream (the oracle checks them against
+                # generation-time ground truth — a real decode check)
+                dur = ssum = None
+                if mt == "audio/wav":
+                    try:
+                        samples, rate = wav.decode(bytes(payload))
+                        dur = round(1000 * samples.shape[0] / rate)
+                        ssum = int(samples.sum(dtype="int64"))
+                    except ValueError:
+                        pass
+                durations.append(dur)
+                sample_sums.append(ssum)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -159,6 +200,8 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                     "sha256": hashes,
                     "feature": feats,
                     "decoded_shape": shapes,
+                    "decoded_duration_ms": pd.array(durations, dtype="Int32"),
+                    "sample_sum": pd.array(sample_sums, dtype="Int64"),
                 }
             )
 

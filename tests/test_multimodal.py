@@ -113,10 +113,11 @@ def test_png_decode_rejects_garbage():
         png.decode(bytes(buf))
 
 
-def test_extract_features_real_png_shapes(spark):
+def test_extract_features_real_decoded_shapes(spark):
     """media_features over synthetic media: PNG rows must report their
-    TRUE decoded (height, width[, 3]) — proving the real decoder ran —
-    while audio/video keep the documented stub shapes."""
+    TRUE decoded (height, width[, 3]) and WAV rows their TRUE sample
+    counts — proving both real decoders ran — while video keeps the
+    documented stub shape."""
     from opentelemetry_collector_spark.operators import multimodal as mm
 
     df = mm.synthetic_media(spark, n=12)
@@ -129,5 +130,60 @@ def test_extract_features_real_png_shapes(spark):
             if media_id % 3 != 0:
                 want.append(3)
             assert shape == want, (media_id, shape)
+        elif mt == "audio/wav":
+            n_samples = meta["sample_rate"] * meta["duration_ms"] // 1000
+            want = [n_samples, 2] if media_id % 9 == 1 else [n_samples]
+            assert shape == want, (media_id, shape)
+            assert out[media_id]["decoded_duration_ms"] == meta["duration_ms"]
         else:
-            assert len(shape) == 1  # stub: flat byte array
+            assert len(shape) == 1  # video stub: flat byte array
+            assert out[media_id]["decoded_duration_ms"] is None
+
+
+def test_wav_codec_roundtrip_and_golden():
+    """encode→decode is bit-exact for mono and stereo; the header is
+    pinned against a hand-derived RIFF/WAVE golden literal."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.functions import wav
+
+    mono = np.array([0, 1, -1, 32767, -32768], dtype="<i2")
+    arr, rate = wav.decode(wav.encode(mono, 8000))
+    assert rate == 8000 and arr.tolist() == mono.tolist()
+    stereo = np.array([[1, -2], [3, -4]], dtype="<i2")
+    arr2, rate2 = wav.decode(wav.encode(stereo, 16000))
+    assert rate2 == 16000 and arr2.tolist() == stereo.tolist()
+    # golden: 1 mono sample (value 1) at 16 kHz — 44-byte canonical
+    # header + 2 data bytes, every field hand-derived from the RIFF spec
+    got = wav.encode(np.array([1], dtype="<i2"), 16000)
+    assert got.hex() == (
+        "52494646"  # 'RIFF'
+        "26000000"  # chunk size = 38
+        "57415645"  # 'WAVE'
+        "666d7420"  # 'fmt '
+        "10000000"  # fmt size 16
+        "0100"      # PCM
+        "0100"      # 1 channel
+        "803e0000"  # 16000 Hz
+        "007d0000"  # byte rate 32000
+        "0200"      # block align 2
+        "1000"      # 16 bits
+        "64617461"  # 'data'
+        "02000000"  # data size 2
+        "0100"      # the sample
+    )
+
+
+def test_wav_malformed_degrades_to_stub():
+    """A non-RIFF or truncated audio payload must degrade to the
+    deterministic stub, never raise out of the Spark task."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.operators import multimodal as mm
+
+    junk = b"not audio at all"
+    out = mm.decode_media(junk, "audio/wav")
+    assert out.dtype == np.float32 and out.ndim == 1
+    truncated = b"RIFF\x00\x00\x00\x00WAVE"
+    out2 = mm.decode_media(truncated, "audio/wav")
+    assert out2.dtype == np.float32
