@@ -1241,3 +1241,153 @@ def oracle_incremental_dedup(
             WHERE {eq} >= {min_equal})
         SELECT s.id AS doc_id FROM surv s
         WHERE s.id NOT IN (SELECT id_new FROM verified)"""
+
+
+# ---------------------------------------------- disk-backed dedup store
+
+def write_minhash_store(
+    spark,
+    df: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    n_buckets: int = 16,
+) -> None:
+    """Persist the dedup state as BUCKETED tables — the production
+    layout the in-memory ``corpus_store.persist()`` stood in for
+    (VERDICT r3 audit note: at 10⁹-doc corpora the persist is the
+    first thing to fall over). On a real deployment these are Iceberg
+    tables with bucket partition transforms; the session-catalog
+    saveAsTable is the sandbox analog (same rule as
+    sources/tables.write_bucketed).
+
+    Three tables:
+    - ``{name}_docs``   (id, fp, minhash)  bucketed by id  — exact-dup
+      anti-joins and signature lookups co-locate on id;
+    - ``{name}_keys``   (bk, id)           bucketed by bk  — the
+      candidate join's corpus side never shuffles;
+    - ``{name}_counts`` (bk, n)            tiny occupancy table — the
+      hot-bucket cap over the COMBINED corpus+increment population
+      without re-windowing the corpus (new counts + stored counts).
+    """
+    from opentelemetry_collector_spark.sources.tables import write_bucketed
+
+    store = minhash_store(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    ).persist()  # two writes + the counts agg consume it
+    write_bucketed(
+        store.select("id", "fp", "minhash"),
+        f"{name}_docs",
+        bucket_cols=("id",),
+        sort_cols=("id",),
+        n_buckets=n_buckets,
+    )
+    keys = store.select("id", F.explode("bks").alias("bk"))
+    write_bucketed(
+        keys,
+        f"{name}_keys",
+        bucket_cols=("bk",),
+        sort_cols=("bk", "id"),
+        n_buckets=n_buckets,
+    )
+    (
+        spark.table(f"{name}_keys")
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_counts")
+    )
+    store.unpersist()
+
+
+def incremental_dedup_keep_ids_bucketed(
+    spark,
+    new_docs: DataFrame,
+    store_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    min_equal: int = MINHASH_EST_MIN_EQUAL,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    persist_handle: list | None = None,
+) -> DataFrame:
+    """incremental_dedup_keep_ids against a write_minhash_store layout.
+
+    Result-identical to the in-memory variant (pinned by test), but the
+    corpus is never persisted in executor memory and never reshuffled:
+    - exact anti-join reads only the ``fp`` column of ``{name}_docs``;
+    - the hot-bucket cap joins new-side bucket counts with the stored
+      ``{name}_counts`` occupancy (combined population, same semantics
+      as the window over the union) and broadcasts the tiny over-cap
+      key set — the corpus keys scan keeps its bucketing;
+    - the candidate join and both signature joins land on the bucketed
+      tables' own partitioning (plan pinned Exchange-free on the
+      corpus side in tests/test_dedup_store.py).
+
+    Only the INCREMENT (new batch) is persisted — at production scale
+    that is the day's arrivals, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.table(f"{store_name}_docs")
+    keys = spark.table(f"{store_name}_keys")
+    counts = spark.table(f"{store_name}_counts")
+    ns = minhash_store(new_docs, id_col, text_col, num_hashes, bands, shingle_n).persist()
+    if persist_handle is not None:
+        persist_handle.append(ns)
+    w = Window.partitionBy("fp").orderBy("id")
+    survivors = (
+        ns.join(docs.select("fp"), "fp", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    ).persist()
+    if persist_handle is not None:
+        persist_handle.append(survivors)
+    nb = survivors.select(F.col("id"), F.explode("bks").alias("bk"))
+    if max_bucket is not None:
+        over = (
+            nb.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("n_new"))
+            .join(counts, "bk", "left")
+            .filter(F.coalesce(F.col("n"), F.lit(0)) + F.col("n_new") > max_bucket)
+            .select("bk")
+        )
+        # over-cap buckets are ⊆ buckets touched by the increment (a
+        # corpus-only bucket yields no candidates), so the set is tiny
+        nb = nb.join(F.broadcast(over), "bk", "left_anti")
+        keys = keys.join(F.broadcast(over), "bk", "left_anti")
+    new_side = nb.select("bk", F.col("id").alias("id_new"))
+    cand_c = (
+        new_side.join(keys.select("bk", F.col("id").alias("id_other")), "bk")
+        .select("id_new", "id_other")
+        .withColumn("src", F.lit("corpus"))
+    )
+    cand_n = (
+        new_side.join(nb.select("bk", F.col("id").alias("id_other")), "bk")
+        .filter(F.col("id_other") < F.col("id_new"))
+        .select("id_new", "id_other")
+        .withColumn("src", F.lit("new"))
+    )
+    cand = cand_c.unionByName(cand_n).dropDuplicates(["id_new", "id_other", "src"])
+    sig_new = survivors.select(F.col("id").alias("id_new"), F.col("minhash").alias("mh_new"))
+    sig_corpus = docs.select(F.col("id").alias("id_other"), F.col("minhash").alias("mh_other"))
+    sig_newb = survivors.select(F.col("id").alias("id_other"), F.col("minhash").alias("mh_other"))
+    verified = (
+        cand.filter(F.col("src") == "corpus").join(sig_corpus, "id_other")
+        .unionByName(cand.filter(F.col("src") == "new").join(sig_newb, "id_other"))
+        .join(sig_new, "id_new")
+        .filter(
+            _sig_equal_components(F.col("mh_new"), F.col("mh_other")) >= min_equal
+        )
+    )
+    drops = verified.select(F.col("id_new").alias("id")).distinct()
+    return survivors.join(drops, "id", "left_anti").select(
+        F.col("id").alias(id_col)
+    )
