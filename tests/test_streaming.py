@@ -249,3 +249,39 @@ def test_stream_dedup_suppresses_redelivery(spark, sf_dir, tmp_path):
     n_unique = pq.read_table(files[0]).num_rows
     assert got.count() == n_unique
     assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
+
+
+def test_partial_scrape_forwards_good_rows_and_counts_errors(spark, tmp_path):
+    """scrapererror semantics (scraper/scraperhelper/controller.go:
+    141-182): a scrape over targets where some are unreadable forwards
+    the readable rows and records the error count — it does NOT abort,
+    and it does NOT silently drop the failure."""
+    from opentelemetry_collector_spark.sources.scrape import (
+        record_scrape,
+        scrape_parquet_targets,
+    )
+    from opentelemetry_collector_spark.state.metrics import StageMetrics
+
+    schema = "conv_id string, turn_idx int"
+    good1 = str(tmp_path / "a.parquet")
+    good2 = str(tmp_path / "b.parquet")
+    spark.createDataFrame([("c1", 0), ("c1", 1)], schema).write.parquet(good1)
+    spark.createDataFrame([("c2", 0)], schema).write.parquet(good2)
+    corrupt = tmp_path / "c.parquet"
+    corrupt.write_bytes(b"not parquet at all")
+    missing = str(tmp_path / "nope.parquet")
+
+    res = scrape_parquet_targets(
+        spark, [good1, str(corrupt), good2, missing], schema
+    )
+    assert res.failed == 2
+    metrics = StageMetrics()
+    n = record_scrape(metrics, res)
+    assert n == 3  # all rows from both readable targets forwarded
+    rows = {(s, m): v for s, m, v in metrics.rows}
+    assert rows[("scraper", "otelcol_scraper_scraped_log_records")] == 3
+    assert rows[("scraper", "otelcol_scraper_errored_targets")] == 2
+
+    # every target failing: nothing forwards, the tick still returns
+    res_all_bad = scrape_parquet_targets(spark, [missing], schema)
+    assert res_all_bad.failed == 1 and res_all_bad.df.count() == 0

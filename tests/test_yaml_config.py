@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from opentelemetry_collector_spark.plans import config as cfg_mod
 
 YAML_DOC = """
@@ -223,3 +225,79 @@ def test_list_components_cli():
     assert set(inv) >= {"receivers", "processors", "exporters", "connectors", "featuregates"}
     assert "transcripts" in inv["receivers"] and "forward" in inv["connectors"]
     assert inv["featuregates"]["engine.singlePassFanout"]["stage"] == "beta"
+
+
+def test_converters_apply_in_order_after_resolution():
+    """confmap.Converter contract (confmap/converter.go:38): the
+    ordered list runs AFTER provider resolution, each converter seeing
+    the previous one's output."""
+    calls = []
+
+    def first(conf):
+        calls.append("first")
+        assert conf["a"] == "resolved"  # providers already ran
+        return {**conf, "b": 1}
+
+    def second(conf):
+        calls.append("second")
+        assert conf["b"] == 1  # sees first's output
+        return {**conf, "c": 2}
+
+    import os
+
+    os.environ["OTEL_CONV_T"] = "resolved"
+    try:
+        out = cfg_mod.resolve_config(
+            {"a": "${env:OTEL_CONV_T}"}, converters=(first, second)
+        )
+    finally:
+        del os.environ["OTEL_CONV_T"]
+    assert calls == ["first", "second"]
+    assert out == {"a": "resolved", "b": 1, "c": 2}
+
+
+def test_converter_errors_name_the_converter():
+    def boom(conf):
+        raise KeyError("nope")
+
+    with pytest.raises(cfg_mod.ConfigError, match="boom.*KeyError"):
+        cfg_mod.resolve_config({}, converters=(boom,))
+
+    def wrong_type(conf):
+        return ["not", "a", "dict"]
+
+    with pytest.raises(cfg_mod.ConfigError, match="wrong_type.*list"):
+        cfg_mod.resolve_config({}, converters=(wrong_type,))
+
+
+def test_rename_key_converter_rewrites_legacy_keys():
+    conv = cfg_mod.rename_key_converter("processors", "max_size", "send_batch_size")
+    out = conv({"processors": {"batch": {"max_size": 10}, "parse": {}}})
+    assert out["processors"]["batch"] == {"send_batch_size": 10}
+    with pytest.raises(cfg_mod.ConfigError, match="both"):
+        conv({"processors": {"batch": {"max_size": 1, "send_batch_size": 2}}})
+    # usable end-to-end through load_spec
+    spec = cfg_mod.load_spec(
+        {
+            "receivers": {"transcripts": {}},
+            "processors": {"parse": {}},
+            "exporters": {"nop": {}},
+        },
+        converters=(conv,),
+    )
+    assert spec.pipeline == ["parse"]
+
+
+def test_redact_secrets_converter_masks_only_secretish_keys():
+    out = cfg_mod.redact_secrets_converter(
+        {
+            "exporters": {
+                "parquet": {"path": "/data", "s3_secret_key": "hunter2"},
+                "http": {"auth_token": 12345, "timeout": 30},
+            }
+        }
+    )
+    assert out["exporters"]["parquet"]["s3_secret_key"] == "[REDACTED]"
+    assert out["exporters"]["http"]["auth_token"] == "[REDACTED]"
+    assert out["exporters"]["parquet"]["path"] == "/data"
+    assert out["exporters"]["http"]["timeout"] == 30
