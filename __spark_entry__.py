@@ -27,6 +27,7 @@ from opentelemetry_collector_spark.operators import (
 from opentelemetry_collector_spark.functions import profiles as profiles_oracle
 from opentelemetry_collector_spark.functions import text as text_oracle
 from opentelemetry_collector_spark.operators import dedup as dedup_oracle
+from opentelemetry_collector_spark.operators import corpus as corpus_oracle
 from opentelemetry_collector_spark.operators import similarity as sim_oracle
 from opentelemetry_collector_spark.plans import pipeline
 from opentelemetry_collector_spark.sources import tables
@@ -543,6 +544,35 @@ def _q_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES_PPM = {f"src{i}": 250_000 * (i % 4 + 1) for i in range(20)}
+
+
+def _q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality rules per document (exact permille
+    integers; edge docs keep the NULL/unicode/symbol branches hot)."""
+    from opentelemetry_collector_spark.operators import corpus
+
+    return corpus.quality_rules(_docs_with_edges(spark, sf_dir))
+
+
+def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source training-mix sampling (hash-Bernoulli,
+    zero shuffle); rates 25/50/75/100% cycling over the 20 sources."""
+    from opentelemetry_collector_spark.operators import corpus
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return corpus.mix_sample(docs, MIX_RATES_PPM).select("doc_id", "source")
+
+
+def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing word 3-grams with the held-out benchmark
+    subset (doc_id % 97 == 0) — eval-contamination flagging via a
+    broadcast gram-set join."""
+    from opentelemetry_collector_spark.operators import corpus
+
+    return corpus.contamination(_docs_with_edges(spark, sf_dir))
+
+
 def _q_pipeline_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Config-built two-pipeline DAG: logs (parse → route) exports into
     a count connector, which feeds a metrics pipeline — the
@@ -861,6 +891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": _q_text_redact,
         "lm_score": _q_lm_score,
         "dedup_incremental": _q_dedup_incremental,
+        "docs_quality": _q_docs_quality,
+        "sample_mix": _q_sample_mix,
+        "contamination_check": _q_contamination_check,
         "tfidf_topterms": _q_tfidf_topterms,
     }
 
@@ -1065,6 +1098,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
                    cast(latency_ms AS bigint) AS value
             FROM parsed""",
+        "docs_quality": f"""WITH {_edge_docs_cte()},
+            base AS ({corpus_oracle.oracle_quality_rules('docs_all')})
+            SELECT * FROM base""",
+        "sample_mix": corpus_oracle.oracle_mix_sample(MIX_RATES_PPM),
+        "contamination_check": f"""WITH {_edge_docs_cte()},
+            base AS ({corpus_oracle.oracle_contamination()})
+            SELECT * FROM base""",
         "severity_turns": f"""{_parsedcte_sev()}""",
         "otlp_roundtrip": f"""{_transcripts_cte()}
             SELECT conv_id, role, text FROM transcripts""",

@@ -77,6 +77,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # r4: per-signal wire formats (pmetric/ptrace codecs)
         "spans_roundtrip",
         "metrics_roundtrip",
+        # r4: corpus-shaping family
+        "docs_quality",
+        "sample_mix",
+        "contamination_check",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))

@@ -295,13 +295,27 @@ def embedding_neardup_pairs_exact(
     )
 
 
-def validate_dim(df: DataFrame, dim: int, vec_col: str = "embedding") -> None:
+def validate_dim(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    sample_rows: int | None = None,
+) -> None:
     """Fail fast on vector/plane length mismatch: zip_with pads the
     shorter array with NULL, which would silently send every row to
     bucket 0 instead of erroring. Aggregate over the whole column — a
     first-row-only check would pass a table with MIXED lengths, exactly
-    the failure this exists to catch."""
-    row = df.agg(
+    the failure this exists to catch.
+
+    sample_rows bounds the scan for very large tables (VERDICT r3
+    audit: at 100 TB a per-call full min/max pass is real money):
+    LIMIT stops the scan early, trading the mixed-length-tail guarantee
+    for cost — the Arrow matmul kernel still throws on any row that
+    slips through, so the failure stays loud, just later. None (the
+    default, used by the registered queries at fixture scale) keeps
+    the exhaustive check."""
+    scan = df.limit(sample_rows) if sample_rows else df
+    row = scan.agg(
         F.min(F.size(F.col(vec_col))).alias("lo"),
         F.max(F.size(F.col(vec_col))).alias("hi"),
     ).first()

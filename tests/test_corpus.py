@@ -1,0 +1,76 @@
+"""Corpus-shaping operators (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_quality_rules_split_and_edges(spark, docs):
+    out = corpus.quality_rules(docs)
+    kept = out.filter("keep").count()
+    total = out.count()
+    assert 0 < kept < total  # the rules actually separate the fixture
+    # targeted edge rows
+    edge = spark.createDataFrame(
+        [
+            (1, None),  # NULL text → 0 words → drop
+            (2, "ok " * 30),  # 30 short words: mean len 2.0 < 3.0 → drop
+            (3, "@@ ## $$ %% " * 10),  # symbols, no alpha words → drop
+            (4, "steady reasonable words " * 10),  # clean → keep
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in corpus.quality_rules(edge).collect()}
+    assert not rows[1]["keep"] and rows[1]["n_words"] == 0
+    assert not rows[2]["keep"] and rows[2]["mean_word_len_milli"] == 2000
+    assert not rows[3]["keep"] and rows[3]["alpha_word_permille"] == 0
+    assert rows[4]["keep"]
+
+
+def test_mix_sample_rates_and_determinism(docs):
+    rates = {"src0": 1_000_000, "src1": 500_000, "src2": 0}
+    out = corpus.mix_sample(docs, rates)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n0 = docs.filter("source = 'src0'").count()
+    n1 = docs.filter("source = 'src1'").count()
+    assert by_src.get("src0") == n0  # rate 1.0 keeps everything
+    assert "src2" not in by_src  # rate 0 drops everything
+    assert set(by_src) == {"src0", "src1"}  # unknown sources default-drop
+    assert 0.3 * n1 < by_src.get("src1", 0) < 0.7 * n1  # ~half
+    # deterministic: same rows on a reshuffled input
+    again = {
+        r["doc_id"]
+        for r in corpus.mix_sample(docs.repartition(7), rates).collect()
+    }
+    assert again == {r["doc_id"] for r in out.collect()}
+
+
+def test_mix_sample_is_shuffle_free(docs):
+    plan = (
+        corpus.mix_sample(docs, {"src0": 500_000})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure scan + filter
+
+
+def test_contamination_excludes_benchmark_and_flags_copies(spark):
+    rows = [(i, f"unique text number {i} about topic{i} end") for i in range(1, 300)]
+    rows.append((0, "held out benchmark question about spark joins"))  # bench (0 % 97 == 0)
+    rows.append((150, "held out benchmark question about spark joins"))  # leaked copy
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_shared_grams"] for r in corpus.contamination(df).collect()}
+    assert 150 in out and out[150] >= 4  # the verbatim leak is flagged
+    assert 0 not in out and 97 not in out and 194 not in out  # bench excluded

@@ -22,6 +22,8 @@ ARROW_OK = {
     "parse_turns_arrow",
     "media_features",
     "proto_roundtrip",  # wire-format encode/decode is export-boundary Python
+    "spans_roundtrip",  # same: per-signal wire codecs (signalwire.py)
+    "metrics_roundtrip",
     # declared dense-numeric kernel: one numpy matmul per Arrow batch
     # (similarity.band_keys_arrow) replaces ~1 ms/row of interpreted
     # hyperplane dot products
