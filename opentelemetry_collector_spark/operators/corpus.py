@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_spark.functions.text import (
     normalize_text,
     oracle_word_grams,
+    spread_to_parallelism,
     word_grams,
 )
 
@@ -191,9 +192,11 @@ def contamination(
         .select(F.explode(grams).alias("gram"))
         .distinct()
     )
-    corpus = df.filter(F.col(id_col) % bench_mod != 0).select(
-        F.col(id_col), F.explode(grams).alias("gram")
-    )
+    # single-row-group parquet scans as ONE task; the gram explode is
+    # the CPU-dense stage, so spread it first (the dedup._spread rule)
+    corpus = spread_to_parallelism(
+        df.filter(F.col(id_col) % bench_mod != 0)
+    ).select(F.col(id_col), F.explode(grams).alias("gram"))
     return (
         corpus.join(F.broadcast(bench), "gram")
         .groupBy(id_col)
