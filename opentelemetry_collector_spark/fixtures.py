@@ -578,7 +578,11 @@ def ensure_scalegrowth(
             ),
         }
     )
-    pq.write_table(docs, out / "documents.parquet", row_group_size=65536)
+    # tmp + rename: a concurrent reader (or a killed run, which .exists()
+    # would otherwise cache forever) must never see a half-written footer
+    tmp = out / "documents.tmp.parquet"
+    pq.write_table(docs, tmp, row_group_size=65536)
+    os.replace(tmp, out / "documents.parquet")
 
     n_vecs = base_vecs * scale
     dim = 64
@@ -596,5 +600,7 @@ def ensure_scalegrowth(
             "label": pa.array([f"l{i % 16}" for i in range(n_vecs)]),
         }
     )
-    pq.write_table(emb, out / "embeddings.parquet", row_group_size=65536)
+    tmp = out / "embeddings.tmp.parquet"
+    pq.write_table(emb, tmp, row_group_size=65536)
+    os.replace(tmp, out / "embeddings.parquet")
     return str(out)

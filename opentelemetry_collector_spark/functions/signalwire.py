@@ -50,6 +50,7 @@ from opentelemetry_collector_spark.functions.protowire import (
     _fields,
     _fixed64,
     _len_delim,
+    _read_varint,
     _tag,
     _varint,
     _varint_field,
@@ -111,14 +112,7 @@ def _packed_doubles(field: int, vals: list[float]) -> bytes:
 def _unpack_varints(buf: bytes) -> list[int]:
     out, i = [], 0
     while i < len(buf):
-        n = shift = 0
-        while True:
-            b = buf[i]
-            i += 1
-            n |= (b & 0x7F) << shift
-            if not b & 0x80:
-                break
-            shift += 7
+        n, i = _read_varint(buf, i)  # the ONE varint reader (protowire)
         out.append(n)
     return out
 

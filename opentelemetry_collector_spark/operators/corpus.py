@@ -31,6 +31,7 @@ from opentelemetry_collector_spark.functions.text import (
     spread_to_parallelism,
     word_grams,
 )
+from opentelemetry_collector_spark.operators.dedup import _md5_32, _oracle_md5_32
 
 # Gopher-style rule thresholds (permille where ratios)
 MIN_WORDS = 20
@@ -128,11 +129,13 @@ PPM = 1_000_000
 
 
 def _sample_hash(source: Column, doc_id: Column) -> Column:
-    """Deterministic per-row uniform in [0, 1e6): first 8 md5-hex chars
-    of 'source:doc_id' as an int (engine-portable — the 32-bit md5
-    primitive every dedup op here uses)."""
-    h = F.md5(F.concat_ws(":", source, doc_id.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % PPM
+    """Deterministic per-row uniform in [0, 1e6): the shared 32-bit
+    md5 primitive (dedup._md5_32) over 'source:doc_id'. NULL source
+    hashes as '' on BOTH engines (concat_ws would silently drop the
+    NULL here while the oracle's || propagates it — the coalesce keeps
+    the two engines on the same branch)."""
+    key = F.concat_ws(":", F.coalesce(source, F.lit("")), doc_id.cast("string"))
+    return _md5_32(key) % PPM
 
 
 def mix_sample(
@@ -145,8 +148,9 @@ def mix_sample(
     """Keep each row with its source's rate: hash(source, id) < rate.
 
     Deterministic (same rows every run, any cluster size), stateless,
-    no shuffle — the sampling predicate rides the scan. Unknown
-    sources fall to default_ppm (0 = drop, the explicit-mix posture)."""
+    no shuffle — the sampling predicate rides the scan. Unknown (and
+    NULL) sources fall to default_ppm (0 = drop, the explicit-mix
+    posture)."""
     rate = F.lit(default_ppm)
     for src, ppm in sorted(rates_ppm.items()):
         rate = F.when(F.col(source_col) == src, F.lit(int(ppm))).otherwise(rate)
@@ -160,11 +164,10 @@ def oracle_mix_sample(
         f"WHEN source = '{src}' THEN {int(ppm)}"
         for src, ppm in sorted(rates_ppm.items())
     )
+    h = _oracle_md5_32("coalesce(source, '') || ':' || doc_id")
     return f"""
         SELECT doc_id, source FROM {table}
-        WHERE ('0x' || substr(md5(source || ':' || doc_id), 1, 8))::BIGINT
-              % {PPM}
-              < (CASE {cases} ELSE {default_ppm} END)"""
+        WHERE {h} % {PPM} < (CASE {cases} ELSE {default_ppm} END)"""
 
 
 # --------------------------------------------------------- contamination

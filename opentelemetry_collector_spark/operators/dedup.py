@@ -439,6 +439,21 @@ def _simhash_chunk_vals(fp0: Column, fp1: Column, bounds: list[int]) -> list[Col
     ]
 
 
+def _q_key_layout(max_hamming: int, q: int):
+    """THE q-tuple key layout (ONE definition — simhash_key_exprs,
+    _keyed_chunks and oracle_simhash_keys all pack from this):
+    (chunk bounds, max chunk width w, ordered combination list).
+    Packing contract: key = (combo_index << q·w) + Σ_j value_j << (q-1-j)·w,
+    asserted to fit signed 64."""
+    from itertools import combinations
+
+    bounds = simhash_chunk_bounds(max_hamming, q)
+    w = max(bounds[c + 1] - bounds[c] for c in range(len(bounds) - 1))
+    combos = list(combinations(range(len(bounds) - 1), q))
+    assert q * w + max(1, (len(combos) - 1).bit_length()) <= 63, (max_hamming, q)
+    return bounds, w, combos
+
+
 def simhash_key_exprs(
     fp0: Column, fp1: Column, max_hamming: int, q: int = 2
 ) -> list[Column]:
@@ -475,9 +490,7 @@ def simhash_key_exprs(
                 )
                 idx += 1
         return keys
-    w = max(bounds[c + 1] - bounds[c] for c in range(len(bounds) - 1))
-    combos = list(combinations(range(len(vals)), q))
-    assert q * w + max(1, (len(combos) - 1).bit_length()) <= 63, (max_hamming, q)
+    _bounds, w, combos = _q_key_layout(max_hamming, q)
     keys = []
     for idx, combo in enumerate(combos):
         key = F.lit(idx << (q * w)).cast("long")
@@ -506,11 +519,8 @@ def _keyed_chunks(sh: DataFrame, max_hamming: int, q: int) -> DataFrame:
             F.col("simhash0"), F.col("simhash1"), max_hamming, q
         )
         return sh.select("id", F.explode(F.array(*keys)).alias("chunk"))
-    bounds = simhash_chunk_bounds(max_hamming, q)
+    bounds, w, combos = _q_key_layout(max_hamming, q)
     vals = _simhash_chunk_vals(F.col("simhash0"), F.col("simhash1"), bounds)
-    w = max(bounds[c + 1] - bounds[c] for c in range(len(bounds) - 1))
-    combos = list(combinations(range(len(vals)), q))
-    assert q * w + max(1, (len(combos) - 1).bit_length()) <= 63, (max_hamming, q)
     combo_lit = F.array(
         *[F.array(*[F.lit(c) for c in combo]) for combo in combos]
     )
@@ -1010,9 +1020,9 @@ def oracle_simhash_keys(max_hamming: int, q: int = 2) -> str:
                 )
                 idx += 1
     else:
-        w = max(bounds[c + 1] - bounds[c] for c in range(len(bounds) - 1))
+        _bounds, w, combos = _q_key_layout(max_hamming, q)
         keys = []
-        for idx, combo in enumerate(combinations(range(len(vals)), q)):
+        for idx, combo in enumerate(combos):
             parts = [str(idx << (q * w))] + [
                 f"(({vals[c]}) << {(q - 1 - j) * w})" for j, c in enumerate(combo)
             ]

@@ -314,7 +314,9 @@ def validate_dim(
     slips through, so the failure stays loud, just later. None (the
     default, used by the registered queries at fixture scale) keeps
     the exhaustive check."""
-    scan = df.limit(sample_rows) if sample_rows else df
+    if sample_rows is not None and sample_rows <= 0:
+        raise ValueError(f"sample_rows must be positive, got {sample_rows}")
+    scan = df.limit(sample_rows) if sample_rows is not None else df
     row = scan.agg(
         F.min(F.size(F.col(vec_col))).alias("lo"),
         F.max(F.size(F.col(vec_col))).alias("hi"),

@@ -211,10 +211,12 @@ def redact_secrets_converter(conf: dict) -> dict:
 
     def walk(node):
         if isinstance(node, dict):
+            # a secretish KEY redacts its ENTIRE value — a dict/list
+            # under `auth:`/`api_keys:` holds the secrets in leaves
+            # whose own names match nothing (r4 review finding)
             return {
                 k: ("[REDACTED]"
                     if any(p in k.lower() for p in secretish)
-                    and isinstance(v, (str, int, float))
                     else walk(v))
                 for k, v in node.items()
             }

@@ -46,17 +46,27 @@ def scrape_parquet_targets(
     rows forward — a scrape only FAILS outright when every target does
     (controller.go: Scrape err != nil with no data forwards nothing but
     keeps ticking; partial errors forward the good rows)."""
+    import glob as globmod
     from pathlib import Path
 
     import pyarrow.parquet as pq
 
     def probe(t: str) -> None:
-        """Footer read of the target — or of every part file when the
-        target is a directory dataset (Spark writers emit dirs with
-        _SUCCESS markers that are not parquet)."""
+        """Footer read of the target: a plain file, a glob pattern, or
+        a directory dataset — including Hive-partitioned layouts whose
+        part files live in key=val subdirectories (Spark writers also
+        emit _SUCCESS markers that are not parquet, hence the
+        *.parquet selection rather than read-everything)."""
+        if any(ch in t for ch in "*?["):
+            matches = sorted(globmod.glob(t))
+            if not matches:
+                raise FileNotFoundError(f"glob {t} matched nothing")
+            for m in matches:
+                probe(m)
+            return
         p = Path(t)
         if p.is_dir():
-            parts = sorted(p.glob("*.parquet"))
+            parts = sorted(p.rglob("*.parquet"))
             if not parts:
                 raise FileNotFoundError(f"no parquet part files under {t}")
             for part in parts:
