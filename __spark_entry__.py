@@ -564,6 +564,16 @@ def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mix_sample(docs, MIX_RATES_PPM).select("doc_id", "source")
 
 
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing over the documents stream
+    (256-token training chunks; two-level global offsets, no
+    full-corpus window)."""
+    from opentelemetry_collector_spark.operators import corpus
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return corpus.pack_sequences(docs)
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs sharing word 3-grams with the held-out benchmark
     subset (doc_id % 97 == 0) — eval-contamination flagging via a
@@ -894,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": _q_docs_quality,
         "sample_mix": _q_sample_mix,
         "contamination_check": _q_contamination_check,
+        "sequence_pack": _q_sequence_pack,
         "tfidf_topterms": _q_tfidf_topterms,
     }
 
@@ -1102,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
             base AS ({corpus_oracle.oracle_quality_rules('docs_all')})
             SELECT * FROM base""",
         "sample_mix": corpus_oracle.oracle_mix_sample(MIX_RATES_PPM),
+        "sequence_pack": corpus_oracle.oracle_pack_sequences(),
         "contamination_check": f"""WITH {_edge_docs_cte()},
             base AS ({corpus_oracle.oracle_contamination()})
             SELECT * FROM base""",

@@ -485,21 +485,55 @@ NUMBER_ROUNDTRIP_SCHEMA = (
 )
 
 
+_NUM_TS_TAG = _tag(3, 1)
+_NUM_VAL_TAG = _tag(6, 1)
+
+
+def _encode_number_batch(pdf: pd.DataFrame) -> list[bytes]:
+    """Vectorized-per-Arrow-batch NumberDataPoint marshal (the
+    protowire._encode_batch pattern): timestamps and values become two
+    numpy little-endian byte buffers, the low-cardinality svc
+    attribute is a per-batch memo of complete wire bytes — per row
+    only slicing and one b''.join remain. Byte output is pinned
+    identical to encode_number_point by test_signalwire."""
+    import numpy as np
+
+    n = len(pdf)
+    ts = pdf["ts_ns"].to_numpy(dtype="int64", na_value=0).astype("<i8")
+    tsbuf = ts.view("u1").reshape(n, 8).tobytes()
+    vals = pdf["value"]
+    null_mask = vals.isna().to_numpy()
+    vbuf = vals.to_numpy(dtype="int64", na_value=0).astype("<i8").view(
+        "u1"
+    ).reshape(n, 8).tobytes()
+    svc_memo: dict = {}
+
+    def svc_field(s) -> bytes:
+        got = svc_memo.get(s)
+        if got is None:
+            got = svc_memo[s] = (
+                _len_delim(7, _str_attr("svc", s)) if isinstance(s, str) else b""
+            )
+        return got
+
+    out: list[bytes] = []
+    for i, s in enumerate(pdf["svc"]):
+        val = b"" if null_mask[i] else _NUM_VAL_TAG + vbuf[i * 8 : i * 8 + 8]
+        out.append(
+            b"".join(
+                (_NUM_TS_TAG, tsbuf[i * 8 : i * 8 + 8], val, svc_field(s))
+            )
+        )
+    return out
+
+
 def encode_number_points(df: DataFrame) -> DataFrame:
     """Gauge/Sum NumberDataPoints (as_int) with one svc attribute.
     Input: conv_id, turn_idx, svc, ts_ns (long), value (long)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            protos = [
-                encode_number_point(
-                    [("svc", s)] if isinstance(s, str) else [],
-                    0,
-                    int(t),
-                    as_int=None if pd.isna(v) else int(v),
-                )
-                for s, t, v in zip(pdf["svc"], pdf["ts_ns"], pdf["value"])
-            ]
+            protos = _encode_number_batch(pdf)
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -512,17 +546,53 @@ def encode_number_points(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, NUMBER_PROTO_SCHEMA)
 
 
+def _decode_number_batch(protos) -> tuple[list, list, list]:
+    """(svc, ts_ns, value) per record. Fast path: records emitted by
+    _encode_number_batch have the fixed layout [ts tag+8][val tag+8]
+    [svc attr bytes] — parsed by slicing, with the low-cardinality svc
+    suffix memoized bytes→string; anything else falls back to the
+    generic wire parser (parity pinned by test)."""
+    svc_memo: dict[bytes, str | None] = {b"": None}
+    svcs: list = []
+    tss: list = []
+    vals: list = []
+    for p in protos:
+        buf = bytes(p)
+        if buf[:1] == _NUM_TS_TAG:
+            ts = int.from_bytes(buf[1:9], "little", signed=True)
+            if buf[9:10] == _NUM_VAL_TAG:
+                val = int.from_bytes(buf[10:18], "little", signed=True)
+                rest = buf[18:]
+            else:
+                val = None
+                rest = buf[9:]
+            svc = svc_memo.get(rest)
+            if svc is None and rest not in svc_memo:
+                svc = svc_memo[rest] = _decode_attrs(
+                    [f for fnum, _w, f in _fields(rest) if fnum == 7]
+                ).get("svc")
+            svcs.append(svc)
+            tss.append(ts)
+            vals.append(val)
+        else:  # foreign record shape: full parse
+            rec = decode_number_point(buf)
+            svcs.append(rec["attributes"].get("svc"))
+            tss.append(rec["ts_ns"])
+            vals.append(rec["as_int"])
+    return svcs, tss, vals
+
+
 def decode_number_points(df: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_number_point(bytes(p)) for p in pdf["proto"]]
+            svcs, tss, vals = _decode_number_batch(pdf["proto"])
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
                     "turn_idx": pdf["turn_idx"],
-                    "svc": [r["attributes"].get("svc") for r in rows],
-                    "ts_ns": [r["ts_ns"] for r in rows],
-                    "value": [r["as_int"] for r in rows],
+                    "svc": svcs,
+                    "ts_ns": tss,
+                    "value": pd.array(vals, dtype="Int64"),
                 }
             )
 

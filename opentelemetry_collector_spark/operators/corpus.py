@@ -226,3 +226,73 @@ def oracle_contamination(
                count(DISTINCT corpus.gram)::BIGINT AS n_shared_grams
         FROM corpus JOIN bench USING (gram)
         GROUP BY 1 HAVING count(DISTINCT corpus.gram) >= {min_shared}"""
+
+
+# ------------------------------------------------------ sequence packing
+
+PACK_BUDGET_TOKENS = 256
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = PACK_BUDGET_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the pretraining batch
+    shape: documents in deterministic id order form ONE logical token
+    stream; training chunk k owns stream positions [k·B, (k+1)·B).
+    Emits each document's placement: the chunk holding its first
+    token, its offset inside that chunk, and how many chunks it spans
+    (documents straddle chunk boundaries; the stream is cut, not the
+    documents padded).
+
+    Scale: the global running token offset uses the two-level scheme
+    shared with batch assignment (operators/batch._two_level_running,
+    empty shard key set → one logical stream) — per-partition partial
+    sums plus broadcast offsets, never a full-corpus single-reducer
+    window. Placement is a pure function of (id order, token counts):
+    replay-stable and cluster-size-independent."""
+    from opentelemetry_collector_spark.functions.text import token_count
+    from opentelemetry_collector_spark.operators.batch import _two_level_running
+
+    n_tok = F.coalesce(token_count(F.col(text_col)), F.lit(0))
+    joined, cum = _two_level_running(
+        df, shard_keys=(), order_keys=(id_col,), weight=n_tok
+    )
+    start = (cum - F.col("_w")).alias("start")
+    b = F.lit(budget_tokens)
+    chunk_id = F.floor(start / b)
+    return joined.select(
+        F.col(id_col),
+        F.col("_w").alias("n_tokens"),
+        chunk_id.cast("long").alias("chunk_id"),
+        (start % b).cast("long").alias("offset_in_chunk"),
+        F.when(F.col("_w") == 0, F.lit(0))
+        .otherwise(F.floor((start + F.col("_w") - 1) / b) - chunk_id + 1)
+        .cast("long")
+        .alias("chunks_spanned"),
+    )
+
+
+def oracle_pack_sequences(
+    budget_tokens: int = PACK_BUDGET_TOKENS, table: str = "documents"
+) -> str:
+    from opentelemetry_collector_spark.functions.text import oracle_token_count
+
+    n = oracle_token_count("text")
+    return f"""
+        WITH t AS (SELECT doc_id, coalesce({n}, 0)::BIGINT AS n_tokens
+                   FROM {table}),
+        c AS (SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) AS start
+              FROM t)
+        SELECT doc_id, n_tokens,
+               floor(start / {budget_tokens})::BIGINT AS chunk_id,
+               (start % {budget_tokens})::BIGINT AS offset_in_chunk,
+               (CASE WHEN n_tokens = 0 THEN 0
+                     ELSE floor((start + n_tokens - 1) / {budget_tokens})
+                          - floor(start / {budget_tokens}) + 1 END)::BIGINT
+                 AS chunks_spanned
+        FROM c"""

@@ -74,3 +74,24 @@ def test_contamination_excludes_benchmark_and_flags_copies(spark):
     out = {r["doc_id"]: r["n_shared_grams"] for r in corpus.contamination(df).collect()}
     assert 150 in out and out[150] >= 4  # the verbatim leak is flagged
     assert 0 not in out and 97 not in out and 194 not in out  # bench excluded
+
+
+def test_pack_sequences_stream_invariants(docs):
+    """Concat-then-chunk: placements tile the token stream exactly —
+    each doc starts where the previous (by id) ended, offsets stay
+    under the budget, span counts match the arithmetic — and the
+    assignment is replay-stable under repartitioning."""
+    B = 64
+    out = corpus.pack_sequences(docs, budget_tokens=B).collect()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    stream_pos = 0
+    for r in rows:
+        assert r["chunk_id"] == stream_pos // B
+        assert r["offset_in_chunk"] == stream_pos % B
+        if r["n_tokens"]:
+            want_span = (stream_pos + r["n_tokens"] - 1) // B - stream_pos // B + 1
+            assert r["chunks_spanned"] == want_span
+        assert 0 <= r["offset_in_chunk"] < B
+        stream_pos += r["n_tokens"]
+    again = corpus.pack_sequences(docs.repartition(13), budget_tokens=B).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

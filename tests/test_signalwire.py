@@ -181,3 +181,48 @@ def test_spark_stage_sizer_and_roundtrip(spark):
     back = {r["turn_idx"]: r for r in W.decode_number_points(enc).collect()}
     assert back[0]["svc"] == "api" and back[0]["value"] == 7
     assert back[1]["svc"] is None and back[1]["value"] is None
+
+
+def test_vectorized_number_batch_matches_scalar_encoder():
+    """_encode_number_batch (numpy buffers + svc memo) must emit
+    byte-identical output to encode_number_point for every presence
+    combination."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "svc": ["api", None, "api", "auth"],
+            "ts_ns": [0, 5, 1_700_000_000_000_000_000, 7],
+            "value": pd.array([7, None, -3, 0], dtype="Int64"),
+        }
+    )
+    got = W._encode_number_batch(pdf)
+    for i in range(len(pdf)):
+        s = pdf["svc"][i]
+        v = pdf["value"][i]
+        want = W.encode_number_point(
+            [("svc", s)] if isinstance(s, str) else [],
+            0,
+            int(pdf["ts_ns"][i]),
+            as_int=None if pd.isna(v) else int(v),
+        )
+        assert got[i] == want, i
+
+
+def test_fast_decode_matches_generic_parser():
+    """_decode_number_batch's sliced fast path and memo must agree with
+    the generic wire parser for every presence shape, including a
+    foreign field order it must fall back on."""
+    recs = [
+        W.encode_number_point([("svc", "api")], 0, 5, as_int=7),
+        W.encode_number_point([], 0, 9),  # no value, no attr
+        W.encode_number_point([("svc", "auth")], 0, 1, as_int=-3),
+        # foreign shape: start_time first → not the fast-path prefix
+        W.encode_number_point([("svc", "x")], 4, 5, as_int=1),
+    ]
+    svcs, tss, vals = W._decode_number_batch(recs)
+    for i, buf in enumerate(recs):
+        rec = W.decode_number_point(buf)
+        assert svcs[i] == rec["attributes"].get("svc"), i
+        assert tss[i] == rec["ts_ns"], i
+        assert vals[i] == rec["as_int"], i
