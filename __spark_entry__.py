@@ -574,6 +574,58 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(docs)
 
 
+BPE_QUERY_MERGES = 16
+
+
+def _bpe_merges_for(sf_dir: str) -> list[tuple[str, str]]:
+    """Merge table for the segmentation query/oracle: computed driver-
+    side by the PINNED pure-Python reference (functions/bpe.py —
+    test-pinned equal to the Spark training path) over the sf_dir
+    corpus, so the Spark query and the DuckDB oracle share identical
+    merge literals. Deterministic in sf_dir."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_spark.functions import bpe
+
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    return bpe.reference_bpe(texts, num_merges=BPE_QUERY_MERGES)
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on Spark: k rounds of vocab-table pair
+    counting + argmax (functions/bpe.bpe_train — one corpus pass, then
+    vocab-sized iterations). Iterative argmax is not SQL-expressible,
+    so this query is rows-only at the driver gate; its values are
+    pinned against the pure-Python reference in tests/test_bpe.py."""
+    from opentelemetry_collector_spark.functions import bpe
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, num_merges=BPE_QUERY_MERGES)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segmentation under the trained BPE merges — the
+    tokenize-with-your-tokenizer pass, value-checked: the oracle runs
+    the IDENTICAL replace chain in DuckDB."""
+    from opentelemetry_collector_spark.functions import bpe
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    toks = bpe.segment_expr(F.col("text"), _bpe_merges_for(sf_dir))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.array_join(toks, " ").alias("tokens_str"),
+    )
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs sharing word 3-grams with the held-out benchmark
     subset (doc_id % 97 == 0) — eval-contamination flagging via a
@@ -905,8 +957,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mix": _q_sample_mix,
         "contamination_check": _q_contamination_check,
         "sequence_pack": _q_sequence_pack,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_segment": _q_bpe_segment,
         "tfidf_topterms": _q_tfidf_topterms,
     }
+
+
+def _bpe_segment_oracle() -> str:
+    from opentelemetry_collector_spark.functions import bpe
+
+    toks = bpe.oracle_segment(_bpe_merges_for(ORACLE_SF_DIR))
+    return f"""
+        SELECT doc_id, len({toks})::BIGINT AS n_bpe_tokens,
+               array_to_string({toks}, ' ') AS tokens_str
+        FROM documents"""
 
 
 def _parsedcte_sev() -> str:
@@ -1114,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM base""",
         "sample_mix": corpus_oracle.oracle_mix_sample(MIX_RATES_PPM),
         "sequence_pack": corpus_oracle.oracle_pack_sequences(),
+        "bpe_segment": _bpe_segment_oracle(),
         "contamination_check": f"""WITH {_edge_docs_cte()},
             base AS ({corpus_oracle.oracle_contamination()})
             SELECT * FROM base""",

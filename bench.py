@@ -81,6 +81,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "docs_quality",
         "sample_mix",
         "contamination_check",
+        "sequence_pack",
+        "bpe_segment",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))
