@@ -577,6 +577,10 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_QUERY_MERGES = 16
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def _bpe_merges_for(sf_dir: str) -> list[tuple[str, str]]:
     """Merge table for the segmentation query/oracle: computed driver-
     side by the PINNED pure-Python reference (functions/bpe.py —

@@ -34,7 +34,10 @@ from collections import Counter
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from opentelemetry_collector_spark.functions.text import normalize_text
+from opentelemetry_collector_spark.functions.text import (
+    normalize_text,
+    spread_to_parallelism,
+)
 
 # Non-NUL control characters: they must survive inside SQL string
 # literals (a raw NUL would truncate/parse-fail), and they cannot
@@ -49,7 +52,7 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the normalized corpus — THE corpus-scale pass."""
     words = F.split(F.coalesce(normalize_text(F.col(text_col)), F.lit("")), " ")
     return (
-        df.select(F.explode(words).alias("word"))
+        spread_to_parallelism(df).select(F.explode(words).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -67,7 +70,11 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts weighted by word frequency. A pair
     occurring twice in one word counts twice (standard BPE counting:
     per-occurrence, one left-to-right pass)."""
-    syms = F.split(F.col("syms"), SEP)
+    # stage the split as ITS OWN projection: element_at inside the
+    # lambda would otherwise re-run the regex split per element (the
+    # documented inline-lambda trap) — O(s²) splits per word
+    staged = vocab.select(F.split(F.col("syms"), SEP).alias("_syms"), "freq")
+    syms = F.col("_syms")
     # guard single-symbol words: sequence(1, 0) is DESCENDING in Spark
     # ([1, 0]), which would index element_at out of bounds
     idx = F.when(
@@ -82,7 +89,7 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
         )
     )
     return (
-        vocab.select(pair.alias("pair"), F.col("freq"))
+        staged.select(pair.alias("pair"), F.col("freq"))
         .groupBy("pair")
         .agg(F.sum("freq").alias("n"))
     )
@@ -119,6 +126,11 @@ def bpe_train(
                 ).alias("syms"),
                 "freq",
             ).persist()
+            # materialize BEFORE dropping the old cache — persist() is
+            # lazy, and unpersisting first would force every later
+            # round to rebuild from the raw corpus (k corpus passes
+            # instead of the documented one)
+            new_vocab.count()
             vocab.unpersist()
             vocab = new_vocab
     finally:
@@ -164,9 +176,16 @@ def reference_bpe(
     """Pure-Python reference implementation of the SAME convention
     (per-occurrence counting, lexicographic tie-break, one left-to-
     right replace pass per merge) — the training pin for bpe_train."""
+    import re
+
     freqs: Counter[str] = Counter()
+    java_ws = re.compile("[ \t\n\x0b\f\r]+")  # Java \s, NOT python
+    # str.split() (which also eats NBSP/U+2000… — a latent divergence
+    # from normalize_text's regex on unicode-whitespace corpora)
     for t in texts:
-        norm = " ".join((t or "").lower().split())
+        # strip(' ') not strip(): Spark's trim removes SPACES only,
+        # python's default strip also eats NBSP/unicode whitespace
+        norm = java_ws.sub(" ", (t or "").lower()).strip(" ")
         for w in norm.split(" "):
             if w:
                 freqs[w] += 1

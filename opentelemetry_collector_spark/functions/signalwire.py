@@ -499,7 +499,11 @@ def _encode_number_batch(pdf: pd.DataFrame) -> list[bytes]:
     import numpy as np
 
     n = len(pdf)
-    ts = pdf["ts_ns"].to_numpy(dtype="int64", na_value=0).astype("<i8")
+    if pdf["ts_ns"].isna().any():
+        # the scalar path failed loudly on NULL timestamps (int(None));
+        # a silent na_value=0 would corrupt time_unix_nano instead
+        raise ValueError("encode_number_points: NULL ts_ns in batch")
+    ts = pdf["ts_ns"].to_numpy(dtype="int64").astype("<i8")
     tsbuf = ts.view("u1").reshape(n, 8).tobytes()
     vals = pdf["value"]
     null_mask = vals.isna().to_numpy()
@@ -552,13 +556,20 @@ def _decode_number_batch(protos) -> tuple[list, list, list]:
     [svc attr bytes] — parsed by slicing, with the low-cardinality svc
     suffix memoized bytes→string; anything else falls back to the
     generic wire parser (parity pinned by test)."""
-    svc_memo: dict[bytes, str | None] = {b"": None}
+    # memo value: ("ok", svc) when the suffix is PURE field-7
+    # attributes (the canonical layout this codec emits), else
+    # ("foreign", None) → the row takes the generic parser. Without
+    # the full-layout validation a legal protobuf with non-canonical
+    # field order (e.g. attributes before as_int) would silently lose
+    # its value field (r4 review finding).
+    suffix_memo: dict[bytes, tuple[str, str | None]] = {b"": ("ok", None)}
     svcs: list = []
     tss: list = []
     vals: list = []
     for p in protos:
         buf = bytes(p)
-        if buf[:1] == _NUM_TS_TAG:
+        fast = buf[:1] == _NUM_TS_TAG
+        if fast:
             ts = int.from_bytes(buf[1:9], "little", signed=True)
             if buf[9:10] == _NUM_VAL_TAG:
                 val = int.from_bytes(buf[10:18], "little", signed=True)
@@ -566,19 +577,27 @@ def _decode_number_batch(protos) -> tuple[list, list, list]:
             else:
                 val = None
                 rest = buf[9:]
-            svc = svc_memo.get(rest)
-            if svc is None and rest not in svc_memo:
-                svc = svc_memo[rest] = _decode_attrs(
-                    [f for fnum, _w, f in _fields(rest) if fnum == 7]
-                ).get("svc")
-            svcs.append(svc)
-            tss.append(ts)
-            vals.append(val)
-        else:  # foreign record shape: full parse
-            rec = decode_number_point(buf)
-            svcs.append(rec["attributes"].get("svc"))
-            tss.append(rec["ts_ns"])
-            vals.append(rec["as_int"])
+            got = suffix_memo.get(rest)
+            if got is None:
+                try:
+                    fields = list(_fields(rest))
+                    if all(fnum == 7 for fnum, _w, _v in fields):
+                        got = ("ok", _decode_attrs([v for _f, _w, v in fields]).get("svc"))
+                    else:
+                        got = ("foreign", None)
+                except Exception:  # noqa: BLE001 — malformed suffix: generic path decides
+                    got = ("foreign", None)
+                suffix_memo[rest] = got
+            if got[0] == "ok":
+                svcs.append(got[1])
+                tss.append(ts)
+                vals.append(val)
+                continue
+        # foreign record shape (or non-attr suffix): full wire parse
+        rec = decode_number_point(buf)
+        svcs.append(rec["attributes"].get("svc"))
+        tss.append(rec["ts_ns"])
+        vals.append(rec["as_int"])
     return svcs, tss, vals
 
 

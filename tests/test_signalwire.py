@@ -226,3 +226,37 @@ def test_fast_decode_matches_generic_parser():
         assert svcs[i] == rec["attributes"].get("svc"), i
         assert tss[i] == rec["ts_ns"], i
         assert vals[i] == rec["as_int"], i
+
+
+def test_fast_decode_rejects_noncanonical_layout():
+    """A LEGAL protobuf with non-canonical field order (attrs before
+    as_int, or duplicate ts) must take the generic-parser path, not
+    silently lose fields (r4 review finding)."""
+    from opentelemetry_collector_spark.functions.protowire import (
+        _fixed64,
+        _len_delim,
+    )
+
+    # [ts][attrs][as_int] — starts like the fast path, value trails
+    weird = (
+        _fixed64(3, 5)
+        + _len_delim(7, W._str_attr("svc", "api"))
+        + _fixed64(6, 42)
+    )
+    # [ts][as_int][ts2] — duplicate ts after the value
+    dup_ts = _fixed64(3, 1) + _fixed64(6, 7) + _fixed64(3, 9)
+    svcs, tss, vals = W._decode_number_batch([weird, dup_ts])
+    assert (svcs[0], tss[0], vals[0]) == ("api", 5, 42)
+    ref = W.decode_number_point(dup_ts)
+    assert (tss[1], vals[1]) == (ref["ts_ns"], ref["as_int"])
+
+
+def test_encode_number_points_null_ts_is_loud(spark):
+    import pytest
+
+    pts = spark.createDataFrame(
+        [("c1", 0, "api", None, 7)],
+        "conv_id string, turn_idx int, svc string, ts_ns long, value long",
+    )
+    with pytest.raises(Exception, match="NULL ts_ns"):
+        W.encode_number_points(pts).collect()
