@@ -630,6 +630,18 @@ def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph — the
+    componentwise representative production dedup wants (A~B, B~C
+    collapse even without an (A,C) pair). Iterative min-label
+    propagation; recursive-CTE oracle."""
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5)
+    return dedup.neardup_components(docs, pairs)
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs sharing word 3-grams with the held-out benchmark
     subset (doc_id % 97 == 0) — eval-contamination flagging via a
@@ -962,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": _q_contamination_check,
         "sequence_pack": _q_sequence_pack,
         "bpe_merges": _q_bpe_merges,
+        "neardup_components": _q_neardup_components,
         "bpe_segment": _q_bpe_segment,
         "tfidf_topterms": _q_tfidf_topterms,
     }
@@ -1183,6 +1196,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_mix": corpus_oracle.oracle_mix_sample(MIX_RATES_PPM),
         "sequence_pack": corpus_oracle.oracle_pack_sequences(),
         "bpe_segment": _bpe_segment_oracle(),
+        "neardup_components": dedup_oracle.oracle_neardup_components(
+            dedup_oracle.oracle_neardup_pairs_lsh(0.5)
+        ),
         "contamination_check": f"""WITH {_edge_docs_cte()},
             base AS ({corpus_oracle.oracle_contamination()})
             SELECT * FROM base""",

@@ -1401,3 +1401,89 @@ def incremental_dedup_keep_ids_bucketed(
     return survivors.join(drops, "id", "left_anti").select(
         F.col("id").alias(id_col)
     )
+
+
+# ------------------------------------------------- near-dup components
+
+def neardup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc
+    gets component_id = min doc id reachable through near-dup edges.
+
+    The pairwise keep rules (docs_clean's drop-larger-id) approximate
+    this; the componentwise representative is what production dedup
+    actually wants — A~B, B~C must collapse A,B,C to ONE survivor even
+    when (A,C) was never emitted as a pair.
+
+    Spark-first: iterative min-label propagation — per round, each
+    node takes the min of its own label and its neighbors' labels
+    (join + agg on the edge list), converging in O(component diameter)
+    rounds (near-dup clusters are shallow; max_iters bounds
+    pathological chains). One bounded action per round (the converged?
+    count), labels persisted per round with the previous cache dropped
+    after materialization. Scale: every round is edge-list-sized
+    joins/aggs — no global structure, shuffle keyed on node id.
+    """
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = ids.withColumn("comp", F.col("id")).persist()
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels.withColumnRenamed("id", "v"), "v")
+                .groupBy("u")
+                .agg(F.min("comp").alias("neigh_comp"))
+                .withColumnRenamed("u", "id")
+            )
+            new_labels = (
+                labels.join(neigh, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.withColumnRenamed("comp", "new_comp")
+                .join(labels, "id")
+                .filter(F.col("new_comp") != F.col("comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
+    finally:
+        edges.unpersist()
+
+
+def oracle_neardup_components(pairs_sql: str, table: str = "documents") -> str:
+    """DuckDB mirror: min reachable id via a recursive CTE over the
+    symmetric edge list (UNION dedups, so the recursion terminates at
+    the transitive closure)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT doc_id AS id FROM {table}),
+        reach(id, comp) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.id),
+        out AS (SELECT id, min(comp) AS component_id FROM reach GROUP BY id)
+        SELECT id AS doc_id, component_id FROM out"""

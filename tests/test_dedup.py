@@ -403,3 +403,25 @@ def test_simhash_q3_oracle_parity(spark):
         (a, b, h) for a, b, h in want
     ]
     assert len(got) > 0  # non-vacuous: the corpus plants near-dups
+
+
+def test_neardup_components_transitive_closure(spark):
+    """A~B, B~C (no A~C pair) must land A,B,C in ONE component; a chain
+    needing multiple propagation rounds must converge; isolated docs
+    keep their own id."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        # chain 0-1-2-3 (diameter 3 → multi-round), pair 5-6, isolated 4,7,8,9
+        [(0, 1), (1, 2), (2, 3), (5, 6)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.neardup_components(docs, pairs).collect()
+    }
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+    assert comp[5] == comp[6] == 5
+    for i in (4, 7, 8, 9):
+        assert comp[i] == i
