@@ -642,6 +642,17 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_components(docs, pairs)
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline: quality → componentwise
+    dedup → decontamination → mix sampling → sequence packing, each
+    stage the same operator its standalone query runs; the oracle
+    chains the same SQL mirrors (plans/corpus_pipeline.py)."""
+    from opentelemetry_collector_spark.plans import corpus_pipeline as cpl
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    return cpl.corpus_pipeline(docs, MIX_RATES_PPM)
+
+
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs sharing word 3-grams with the held-out benchmark
     subset (doc_id % 97 == 0) — eval-contamination flagging via a
@@ -975,9 +986,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "bpe_merges": _q_bpe_merges,
         "neardup_components": _q_neardup_components,
+        "corpus_pipeline": _q_corpus_pipeline,
         "bpe_segment": _q_bpe_segment,
         "tfidf_topterms": _q_tfidf_topterms,
     }
+
+
+def _corpus_pipeline_oracle() -> str:
+    from opentelemetry_collector_spark.plans import corpus_pipeline as cpl
+
+    return cpl.oracle_corpus_pipeline(MIX_RATES_PPM)
 
 
 def _bpe_segment_oracle() -> str:
@@ -1195,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM base""",
         "sample_mix": corpus_oracle.oracle_mix_sample(MIX_RATES_PPM),
         "sequence_pack": corpus_oracle.oracle_pack_sequences(),
+        "corpus_pipeline": _corpus_pipeline_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
         "neardup_components": dedup_oracle.oracle_neardup_components(
             dedup_oracle.oracle_neardup_pairs_lsh(0.5)

@@ -83,6 +83,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "contamination_check",
         "sequence_pack",
         "bpe_segment",
+        "neardup_components",
+        "corpus_pipeline",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))

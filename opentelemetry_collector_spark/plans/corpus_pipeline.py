@@ -1,0 +1,120 @@
+"""End-to-end training-corpus pipeline: the composed LLM-data story.
+
+One declarative DAG over the documents table:
+
+    quality rules  →  near-dup components  →  contamination  →
+    mix sampling   →  sequence packing
+
+A document survives when ALL of:
+- it passes the C4/Gopher quality rules (corpus.quality_rules);
+- it is its near-dup component's representative (doc_id ==
+  component_id over the MinHash pair graph — the transitive keep
+  rule, one survivor per duplicate cluster);
+- it is not the held-out benchmark set (doc_id % bench_mod == 0 —
+  eval docs never train) and shares no word n-gram with it
+  (corpus.contamination);
+- the per-source mix sampler keeps it (corpus.mix_sample).
+
+Survivors are packed into fixed-budget training chunks
+(corpus.pack_sequences). Every stage is the SAME operator the
+individual driver queries run; the composed oracle chains the same
+SQL mirrors, so the full pipeline — not just its pieces — is value-
+checked against DuckDB. Plan-wise the filters are one conjunction
+over broadcast-joined keep-sets (components and contamination are
+doc-id-keyed anti/semi joins; quality and sampling are row-local
+predicates riding the scan), then the two-level packing offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.operators import corpus, dedup
+
+
+def clean_corpus(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    neardup_threshold: float = 0.5,
+    bench_mod: int = corpus.CONTAM_BENCH_MOD,
+) -> DataFrame:
+    """Surviving documents (full rows) after quality, componentwise
+    dedup, decontamination and mix sampling."""
+    quality_keep = corpus.quality_rules(df).filter("keep").select("doc_id")
+    pairs = dedup.neardup_pairs_minhash(df, threshold=neardup_threshold)
+    reps = (
+        dedup.neardup_components(df, pairs)
+        .filter(F.col("doc_id") == F.col("component_id"))
+        .select("doc_id")
+    )
+    contaminated = corpus.contamination(df, bench_mod=bench_mod).select("doc_id")
+    sampled = corpus.mix_sample(df, rates_ppm).select("doc_id")
+    return (
+        df.filter(F.col("doc_id") % bench_mod != 0)  # eval set never trains
+        .join(quality_keep, "doc_id", "left_semi")
+        .join(reps, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(sampled, "doc_id", "left_semi")
+    )
+
+
+def corpus_pipeline(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    budget_tokens: int = corpus.PACK_BUDGET_TOKENS,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """clean_corpus → pack_sequences: per-surviving-doc training-chunk
+    placement."""
+    return corpus.pack_sequences(
+        clean_corpus(df, rates_ppm, neardup_threshold), budget_tokens
+    )
+
+
+def oracle_corpus_pipeline(
+    rates_ppm: dict[str, int],
+    budget_tokens: int = corpus.PACK_BUDGET_TOKENS,
+    neardup_threshold: float = 0.5,
+    bench_mod: int = corpus.CONTAM_BENCH_MOD,
+    table: str = "documents",
+) -> str:
+    """The composed DuckDB mirror: each stage's existing oracle as a
+    CTE (nested WITHs are self-contained), conjoined exactly like
+    clean_corpus, then the packing window over survivors."""
+    quality = corpus.oracle_quality_rules(table)
+    comps = dedup.oracle_neardup_components(
+        dedup.oracle_neardup_pairs_lsh(neardup_threshold, table), table
+    )
+    contam = corpus.oracle_contamination(bench_mod=bench_mod, table=table)
+    sample = corpus.oracle_mix_sample(rates_ppm, table)
+    from opentelemetry_collector_spark.functions.text import oracle_token_count
+
+    n = oracle_token_count("text")
+    return f"""
+        WITH q AS ({quality}),
+        comps AS ({comps}),
+        contam AS ({contam}),
+        sampled AS ({sample}),
+        kept AS (
+          SELECT d.doc_id, d.text FROM {table} d
+          WHERE d.doc_id % {bench_mod} <> 0
+            AND EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id AND q.keep)
+            AND EXISTS (SELECT 1 FROM comps c
+                        WHERE c.doc_id = d.doc_id
+                          AND c.component_id = d.doc_id)
+            AND NOT EXISTS (SELECT 1 FROM contam x WHERE x.doc_id = d.doc_id)
+            AND EXISTS (SELECT 1 FROM sampled s WHERE s.doc_id = d.doc_id)),
+        t AS (SELECT doc_id, coalesce({n}, 0)::BIGINT AS n_tokens FROM kept),
+        c AS (SELECT doc_id, n_tokens,
+                     (sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) AS start
+              FROM t)
+        SELECT doc_id, n_tokens,
+               floor(start / {budget_tokens})::BIGINT AS chunk_id,
+               (start % {budget_tokens})::BIGINT AS offset_in_chunk,
+               (CASE WHEN n_tokens = 0 THEN 0
+                     ELSE floor((start + n_tokens - 1) / {budget_tokens})
+                          - floor(start / {budget_tokens}) + 1 END)::BIGINT
+                 AS chunks_spanned
+        FROM c"""

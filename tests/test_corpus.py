@@ -95,3 +95,33 @@ def test_pack_sequences_stream_invariants(docs):
         stream_pos += r["n_tokens"]
     again = corpus.pack_sequences(docs.repartition(13), budget_tokens=B).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_corpus_pipeline_composes_stage_semantics(spark, docs):
+    """The composed pipeline's survivor set must equal the conjunction
+    of its stages computed independently, the eval set must never
+    train, and the packing must tile the SURVIVOR stream."""
+    from opentelemetry_collector_spark.operators import dedup
+    from opentelemetry_collector_spark.plans import corpus_pipeline as cpl
+
+    rates = {f"src{i}": 500_000 for i in range(20)}
+    out = cpl.corpus_pipeline(docs, rates, budget_tokens=128).collect()
+    got_ids = {r["doc_id"] for r in out}
+    # independently recompute each keep-set
+    quality = {r["doc_id"] for r in corpus.quality_rules(docs).filter("keep").collect()}
+    pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5)
+    reps = {
+        r["doc_id"]
+        for r in dedup.neardup_components(docs, pairs).collect()
+        if r["doc_id"] == r["component_id"]
+    }
+    contam = {r["doc_id"] for r in corpus.contamination(docs).collect()}
+    sampled = {r["doc_id"] for r in corpus.mix_sample(docs, rates).collect()}
+    bench = {r["doc_id"] for r in docs.collect() if r["doc_id"] % 97 == 0}
+    want = (quality & reps & sampled) - contam - bench
+    assert got_ids == want and got_ids
+    # packing tiles the survivor stream exactly
+    pos = 0
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        assert r["chunk_id"] == pos // 128 and r["offset_in_chunk"] == pos % 128
+        pos += r["n_tokens"]
