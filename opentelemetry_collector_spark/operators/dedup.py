@@ -399,9 +399,14 @@ def simhash_q_for(n_docs: int, max_hamming: int = 8, q_max: int = 8) -> int:
     15.8× candidate growth for a 4× corpus (plans/scale_growth.py).
     Rule: smallest q in [2, q_max] whose key space holds ≥ 8·n values,
     so expected random candidates per key position stay ≤ n/16 and
-    total candidate volume is O(n · C(t+q, q)). Cost: C(t+q, q) keys
-    per doc (45 at q=2 → 165 at q=3 → 12870 at q=8); q_max=8 covers
-    corpora to ~2^32·16 ≈ 7·10^10 docs at t=8."""
+    total candidate volume is bounded by the ENVELOPE
+    C(t+q, q)·n/16 — linear in n with a piecewise-constant factor
+    (within one q bracket, spanning ~26× in n, the point-to-point
+    ratio approaches the envelope ~quadratically and resets at the
+    transition; both measured octaves sit inside it, see
+    BENCH/BASELINE.md r4). Cost: C(t+q, q) keys per doc (45 at q=2 →
+    165 at q=3 → 12870 at q=8); q_max=8 covers corpora to
+    ~2^32·16 ≈ 7·10^10 docs at t=8."""
     if not _pair_key_regime(max_hamming):
         return 1
     for q in range(2, q_max + 1):
