@@ -429,6 +429,91 @@ SPAN_ROUNDTRIP_SCHEMA = (
 )
 
 
+_SPAN_TRACE_TAG = _tag(1, 2) + bytes([16])
+_SPAN_ID_TAG = _tag(2, 2) + bytes([8])
+_SPAN_PARENT_TAG = _tag(4, 2) + bytes([8])
+_SPAN_START_TAG = _tag(7, 1)
+_SPAN_END_TAG = _tag(8, 1)
+
+
+def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
+    """Vectorized-per-Arrow-batch Span marshal (the _encode_batch
+    pattern): start/end timestamps become two numpy little-endian
+    buffers; the low-cardinality (name, kind, status) tail fields are
+    per-batch memos of complete wire bytes; per row only the three
+    hex→bytes id conversions and one b''.join remain. Byte output
+    pinned identical to encode_span by test_signalwire."""
+    import numpy as np
+
+    n = len(pdf)
+    sbuf = (
+        pdf["start_ns"].to_numpy(dtype="int64").astype("<i8").view("u1").reshape(n, 8).tobytes()
+    )
+    ebuf = (
+        pdf["end_ns"].to_numpy(dtype="int64").astype("<i8").view("u1").reshape(n, 8).tobytes()
+    )
+    name_memo: dict = {}
+    kind_memo: dict = {}
+    status_memo: dict = {}
+
+    def name_field(v) -> bytes:
+        got = name_memo.get(v)
+        if got is None:
+            got = name_memo[v] = (
+                _len_delim(5, v.encode("utf-8")) if isinstance(v, str) and v else b""
+            )
+        return got
+
+    def kind_field(v) -> bytes:
+        got = kind_memo.get(v)
+        if got is None:
+            k = SPAN_KINDS.index(v)
+            got = kind_memo[v] = _varint_field(6, k) if k else b""
+        return got
+
+    def status_field(v) -> bytes:
+        got = status_memo.get(v)
+        if got is None:
+            c = STATUS_CODES.index(v)
+            got = status_memo[v] = _len_delim(15, _varint_field(3, c)) if c else b""
+        return got
+
+    out: list[bytes] = []
+    for i, (t, s, p, nm, k, st) in enumerate(
+        zip(
+            pdf["trace_id"], pdf["span_id"], pdf["parent_span_id"],
+            pdf["name"], pdf["kind"], pdf["status"],
+        )
+    ):
+        if len(t) != 32 or len(s) != 16 or (isinstance(p, str) and len(p) != 16):
+            # foreign id widths: the length-prefix constants assume the
+            # canonical 16/8-byte IDs — take the scalar encoder instead
+            out.append(
+                encode_span(t, s, p, nm, k,
+                            int(pdf["start_ns"].iloc[i]),
+                            int(pdf["end_ns"].iloc[i]), st)
+            )
+            continue
+        parent = (
+            _SPAN_PARENT_TAG + bytes.fromhex(p) if isinstance(p, str) else b""
+        )
+        out.append(
+            b"".join(
+                (
+                    _SPAN_TRACE_TAG, bytes.fromhex(t),
+                    _SPAN_ID_TAG, bytes.fromhex(s),
+                    parent,
+                    name_field(nm),
+                    kind_field(k),
+                    _SPAN_START_TAG, sbuf[i * 8 : i * 8 + 8],
+                    _SPAN_END_TAG, ebuf[i * 8 : i * 8 + 8],
+                    status_field(st),
+                )
+            )
+        )
+    return out
+
+
 def encode_spans(df: DataFrame) -> DataFrame:
     """spans_from_turns rows → Span wire bytes + proto Sizer. Input
     needs conv_id, turn_idx, trace_id, span_id, parent_span_id, name,
@@ -437,14 +522,7 @@ def encode_spans(df: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            protos = [
-                encode_span(t, s, p, n, k, int(a), int(b), st)
-                for t, s, p, n, k, a, b, st in zip(
-                    pdf["trace_id"], pdf["span_id"], pdf["parent_span_id"],
-                    pdf["name"], pdf["kind"], pdf["start_ns"], pdf["end_ns"],
-                    pdf["status"],
-                )
-            ]
+            protos = _encode_span_batch(pdf)
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],

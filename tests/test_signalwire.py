@@ -260,3 +260,28 @@ def test_encode_number_points_null_ts_is_loud(spark):
     )
     with pytest.raises(Exception, match="NULL ts_ns"):
         W.encode_number_points(pts).collect()
+
+
+def test_vectorized_span_batch_matches_scalar_encoder():
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "trace_id": ["ab" * 16, "cd" * 16],
+            "span_id": ["11" * 8, "22" * 8],
+            "parent_span_id": [None, "33" * 8],
+            "name": ["tool/api", ""],
+            "kind": ["SPAN_KIND_CLIENT", "SPAN_KIND_UNSPECIFIED"],
+            "status": ["STATUS_CODE_ERROR", "STATUS_CODE_UNSET"],
+            "start_ns": [5, 1_700_000_000_000_000_000],
+            "end_ns": [9, 1_700_000_000_500_000_000],
+        }
+    )
+    got = W._encode_span_batch(pdf)
+    for i in range(len(pdf)):
+        want = W.encode_span(
+            pdf["trace_id"][i], pdf["span_id"][i], pdf["parent_span_id"][i],
+            pdf["name"][i], pdf["kind"][i], int(pdf["start_ns"][i]),
+            int(pdf["end_ns"][i]), pdf["status"][i],
+        )
+        assert got[i] == want, i
