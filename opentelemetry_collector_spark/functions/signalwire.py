@@ -446,6 +446,11 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
     import numpy as np
 
     n = len(pdf)
+    if pdf["start_ns"].isna().any() or pdf["end_ns"].isna().any():
+        # same loud contract as _encode_number_batch: a silent NaN cast
+        # would emit INT64_MIN on the wire (and demote the column to
+        # float64, rounding valid ns epochs)
+        raise ValueError("encode_spans: NULL start_ns/end_ns in batch")
     sbuf = (
         pdf["start_ns"].to_numpy(dtype="int64").astype("<i8").view("u1").reshape(n, 8).tobytes()
     )
@@ -485,23 +490,31 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
             pdf["name"], pdf["kind"], pdf["status"],
         )
     ):
-        if len(t) != 32 or len(s) != 16 or (isinstance(p, str) and len(p) != 16):
-            # foreign id widths: the length-prefix constants assume the
-            # canonical 16/8-byte IDs — take the scalar encoder instead
+        try:
+            tb, sb = bytes.fromhex(t), bytes.fromhex(s)
+            pb = bytes.fromhex(p) if isinstance(p, str) else None
+            canonical = (
+                len(tb) == 16 and len(sb) == 8 and (pb is None or len(pb) == 8)
+            )
+        except ValueError:
+            canonical = False
+        if not canonical:
+            # foreign/malformed ids: the length-prefix constants assume
+            # canonical 16/8-BYTE ids (validated on the DECODED bytes —
+            # fromhex skips whitespace, so a length-32 STRING check
+            # would under-fill the fixed prefix) — scalar encoder instead
             out.append(
                 encode_span(t, s, p, nm, k,
                             int(pdf["start_ns"].iloc[i]),
                             int(pdf["end_ns"].iloc[i]), st)
             )
             continue
-        parent = (
-            _SPAN_PARENT_TAG + bytes.fromhex(p) if isinstance(p, str) else b""
-        )
+        parent = _SPAN_PARENT_TAG + pb if pb is not None else b""
         out.append(
             b"".join(
                 (
-                    _SPAN_TRACE_TAG, bytes.fromhex(t),
-                    _SPAN_ID_TAG, bytes.fromhex(s),
+                    _SPAN_TRACE_TAG, tb,
+                    _SPAN_ID_TAG, sb,
                     parent,
                     name_field(nm),
                     kind_field(k),

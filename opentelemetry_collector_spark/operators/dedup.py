@@ -1415,6 +1415,7 @@ def neardup_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    persist_handle: list | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc
     gets component_id = min doc id reachable through near-dup edges.
@@ -1444,6 +1445,7 @@ def neardup_components(
     )
     labels = ids.withColumn("comp", F.col("id")).persist()
     labels.count()
+    converged = False
     try:
         for _ in range(max_iters):
             neigh = (
@@ -1471,7 +1473,20 @@ def neardup_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # returning fragmented labels would silently split true
+            # components (duplicates survive dedup, oracle mismatches
+            # with no hint) — a >max_iters-diameter chain must be loud
+            raise RuntimeError(
+                f"neardup_components did not converge in {max_iters} "
+                "rounds (component diameter exceeds max_iters)"
+            )
+        if persist_handle is not None:
+            persist_handle.append(labels)
+        # else: the returned cache is reclaimed by the ContextCleaner
+        # when the frame is GC'd (the lsh_candidate_pairs convention)
         return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
     finally:
         edges.unpersist()

@@ -2,18 +2,21 @@
 
 One declarative DAG over the documents table:
 
-    quality rules  →  near-dup components  →  contamination  →
-    mix sampling   →  sequence packing
+    quality rules  →  contamination  →  mix sampling  →
+    near-dup components (over survivors)  →  sequence packing
 
 A document survives when ALL of:
 - it passes the C4/Gopher quality rules (corpus.quality_rules);
-- it is its near-dup component's representative (doc_id ==
-  component_id over the MinHash pair graph — the transitive keep
-  rule, one survivor per duplicate cluster);
 - it is not the held-out benchmark set (doc_id % bench_mod == 0 —
   eval docs never train) and shares no word n-gram with it
   (corpus.contamination);
-- the per-source mix sampler keeps it (corpus.mix_sample).
+- the per-source mix sampler keeps it (corpus.mix_sample);
+- among the docs satisfying all of the above, it is its near-dup
+  component's representative (min doc_id over the MinHash pair graph
+  OF THE SURVIVORS). Dedup runs LAST on the filtered set so a cluster
+  whose min-id member was quality-filtered or sampled out still keeps
+  its best remaining member — independent conjunction would drop the
+  whole cluster (r4 review finding).
 
 Survivors are packed into fixed-budget training chunks
 (corpus.pack_sequences). Every stage is the SAME operator the
@@ -39,24 +42,24 @@ def clean_corpus(
     neardup_threshold: float = 0.5,
     bench_mod: int = corpus.CONTAM_BENCH_MOD,
 ) -> DataFrame:
-    """Surviving documents (full rows) after quality, componentwise
-    dedup, decontamination and mix sampling."""
+    """Surviving documents (full rows): quality + decontamination +
+    sampling first, then componentwise dedup AMONG the survivors."""
     quality_keep = corpus.quality_rules(df).filter("keep").select("doc_id")
-    pairs = dedup.neardup_pairs_minhash(df, threshold=neardup_threshold)
-    reps = (
-        dedup.neardup_components(df, pairs)
-        .filter(F.col("doc_id") == F.col("component_id"))
-        .select("doc_id")
-    )
     contaminated = corpus.contamination(df, bench_mod=bench_mod).select("doc_id")
     sampled = corpus.mix_sample(df, rates_ppm).select("doc_id")
-    return (
+    pre = (
         df.filter(F.col("doc_id") % bench_mod != 0)  # eval set never trains
         .join(quality_keep, "doc_id", "left_semi")
-        .join(reps, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
         .join(sampled, "doc_id", "left_semi")
     )
+    pairs = dedup.neardup_pairs_minhash(pre, threshold=neardup_threshold)
+    reps = (
+        dedup.neardup_components(pre, pairs)
+        .filter(F.col("doc_id") == F.col("component_id"))
+        .select("doc_id")
+    )
+    return pre.join(reps, "doc_id", "left_semi")
 
 
 def corpus_pipeline(
@@ -80,41 +83,30 @@ def oracle_corpus_pipeline(
     table: str = "documents",
 ) -> str:
     """The composed DuckDB mirror: each stage's existing oracle as a
-    CTE (nested WITHs are self-contained), conjoined exactly like
-    clean_corpus, then the packing window over survivors."""
+    CTE (nested WITHs are self-contained), staged exactly like
+    clean_corpus — pre-filters first, components over the filtered
+    set, then the standalone packing oracle REUSED over survivors."""
     quality = corpus.oracle_quality_rules(table)
-    comps = dedup.oracle_neardup_components(
-        dedup.oracle_neardup_pairs_lsh(neardup_threshold, table), table
-    )
     contam = corpus.oracle_contamination(bench_mod=bench_mod, table=table)
     sample = corpus.oracle_mix_sample(rates_ppm, table)
-    from opentelemetry_collector_spark.functions.text import oracle_token_count
-
-    n = oracle_token_count("text")
+    comps = dedup.oracle_neardup_components(
+        dedup.oracle_neardup_pairs_lsh(neardup_threshold, "pre"), "pre"
+    )
+    pack = corpus.oracle_pack_sequences(budget_tokens, "kept")
     return f"""
         WITH q AS ({quality}),
-        comps AS ({comps}),
         contam AS ({contam}),
         sampled AS ({sample}),
-        kept AS (
+        pre AS (
           SELECT d.doc_id, d.text FROM {table} d
           WHERE d.doc_id % {bench_mod} <> 0
             AND EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id AND q.keep)
-            AND EXISTS (SELECT 1 FROM comps c
-                        WHERE c.doc_id = d.doc_id
-                          AND c.component_id = d.doc_id)
             AND NOT EXISTS (SELECT 1 FROM contam x WHERE x.doc_id = d.doc_id)
             AND EXISTS (SELECT 1 FROM sampled s WHERE s.doc_id = d.doc_id)),
-        t AS (SELECT doc_id, coalesce({n}, 0)::BIGINT AS n_tokens FROM kept),
-        c AS (SELECT doc_id, n_tokens,
-                     (sum(n_tokens) OVER (ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - n_tokens) AS start
-              FROM t)
-        SELECT doc_id, n_tokens,
-               floor(start / {budget_tokens})::BIGINT AS chunk_id,
-               (start % {budget_tokens})::BIGINT AS offset_in_chunk,
-               (CASE WHEN n_tokens = 0 THEN 0
-                     ELSE floor((start + n_tokens - 1) / {budget_tokens})
-                          - floor(start / {budget_tokens}) + 1 END)::BIGINT
-                 AS chunks_spanned
-        FROM c"""
+        comps AS ({comps}),
+        kept AS (
+          SELECT pre.doc_id, pre.text FROM pre
+          WHERE EXISTS (SELECT 1 FROM comps c
+                        WHERE c.doc_id = pre.doc_id
+                          AND c.component_id = pre.doc_id))
+        SELECT * FROM ({pack})"""

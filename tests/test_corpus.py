@@ -107,18 +107,22 @@ def test_corpus_pipeline_composes_stage_semantics(spark, docs):
     rates = {f"src{i}": 500_000 for i in range(20)}
     out = cpl.corpus_pipeline(docs, rates, budget_tokens=128).collect()
     got_ids = {r["doc_id"] for r in out}
-    # independently recompute each keep-set
+    # independently recompute: pre-filters first, then dedup reps
+    # AMONG the pre-survivors (staged semantics — a cluster whose
+    # min-id member was filtered keeps its best remaining member)
     quality = {r["doc_id"] for r in corpus.quality_rules(docs).filter("keep").collect()}
-    pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5)
-    reps = {
-        r["doc_id"]
-        for r in dedup.neardup_components(docs, pairs).collect()
-        if r["doc_id"] == r["component_id"]
-    }
     contam = {r["doc_id"] for r in corpus.contamination(docs).collect()}
     sampled = {r["doc_id"] for r in corpus.mix_sample(docs, rates).collect()}
     bench = {r["doc_id"] for r in docs.collect() if r["doc_id"] % 97 == 0}
-    want = (quality & reps & sampled) - contam - bench
+    pre_ids = (quality & sampled) - contam - bench
+    pre = docs.filter(F.col("doc_id").isin(list(pre_ids)))
+    pairs = dedup.neardup_pairs_minhash(pre, threshold=0.5)
+    reps = {
+        r["doc_id"]
+        for r in dedup.neardup_components(pre, pairs).collect()
+        if r["doc_id"] == r["component_id"]
+    }
+    want = pre_ids & reps
     assert got_ids == want and got_ids
     # packing tiles the survivor stream exactly
     pos = 0

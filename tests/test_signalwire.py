@@ -285,3 +285,64 @@ def test_vectorized_span_batch_matches_scalar_encoder():
             int(pdf["end_ns"][i]), pdf["status"][i],
         )
         assert got[i] == want, i
+
+
+def test_span_batch_foreign_ids_and_null_ts():
+    """The scalar fallback branch must fire for non-canonical /
+    whitespace-bearing hex ids (fromhex SKIPS whitespace, so a pure
+    length check would under-fill the fixed 16-byte prefix), and NULL
+    timestamps must be loud."""
+    import pandas as pd
+    import pytest
+
+    pdf = pd.DataFrame(
+        {
+            # 2nd row: 12-byte trace id — decodable but NON-canonical,
+            # must take the scalar fallback (actual-length prefix)
+            "trace_id": ["ab" * 16, "ab" * 12],
+            "span_id": ["11" * 8, "22" * 8],
+            "parent_span_id": [None, None],
+            "name": ["n", "n"],
+            "kind": ["SPAN_KIND_CLIENT", "SPAN_KIND_CLIENT"],
+            "status": ["STATUS_CODE_OK", "STATUS_CODE_OK"],
+            "start_ns": [1, 2],
+            "end_ns": [3, 4],
+        }
+    )
+    got = W._encode_span_batch(pdf)
+    for i in range(2):
+        want = W.encode_span(
+            pdf["trace_id"][i], pdf["span_id"][i], None, "n",
+            "SPAN_KIND_CLIENT", int(pdf["start_ns"][i]),
+            int(pdf["end_ns"][i]), "STATUS_CODE_OK",
+        )
+        assert got[i] == want, i
+    back = W.decode_span(got[1])  # fallback frame is well-formed
+    assert back["trace_id"] == "ab" * 12 and back["start_ns"] == 2
+    # whitespace-bearing hex raises LOUDLY (both paths; fromhex rejects
+    # mid-pair whitespace) instead of emitting an under-filled frame
+    pdf_bad = pdf.copy()
+    pdf_bad.loc[0, "trace_id"] = "ab" * 15 + " a b "
+    with pytest.raises(ValueError):
+        W._encode_span_batch(pdf_bad)
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "start_ns"] = None
+    with pytest.raises(ValueError, match="NULL start_ns"):
+        W._encode_span_batch(pdf2)
+
+
+def test_neardup_components_nonconvergence_is_loud(spark):
+    """A chain deeper than max_iters must raise, not return fragmented
+    components."""
+    import pytest
+
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_components(docs, chain, max_iters=2)
