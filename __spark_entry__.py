@@ -518,6 +518,24 @@ def _q_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spans_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ptrace OTLP/JSON ENVELOPE round-trip (pdata/ptrace/json.go's
+    ResourceSpans → ScopeSpans → Span nesting, the full-document form
+    — spans_roundtrip covers the per-span codec): flat spans → nested
+    JSON docs → flattened back; oracle reads the same fields straight
+    from the parsed table."""
+    from opentelemetry_collector_spark.functions import pdata, signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    spans = signals.spans_from_turns(parsed).select(
+        "conv_id", "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "status",
+        (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).alias("start_ns"),
+        (F.unix_micros(F.col("end_ts").cast("timestamp")) * 1000).alias("end_ns"),
+    )
+    return pdata.flatten_spans_from_otlp(pdata.nest_spans_to_otlp(spans))
+
+
 def _q_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pmetric wire-format round-trip (pdata/pmetric/json.go:15 +
     encoding.go Sizer analog): per-turn latency gauge points →
@@ -970,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_summary": _q_metrics_summary,
         "trace_spans": _q_trace_spans,
         "spans_roundtrip": _q_spans_roundtrip,
+        "spans_otlp_json": _q_spans_otlp_json,
         "metrics_roundtrip": _q_metrics_roundtrip,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
@@ -1204,6 +1223,21 @@ def oracle_sql() -> dict[str, str]:
                      AS parent_span_id,
                    name, kind, status, start_ns, end_ns
             FROM spans""",
+        "spans_otlp_json": f"""{_parsed_cte()}
+            SELECT conv_id,
+                   md5(conv_id) AS trace_id,
+                   substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
+                   lag(substr(md5(conv_id || ':' || turn_idx), 1, 16))
+                     OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     AS parent_span_id,
+                   tool || '/' || coalesce(svc, '') AS name,
+                   'SPAN_KIND_CLIENT' AS kind,
+                   CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
+                        ELSE 'STATUS_CODE_OK' END AS status,
+                   epoch_ns(ts) AS start_ns,
+                   epoch_ns(ts + to_microseconds(coalesce(latency_ms, 0) * 1000))
+                     AS end_ns
+            FROM parsed WHERE role = 'tool'""",
         "metrics_roundtrip": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
                    cast(latency_ms AS bigint) AS value

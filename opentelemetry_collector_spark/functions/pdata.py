@@ -196,3 +196,107 @@ def log_record_count(nested: DataFrame) -> int:
     )
     # coalesce: sum over zero rows is NULL, but LogRecordCount() == 0
     return n.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+
+
+# --------------------------------------------- ptrace OTLP/JSON envelope
+
+SPANS_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeSpans:array<struct<scope:struct<name:string>,"
+    "spans:array<struct<traceId:string,spanId:string,parentSpanId:string,"
+    "name:string,kind:string,startTimeUnixNano:bigint,"
+    "endTimeUnixNano:bigint,status:struct<code:string>>>>>>"
+)
+
+
+def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
+    """Flat span rows → one ResourceSpans OTLP-JSON document per
+    conversation (pdata/ptrace/json.go envelope: Resource → ScopeSpans
+    → Span; resource = conversation, scope = the span's tool — the
+    instrumentation-scope analog, mirroring nest_to_otlp's role
+    scoping). Input: spans_from_turns output plus start_ns/end_ns
+    longs. IDs stay hex strings (OTLP/JSON ID encoding)."""
+    span_struct = F.struct(
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+        F.col("parent_span_id").alias("parentSpanId"),
+        F.col("name").alias("name"),
+        F.col("kind").alias("kind"),
+        F.col("start_ns").alias("startTimeUnixNano"),
+        F.col("end_ns").alias("endTimeUnixNano"),
+        F.struct(F.col("status").alias("code")).alias("status"),
+    )
+    by_span_id = lambda l, r: (  # noqa: E731
+        F.when(l["spanId"] < r["spanId"], -1)
+        .when(l["spanId"] > r["spanId"], 1)
+        .otherwise(0)
+    ).cast("int")
+    scopes = (
+        spans.withColumn("_tool", F.split(F.col("name"), "/").getItem(0))
+        .groupBy("conv_id", "_tool")
+        .agg(F.array_sort(F.collect_list(span_struct), by_span_id).alias("_spans"))
+        .select(
+            "conv_id",
+            F.struct(
+                F.struct(F.col("_tool").alias("name")).alias("scope"),
+                F.col("_spans").alias("spans"),
+            ).alias("scopeSpans"),
+        )
+    )
+    by_scope = lambda l, r: (  # noqa: E731
+        F.when(l["scope"]["name"] < r["scope"]["name"], -1)
+        .when(l["scope"]["name"] > r["scope"]["name"], 1)
+        .otherwise(0)
+    ).cast("int")
+    return (
+        scopes.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("scopeSpans"), by_scope).alias("scopeSpans"))
+        .select(
+            "conv_id",
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.create_map(F.lit("conv_id"), F.col("conv_id")).alias(
+                            "attributes"
+                        )
+                    ).alias("resource"),
+                    F.col("scopeSpans"),
+                )
+            ).alias("otlp_json"),
+        )
+    )
+
+
+def flatten_spans_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse of nest_spans_to_otlp: ResourceSpans docs → flat spans."""
+    d = nested.select(F.from_json(F.col(json_col), SPANS_OTLP_SCHEMA).alias("d"))
+    sc = d.select(
+        F.col("d.resource.attributes")["conv_id"].alias("conv_id"),
+        F.explode("d.scopeSpans").alias("s"),
+    )
+    sp = sc.select("conv_id", F.explode("s.spans").alias("p"))
+    return sp.select(
+        "conv_id",
+        F.col("p.traceId").alias("trace_id"),
+        F.col("p.spanId").alias("span_id"),
+        F.col("p.parentSpanId").alias("parent_span_id"),
+        F.col("p.name").alias("name"),
+        F.col("p.kind").alias("kind"),
+        F.col("p.status.code").alias("status"),
+        F.col("p.startTimeUnixNano").alias("start_ns"),
+        F.col("p.endTimeUnixNano").alias("end_ns"),
+    )
+
+
+def span_count(nested: DataFrame, json_col: str = "otlp_json") -> int:
+    """Traces.SpanCount() over the nested form (the logs.go triple-loop
+    analog — one sum of array sizes)."""
+    d = nested.select(F.from_json(F.col(json_col), SPANS_OTLP_SCHEMA).alias("d"))
+    n = d.select(
+        F.aggregate(
+            F.col("d.scopeSpans"), F.lit(0), lambda acc, s: acc + F.size(s["spans"])
+        ).alias("n")
+    )
+    return n.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]

@@ -43,3 +43,28 @@ def test_envelope_shape(transcripts):
     assert nested.count() == transcripts.select("conv_id").distinct().count()
     one = nested.limit(1).collect()[0]["otlp_json"]
     assert '"resource"' in one and '"scopeLogs"' in one and '"logRecords"' in one
+
+
+def test_spans_otlp_envelope_roundtrip_and_count(spark, sf_dir):
+    """ResourceSpans envelope: nest → flatten is lossless on every
+    field (incl. NULL parent for scope-first spans), and SpanCount
+    over the nested form equals the flat count."""
+    from opentelemetry_collector_spark.functions import parse as parse_mod
+    from opentelemetry_collector_spark.functions import signals
+    from opentelemetry_collector_spark.sources import tables
+
+    parsed = parse_mod.with_parsed(
+        tables.read_transcripts(spark, sf_dir).limit(2000), "native"
+    )
+    spans = signals.spans_from_turns(parsed).select(
+        "conv_id", "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "status",
+        (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).alias("start_ns"),
+        (F.unix_micros(F.col("end_ts").cast("timestamp")) * 1000).alias("end_ns"),
+    )
+    nested = pdata.nest_spans_to_otlp(spans).cache()
+    back = pdata.flatten_spans_from_otlp(nested)
+    cols = spans.columns
+    assert back.select(cols).exceptAll(spans.select(cols)).count() == 0
+    assert spans.select(cols).exceptAll(back.select(cols)).count() == 0
+    assert pdata.span_count(nested) == spans.count()
