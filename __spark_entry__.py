@@ -536,6 +536,22 @@ def _q_spans_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdata.flatten_spans_from_otlp(pdata.nest_spans_to_otlp(spans))
 
 
+def _q_metrics_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pmetric OTLP/JSON ENVELOPE round-trip (pdata/pmetric/json.go's
+    ResourceMetrics → ScopeMetrics → Metric → Gauge nesting —
+    metrics_roundtrip covers the per-datapoint codec): flat gauge
+    points → documents per service → flattened back."""
+    from opentelemetry_collector_spark.functions import pdata
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    points = parsed.select(
+        "conv_id", "turn_idx", "svc",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        F.col("latency_ms").cast("long").alias("value"),
+    )
+    return pdata.flatten_metrics_from_otlp(pdata.nest_metrics_to_otlp(points))
+
+
 def _q_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pmetric wire-format round-trip (pdata/pmetric/json.go:15 +
     encoding.go Sizer analog): per-turn latency gauge points →
@@ -990,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_roundtrip": _q_spans_roundtrip,
         "spans_otlp_json": _q_spans_otlp_json,
         "metrics_roundtrip": _q_metrics_roundtrip,
+        "metrics_otlp_json": _q_metrics_otlp_json,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
@@ -1239,6 +1256,10 @@ def oracle_sql() -> dict[str, str]:
                      AS end_ns
             FROM parsed WHERE role = 'tool'""",
         "metrics_roundtrip": f"""{_parsed_cte()}
+            SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
+                   cast(latency_ms AS bigint) AS value
+            FROM parsed""",
+        "metrics_otlp_json": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
                    cast(latency_ms AS bigint) AS value
             FROM parsed""",

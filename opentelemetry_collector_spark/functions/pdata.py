@@ -300,3 +300,116 @@ def span_count(nested: DataFrame, json_col: str = "otlp_json") -> int:
         ).alias("n")
     )
     return n.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+
+
+# -------------------------------------------- pmetric OTLP/JSON envelope
+
+METRICS_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeMetrics:array<struct<scope:struct<name:string>,"
+    "metrics:array<struct<name:string,"
+    "gauge:struct<dataPoints:array<struct<timeUnixNano:bigint,"
+    "asInt:bigint,attributes:map<string,string>>>>>>>>>"
+)
+
+
+def nest_metrics_to_otlp(
+    points: DataFrame, metric_name: str = "turn_latency_ms"
+) -> DataFrame:
+    """Flat gauge points → one ResourceMetrics OTLP-JSON document per
+    service (pdata/pmetric/json.go envelope: Resource → ScopeMetrics →
+    Metric → Gauge → NumberDataPoint; resource = the service — the
+    natural metrics resource — datapoint attributes carry conv/turn).
+    Input: (conv_id, turn_idx, svc, ts_ns, value); NULL value maps to
+    the omitted oneof (asInt null in JSON), NULL svc groups under the
+    empty-resource document."""
+    dp = F.struct(
+        F.col("ts_ns").alias("timeUnixNano"),
+        F.col("value").alias("asInt"),
+        F.map_filter(
+            F.create_map(
+                F.lit("conv_id"), F.col("conv_id"),
+                F.lit("turn_idx"), F.col("turn_idx").cast("string"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attributes"),
+    )
+    by_dp = lambda l, r: (  # noqa: E731 — unique (conv, turn) orders points
+        F.when(l["attributes"]["conv_id"] < r["attributes"]["conv_id"], -1)
+        .when(l["attributes"]["conv_id"] > r["attributes"]["conv_id"], 1)
+        .when(
+            l["attributes"]["turn_idx"].cast("int")
+            < r["attributes"]["turn_idx"].cast("int"), -1
+        )
+        .when(
+            l["attributes"]["turn_idx"].cast("int")
+            > r["attributes"]["turn_idx"].cast("int"), 1
+        )
+        .otherwise(0)
+    ).cast("int")
+    return (
+        points.groupBy(F.coalesce(F.col("svc"), F.lit("")).alias("_svc"))
+        .agg(F.array_sort(F.collect_list(dp), by_dp).alias("_dps"))
+        .select(
+            F.col("_svc").alias("svc"),
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.create_map(F.lit("svc"), F.col("_svc")).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(F.lit("otelcol-spark").alias("name")).alias("scope"),
+                            F.array(
+                                F.struct(
+                                    F.lit(metric_name).alias("name"),
+                                    F.struct(F.col("_dps").alias("dataPoints")).alias(
+                                        "gauge"
+                                    ),
+                                )
+                            ).alias("metrics"),
+                        )
+                    ).alias("scopeMetrics"),
+                )
+            ).alias("otlp_json"),
+        )
+    )
+
+
+def flatten_metrics_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse of nest_metrics_to_otlp: documents → flat gauge points.
+    The empty-resource document flattens back to NULL svc."""
+    d = nested.select(F.from_json(F.col(json_col), METRICS_OTLP_SCHEMA).alias("d"))
+    sm = d.select(
+        F.col("d.resource.attributes")["svc"].alias("_svc"),
+        F.explode("d.scopeMetrics").alias("s"),
+    )
+    m = sm.select("_svc", F.explode("s.metrics").alias("m"))
+    dp = m.select("_svc", F.explode("m.gauge.dataPoints").alias("p"))
+    return dp.select(
+        F.col("p.attributes")["conv_id"].alias("conv_id"),
+        F.col("p.attributes")["turn_idx"].cast("int").alias("turn_idx"),
+        F.when(F.col("_svc") != "", F.col("_svc")).alias("svc"),
+        F.col("p.timeUnixNano").alias("ts_ns"),
+        F.col("p.asInt").alias("value"),
+    )
+
+
+def data_point_count(nested: DataFrame, json_col: str = "otlp_json") -> int:
+    """Metrics.DataPointCount() over the nested form."""
+    d = nested.select(F.from_json(F.col(json_col), METRICS_OTLP_SCHEMA).alias("d"))
+    n = d.select(
+        F.aggregate(
+            F.col("d.scopeMetrics"),
+            F.lit(0),
+            lambda acc, s: acc
+            + F.aggregate(
+                s["metrics"],
+                F.lit(0),
+                lambda a2, m: a2 + F.size(m["gauge"]["dataPoints"]),
+            ),
+        ).alias("n")
+    )
+    return n.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]

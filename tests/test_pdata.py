@@ -68,3 +68,28 @@ def test_spans_otlp_envelope_roundtrip_and_count(spark, sf_dir):
     assert back.select(cols).exceptAll(spans.select(cols)).count() == 0
     assert spans.select(cols).exceptAll(back.select(cols)).count() == 0
     assert pdata.span_count(nested) == spans.count()
+
+
+def test_metrics_otlp_envelope_roundtrip_and_count(spark, sf_dir):
+    """ResourceMetrics envelope: nest → flatten lossless including NULL
+    value (omitted oneof) and NULL svc (empty-resource doc), and
+    DataPointCount over the nested form equals the flat count."""
+    from opentelemetry_collector_spark.functions import parse as parse_mod
+    from opentelemetry_collector_spark.sources import tables
+
+    parsed = parse_mod.with_parsed(
+        tables.read_transcripts(spark, sf_dir).limit(2000), "native"
+    )
+    points = parsed.select(
+        "conv_id", "turn_idx", "svc",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+        F.col("latency_ms").cast("long").alias("value"),
+    )
+    nested = pdata.nest_metrics_to_otlp(points).cache()
+    back = pdata.flatten_metrics_from_otlp(nested)
+    cols = points.columns
+    assert back.select(cols).exceptAll(points.select(cols)).count() == 0
+    assert points.select(cols).exceptAll(back.select(cols)).count() == 0
+    assert pdata.data_point_count(nested) == points.count()
+    assert points.filter("svc IS NULL").count() > 0  # edge actually hit
+    assert points.filter("value IS NULL").count() > 0
