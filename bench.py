@@ -77,6 +77,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         # r4: per-signal wire formats (pmetric/ptrace codecs)
         "spans_roundtrip",
         "metrics_roundtrip",
+        "spans_otlp_json",
+        "metrics_otlp_json",
         # r4: corpus-shaping family
         "docs_quality",
         "sample_mix",
