@@ -1211,7 +1211,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx,
                    md5(conv_id) AS trace_id,
                    substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
-                   tool || '/' || coalesce(svc, '') AS name,
+                   coalesce(tool, '') || '/' || coalesce(svc, '') AS name,
                    'SPAN_KIND_CLIENT' AS kind,
                    CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
                         ELSE 'STATUS_CODE_OK' END AS status,
@@ -1227,7 +1227,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx,
                    md5(conv_id) AS trace_id,
                    substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
-                   tool || '/' || coalesce(svc, '') AS name,
+                   coalesce(tool, '') || '/' || coalesce(svc, '') AS name,
                    'SPAN_KIND_CLIENT' AS kind,
                    CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
                         ELSE 'STATUS_CODE_OK' END AS status,
@@ -1247,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
                    lag(substr(md5(conv_id || ':' || turn_idx), 1, 16))
                      OVER (PARTITION BY conv_id ORDER BY turn_idx)
                      AS parent_span_id,
-                   tool || '/' || coalesce(svc, '') AS name,
+                   coalesce(tool, '') || '/' || coalesce(svc, '') AS name,
                    'SPAN_KIND_CLIENT' AS kind,
                    CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
                         ELSE 'STATUS_CODE_OK' END AS status,

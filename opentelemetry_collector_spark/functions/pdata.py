@@ -54,6 +54,24 @@ def oracle_severity_number(col: str = "level") -> str:
     return f"cast(CASE {whens} ELSE 0 END AS int)"
 
 
+def _cmp(*key_fns):
+    """THE array_sort comparator builder (structs holding maps are not
+    naturally orderable): lexicographic over the extracted keys, each
+    key_fn mapping an element to an orderable Column. One definition —
+    five sort sites previously hand-rolled the when/when/otherwise
+    chain."""
+
+    def comparator(l, r):  # noqa: E741 — l/r are the array_sort operands
+        expr = None
+        for fn in key_fns:
+            lk, rk = fn(l), fn(r)
+            step = F.when(lk < rk, -1).when(lk > rk, 1)
+            expr = step if expr is None else expr.when(lk < rk, -1).when(lk > rk, 1)
+        return expr.otherwise(0).cast("int")
+
+    return comparator
+
+
 def log_record(df_cols: dict[str, Column]) -> Column:
     """One LogRecord struct (generated_logrecord.go:52-158 fields)."""
     return F.struct(
@@ -100,18 +118,12 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
     with_rec = parsed.select(
         "conv_id", "role", "turn_idx", rec.alias("record")
     )
-    def _by(key):
-        # comparator: structs holding maps are not naturally orderable
-        return lambda l, r: (
-            F.when(l[key] < r[key], -1).when(l[key] > r[key], 1).otherwise(0)
-        ).cast("int")
-
     scopes = (
         with_rec.groupBy("conv_id", "role")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("turn_idx"), F.col("record"))),
-                _by("turn_idx"),
+                _cmp(lambda e: e["turn_idx"]),
             ).alias("_recs")
         )
         .select(
@@ -124,14 +136,13 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
             ).alias("scopeLogs"),
         )
     )
-    by_scope_name = lambda l, r: (  # noqa: E731
-        F.when(l["scope"]["name"] < r["scope"]["name"], -1)
-        .when(l["scope"]["name"] > r["scope"]["name"], 1)
-        .otherwise(0)
-    ).cast("int")
     return (
         scopes.groupBy("conv_id")
-        .agg(F.array_sort(F.collect_list("scopeLogs"), by_scope_name).alias("scopeLogs"))
+        .agg(
+            F.array_sort(
+                F.collect_list("scopeLogs"), _cmp(lambda e: e["scope"]["name"])
+            ).alias("scopeLogs")
+        )
         .select(
             "conv_id",
             F.to_json(
@@ -226,15 +237,14 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
         F.col("end_ns").alias("endTimeUnixNano"),
         F.struct(F.col("status").alias("code")).alias("status"),
     )
-    by_span_id = lambda l, r: (  # noqa: E731
-        F.when(l["spanId"] < r["spanId"], -1)
-        .when(l["spanId"] > r["spanId"], 1)
-        .otherwise(0)
-    ).cast("int")
     scopes = (
         spans.withColumn("_tool", F.split(F.col("name"), "/").getItem(0))
         .groupBy("conv_id", "_tool")
-        .agg(F.array_sort(F.collect_list(span_struct), by_span_id).alias("_spans"))
+        .agg(
+            F.array_sort(
+                F.collect_list(span_struct), _cmp(lambda e: e["spanId"])
+            ).alias("_spans")
+        )
         .select(
             "conv_id",
             F.struct(
@@ -243,14 +253,13 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
             ).alias("scopeSpans"),
         )
     )
-    by_scope = lambda l, r: (  # noqa: E731
-        F.when(l["scope"]["name"] < r["scope"]["name"], -1)
-        .when(l["scope"]["name"] > r["scope"]["name"], 1)
-        .otherwise(0)
-    ).cast("int")
     return (
         scopes.groupBy("conv_id")
-        .agg(F.array_sort(F.collect_list("scopeSpans"), by_scope).alias("scopeSpans"))
+        .agg(
+            F.array_sort(
+                F.collect_list("scopeSpans"), _cmp(lambda e: e["scope"]["name"])
+            ).alias("scopeSpans")
+        )
         .select(
             "conv_id",
             F.to_json(
@@ -321,8 +330,10 @@ def nest_metrics_to_otlp(
     Metric → Gauge → NumberDataPoint; resource = the service — the
     natural metrics resource — datapoint attributes carry conv/turn).
     Input: (conv_id, turn_idx, svc, ts_ns, value); NULL value maps to
-    the omitted oneof (asInt null in JSON), NULL svc groups under the
-    empty-resource document."""
+    the omitted oneof (asInt null in JSON), NULL svc to a document
+    whose resource attribute map simply OMITS the key (presence-
+    faithful: svc='' stays distinct from NULL through the round
+    trip)."""
     dp = F.struct(
         F.col("ts_ns").alias("timeUnixNano"),
         F.col("value").alias("asInt"),
@@ -334,28 +345,23 @@ def nest_metrics_to_otlp(
             lambda k, v: v.isNotNull(),
         ).alias("attributes"),
     )
-    by_dp = lambda l, r: (  # noqa: E731 — unique (conv, turn) orders points
-        F.when(l["attributes"]["conv_id"] < r["attributes"]["conv_id"], -1)
-        .when(l["attributes"]["conv_id"] > r["attributes"]["conv_id"], 1)
-        .when(
-            l["attributes"]["turn_idx"].cast("int")
-            < r["attributes"]["turn_idx"].cast("int"), -1
-        )
-        .when(
-            l["attributes"]["turn_idx"].cast("int")
-            > r["attributes"]["turn_idx"].cast("int"), 1
-        )
-        .otherwise(0)
-    ).cast("int")
+    # unique (conv, turn) orders datapoints deterministically
+    by_dp = _cmp(
+        lambda e: e["attributes"]["conv_id"],
+        lambda e: e["attributes"]["turn_idx"].cast("int"),
+    )
     return (
-        points.groupBy(F.coalesce(F.col("svc"), F.lit("")).alias("_svc"))
+        points.groupBy(F.col("svc").alias("_svc"))
         .agg(F.array_sort(F.collect_list(dp), by_dp).alias("_dps"))
         .select(
             F.col("_svc").alias("svc"),
             F.to_json(
                 F.struct(
                     F.struct(
-                        F.create_map(F.lit("svc"), F.col("_svc")).alias("attributes")
+                        F.map_filter(
+                            F.create_map(F.lit("svc"), F.col("_svc")),
+                            lambda k, v: v.isNotNull(),
+                        ).alias("attributes")
                     ).alias("resource"),
                     F.array(
                         F.struct(
@@ -380,7 +386,8 @@ def flatten_metrics_from_otlp(
     nested: DataFrame, json_col: str = "otlp_json"
 ) -> DataFrame:
     """Inverse of nest_metrics_to_otlp: documents → flat gauge points.
-    The empty-resource document flattens back to NULL svc."""
+    A resource map without the svc key flattens back to NULL svc;
+    svc='' round-trips as ''."""
     d = nested.select(F.from_json(F.col(json_col), METRICS_OTLP_SCHEMA).alias("d"))
     sm = d.select(
         F.col("d.resource.attributes")["svc"].alias("_svc"),
@@ -391,7 +398,7 @@ def flatten_metrics_from_otlp(
     return dp.select(
         F.col("p.attributes")["conv_id"].alias("conv_id"),
         F.col("p.attributes")["turn_idx"].cast("int").alias("turn_idx"),
-        F.when(F.col("_svc") != "", F.col("_svc")).alias("svc"),
+        F.col("_svc").alias("svc"),
         F.col("p.timeUnixNano").alias("ts_ns"),
         F.col("p.asInt").alias("value"),
     )

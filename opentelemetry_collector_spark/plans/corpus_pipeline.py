@@ -41,12 +41,13 @@ def clean_corpus(
     rates_ppm: dict[str, int],
     neardup_threshold: float = 0.5,
     bench_mod: int = corpus.CONTAM_BENCH_MOD,
+    default_ppm: int = 0,
 ) -> DataFrame:
     """Surviving documents (full rows): quality + decontamination +
     sampling first, then componentwise dedup AMONG the survivors."""
     quality_keep = corpus.quality_rules(df).filter("keep").select("doc_id")
     contaminated = corpus.contamination(df, bench_mod=bench_mod).select("doc_id")
-    sampled = corpus.mix_sample(df, rates_ppm).select("doc_id")
+    sampled = corpus.mix_sample(df, rates_ppm, default_ppm).select("doc_id")
     pre = (
         df.filter(F.col("doc_id") % bench_mod != 0)  # eval set never trains
         .join(quality_keep, "doc_id", "left_semi")
@@ -67,11 +68,13 @@ def corpus_pipeline(
     rates_ppm: dict[str, int],
     budget_tokens: int = corpus.PACK_BUDGET_TOKENS,
     neardup_threshold: float = 0.5,
+    default_ppm: int = 0,
 ) -> DataFrame:
     """clean_corpus → pack_sequences: per-surviving-doc training-chunk
     placement."""
     return corpus.pack_sequences(
-        clean_corpus(df, rates_ppm, neardup_threshold), budget_tokens
+        clean_corpus(df, rates_ppm, neardup_threshold, default_ppm=default_ppm),
+        budget_tokens,
     )
 
 

@@ -46,11 +46,16 @@ def main() -> None:
                     metavar="SRC=FRACTION",
                     help="per-source keep fraction (repeatable)")
     ap.add_argument("--default-rate", type=float, default=1.0,
-                    help="keep fraction for sources with no --rate")
+                    help="keep fraction for sources with no --rate "
+                         "(NULL sources included)")
     ap.add_argument("--write-docs", action="store_true",
                     help="also write the cleaned documents (not just "
                          "the chunk placements)")
     args = ap.parse_args()
+    if not 0.0 <= args.default_rate <= 1.0:
+        raise SystemExit(
+            f"--default-rate must be in [0, 1], got {args.default_rate}"
+        )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -63,23 +68,18 @@ def main() -> None:
     rates = dict(_parse_rate(r) for r in args.rates)
     default_ppm = int(round(args.default_rate * 1_000_000))
 
-    def clean(df):
-        return cpl.clean_corpus(
-            df,
-            rates,
-            neardup_threshold=args.neardup_threshold,
-        )
-
-    # clean_corpus's mix_sample uses default 0 for unknown sources; the
-    # CLI exposes an explicit default rate instead, so splice it in by
-    # listing every observed source at the default when not overridden
-    if default_ppm != 0:
-        observed = [r["source"] for r in docs.select("source").distinct().collect()]
-        for src in observed:
-            rates.setdefault(src, default_ppm)
-
-    kept = clean(docs).persist()
-    placements = corpus.pack_sequences(kept, args.budget_tokens)
+    # default_ppm flows through clean_corpus into mix_sample's own
+    # fallthrough, which covers unknown AND NULL sources — no
+    # observed-source scan or rates-dict splicing needed
+    kept = cpl.clean_corpus(
+        docs,
+        rates,
+        neardup_threshold=args.neardup_threshold,
+        default_ppm=default_ppm,
+    ).persist()
+    # persist: the write and the chunk-count agg both consume the full
+    # two-pass packing shuffle — without the cache it runs twice
+    placements = corpus.pack_sequences(kept, args.budget_tokens).persist()
     placements.write.mode("overwrite").parquet(f"{args.out_dir}/placements")
     if args.write_docs:
         kept.write.mode("overwrite").parquet(f"{args.out_dir}/documents")
@@ -89,6 +89,7 @@ def main() -> None:
     n_chunks = placements.agg(
         (F.max(F.col("chunk_id") + F.col("chunks_spanned"))).alias("n")
     ).first()["n"]
+    placements.unpersist()
     kept.unpersist()
     print(json.dumps({
         "docs_in": n_in,
