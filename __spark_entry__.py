@@ -552,6 +552,19 @@ def _q_metrics_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdata.flatten_metrics_from_otlp(pdata.nest_metrics_to_otlp(points))
 
 
+def _q_metrics_histogram_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram branch of the pmetric OTLP/JSON envelope: per-svc
+    HistogramDataPoints (complete bucketCounts vector, svc-level
+    count/sum/min/max, explicitBounds) → documents → flattened back to
+    sparse per-bucket rows."""
+    from opentelemetry_collector_spark.functions import pdata, signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    dps = signals.histogram_datapoints(parsed)
+    nested = pdata.nest_histogram_metrics_to_otlp(dps, signals.DEFAULT_BOUNDS)
+    return pdata.flatten_histogram_metrics_from_otlp(nested)
+
+
 def _q_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pmetric wire-format round-trip (pdata/pmetric/json.go:15 +
     encoding.go Sizer analog): per-turn latency gauge points →
@@ -1007,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_otlp_json": _q_spans_otlp_json,
         "metrics_roundtrip": _q_metrics_roundtrip,
         "metrics_otlp_json": _q_metrics_otlp_json,
+        "metrics_histogram_otlp": _q_metrics_histogram_otlp,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
@@ -1263,6 +1277,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
                    cast(latency_ms AS bigint) AS value
             FROM parsed""",
+        "metrics_histogram_otlp": f"""{_parsed_cte()},
+            b AS (SELECT svc,
+                   cast(CASE WHEN latency_ms <= 10 THEN 0
+                             WHEN latency_ms <= 100 THEN 1
+                             WHEN latency_ms <= 500 THEN 2
+                             WHEN latency_ms <= 1000 THEN 3
+                             WHEN latency_ms <= 5000 THEN 4
+                             ELSE 5 END AS int) AS bucket_idx,
+                   cast(count(*) AS bigint) AS bucket_count,
+                   cast(sum(latency_ms) AS bigint) AS sum_b,
+                   min(latency_ms) AS min_b, max(latency_ms) AS max_b
+                  FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1, 2),
+            s AS (SELECT svc, cast(sum(bucket_count) AS bigint) AS count,
+                   cast(sum(sum_b) AS bigint) AS value_sum,
+                   min(min_b) AS value_min, max(max_b) AS value_max
+                  FROM b GROUP BY 1)
+            SELECT b.svc, b.bucket_idx, b.bucket_count, s.count,
+                   s.value_sum, s.value_min, s.value_max
+            FROM b JOIN s ON b.svc IS NOT DISTINCT FROM s.svc""",
         "docs_quality": f"""WITH {_edge_docs_cte()},
             base AS ({corpus_oracle.oracle_quality_rules('docs_all')})
             SELECT * FROM base""",

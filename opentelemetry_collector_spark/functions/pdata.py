@@ -420,3 +420,112 @@ def data_point_count(nested: DataFrame, json_col: str = "otlp_json") -> int:
         ).alias("n")
     )
     return n.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+
+
+# ------------------------------------- histogram metrics in the envelope
+
+HIST_METRICS_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeMetrics:array<struct<scope:struct<name:string>,"
+    "metrics:array<struct<name:string,"
+    "histogram:struct<aggregationTemporality:string,"
+    "dataPoints:array<struct<count:bigint,sum:bigint,min:bigint,"
+    "max:bigint,bucketCounts:array<bigint>,"
+    "explicitBounds:array<bigint>>>>>>>>>"
+)
+
+
+def nest_histogram_metrics_to_otlp(
+    hist_dps: DataFrame,
+    bounds: tuple[int, ...],
+    metric_name: str = "turn_latency_ms",
+) -> DataFrame:
+    """signals.histogram_datapoints rows (per svc × bucket) → one
+    ResourceMetrics document per service with a complete
+    HistogramDataPoint: the full bucketCounts vector (zeros for empty
+    buckets — the wire form carries len(bounds)+1 slots), svc-level
+    count/sum/min/max aggregated from the per-bucket rows, and the
+    explicitBounds list (pdata/pmetric/json.go Histogram branch)."""
+    n_buckets = len(bounds) + 1
+    per_svc = hist_dps.groupBy("svc").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket_idx"), F.col("bucket_count")))
+        ).alias("_bc"),
+        F.sum("bucket_count").alias("_count"),
+        F.sum("value_sum").alias("_sum"),
+        F.min("value_min").alias("_min"),
+        F.max("value_max").alias("_max"),
+    )
+    full_counts = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")),
+    )
+    dp = F.struct(
+        F.col("_count").cast("long").alias("count"),
+        F.col("_sum").cast("long").alias("sum"),
+        F.col("_min").cast("long").alias("min"),
+        F.col("_max").cast("long").alias("max"),
+        full_counts.alias("bucketCounts"),
+        F.array(*[F.lit(int(b)).cast("long") for b in bounds]).alias(
+            "explicitBounds"
+        ),
+    )
+    return per_svc.select(
+        F.col("svc"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.map_filter(
+                        F.create_map(F.lit("svc"), F.col("svc")),
+                        lambda k, v: v.isNotNull(),
+                    ).alias("attributes")
+                ).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(F.lit("otelcol-spark").alias("name")).alias("scope"),
+                        F.array(
+                            F.struct(
+                                F.lit(metric_name).alias("name"),
+                                F.struct(
+                                    F.lit(
+                                        "AGGREGATION_TEMPORALITY_DELTA"
+                                    ).alias("aggregationTemporality"),
+                                    F.array(dp).alias("dataPoints"),
+                                ).alias("histogram"),
+                            )
+                        ).alias("metrics"),
+                    )
+                ).alias("scopeMetrics"),
+            )
+        ).alias("otlp_json"),
+    )
+
+
+def flatten_histogram_metrics_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse: documents → per (svc, bucket_idx) rows with the
+    svc-level count/sum/min/max carried on every row (empty buckets —
+    zero count — are dropped, matching histogram_datapoints' sparse
+    row form)."""
+    d = nested.select(
+        F.from_json(F.col(json_col), HIST_METRICS_OTLP_SCHEMA).alias("d")
+    )
+    sm = d.select(
+        F.col("d.resource.attributes")["svc"].alias("svc"),
+        F.explode("d.scopeMetrics").alias("s"),
+    )
+    m = sm.select("svc", F.explode("s.metrics").alias("m"))
+    dp = m.select("svc", F.explode("m.histogram.dataPoints").alias("p"))
+    rows = dp.select(
+        "svc",
+        F.col("p.count").alias("count"),
+        F.col("p.sum").alias("value_sum"),
+        F.col("p.min").alias("value_min"),
+        F.col("p.max").alias("value_max"),
+        F.posexplode(F.col("p.bucketCounts")).alias("bucket_idx", "bucket_count"),
+    )
+    return rows.filter(F.col("bucket_count") > 0).select(
+        "svc", "bucket_idx", "bucket_count", "count",
+        "value_sum", "value_min", "value_max",
+    )

@@ -93,3 +93,31 @@ def test_metrics_otlp_envelope_roundtrip_and_count(spark, sf_dir):
     assert pdata.data_point_count(nested) == points.count()
     assert points.filter("svc IS NULL").count() > 0  # edge actually hit
     assert points.filter("value IS NULL").count() > 0
+
+
+def test_histogram_envelope_full_vector_and_sparse_inverse(spark, sf_dir):
+    """The nested HistogramDataPoint must carry the COMPLETE
+    bucketCounts vector (zeros included) and explicitBounds; the
+    flatten drops empty buckets back to the sparse row form equal to
+    the input."""
+    import json
+
+    from opentelemetry_collector_spark.functions import parse as parse_mod
+    from opentelemetry_collector_spark.functions import signals
+    from opentelemetry_collector_spark.sources import tables
+
+    parsed = parse_mod.with_parsed(
+        tables.read_transcripts(spark, sf_dir), "native"
+    )
+    dps = signals.histogram_datapoints(parsed).cache()
+    nested = pdata.nest_histogram_metrics_to_otlp(dps, signals.DEFAULT_BOUNDS)
+    doc = json.loads(nested.first()["otlp_json"])
+    dp = doc["scopeMetrics"][0]["metrics"][0]["histogram"]["dataPoints"][0]
+    assert len(dp["bucketCounts"]) == len(signals.DEFAULT_BOUNDS) + 1
+    assert dp["explicitBounds"] == list(signals.DEFAULT_BOUNDS)
+    assert dp["count"] == sum(dp["bucketCounts"])
+    back = pdata.flatten_histogram_metrics_from_otlp(nested)
+    sparse = back.select("svc", "bucket_idx", "bucket_count")
+    orig = dps.select("svc", "bucket_idx", "bucket_count")
+    assert sparse.exceptAll(orig).count() == 0
+    assert orig.exceptAll(sparse).count() == 0
