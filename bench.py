@@ -79,6 +79,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "metrics_roundtrip",
         "spans_otlp_json",
         "metrics_otlp_json",
+        "metrics_histogram_otlp",
         # r4: corpus-shaping family
         "docs_quality",
         "sample_mix",

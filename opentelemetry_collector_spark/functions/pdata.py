@@ -322,6 +322,39 @@ METRICS_OTLP_SCHEMA = (
 )
 
 
+def _resource_envelope(svc_col: Column, metrics_array: Column) -> Column:
+    """THE ResourceMetrics envelope wrapper (shared by the gauge and
+    histogram nests): resource attrs OMIT the svc key when NULL
+    (presence-faithful), one 'otelcol-spark' scope."""
+    return F.to_json(
+        F.struct(
+            F.struct(
+                F.map_filter(
+                    F.create_map(F.lit("svc"), svc_col),
+                    lambda k, v: v.isNotNull(),
+                ).alias("attributes")
+            ).alias("resource"),
+            F.array(
+                F.struct(
+                    F.struct(F.lit("otelcol-spark").alias("name")).alias("scope"),
+                    metrics_array.alias("metrics"),
+                )
+            ).alias("scopeMetrics"),
+        )
+    )
+
+
+def _explode_to_metrics(nested: DataFrame, schema: str, json_col: str) -> DataFrame:
+    """THE envelope explode chain (both flattens): document → (svc
+    from resource attrs, one row per metric)."""
+    d = nested.select(F.from_json(F.col(json_col), schema).alias("d"))
+    sm = d.select(
+        F.col("d.resource.attributes")["svc"].alias("_svc"),
+        F.explode("d.scopeMetrics").alias("s"),
+    )
+    return sm.select("_svc", F.explode("s.metrics").alias("m"))
+
+
 def nest_metrics_to_otlp(
     points: DataFrame, metric_name: str = "turn_latency_ms"
 ) -> DataFrame:
@@ -355,28 +388,14 @@ def nest_metrics_to_otlp(
         .agg(F.array_sort(F.collect_list(dp), by_dp).alias("_dps"))
         .select(
             F.col("_svc").alias("svc"),
-            F.to_json(
-                F.struct(
+            _resource_envelope(
+                F.col("_svc"),
+                F.array(
                     F.struct(
-                        F.map_filter(
-                            F.create_map(F.lit("svc"), F.col("_svc")),
-                            lambda k, v: v.isNotNull(),
-                        ).alias("attributes")
-                    ).alias("resource"),
-                    F.array(
-                        F.struct(
-                            F.struct(F.lit("otelcol-spark").alias("name")).alias("scope"),
-                            F.array(
-                                F.struct(
-                                    F.lit(metric_name).alias("name"),
-                                    F.struct(F.col("_dps").alias("dataPoints")).alias(
-                                        "gauge"
-                                    ),
-                                )
-                            ).alias("metrics"),
-                        )
-                    ).alias("scopeMetrics"),
-                )
+                        F.lit(metric_name).alias("name"),
+                        F.struct(F.col("_dps").alias("dataPoints")).alias("gauge"),
+                    )
+                ),
             ).alias("otlp_json"),
         )
     )
@@ -388,12 +407,7 @@ def flatten_metrics_from_otlp(
     """Inverse of nest_metrics_to_otlp: documents → flat gauge points.
     A resource map without the svc key flattens back to NULL svc;
     svc='' round-trips as ''."""
-    d = nested.select(F.from_json(F.col(json_col), METRICS_OTLP_SCHEMA).alias("d"))
-    sm = d.select(
-        F.col("d.resource.attributes")["svc"].alias("_svc"),
-        F.explode("d.scopeMetrics").alias("s"),
-    )
-    m = sm.select("_svc", F.explode("s.metrics").alias("m"))
+    m = _explode_to_metrics(nested, METRICS_OTLP_SCHEMA, json_col)
     dp = m.select("_svc", F.explode("m.gauge.dataPoints").alias("p"))
     return dp.select(
         F.col("p.attributes")["conv_id"].alias("conv_id"),
@@ -404,9 +418,25 @@ def flatten_metrics_from_otlp(
     )
 
 
+COMBINED_METRICS_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeMetrics:array<struct<scope:struct<name:string>,"
+    "metrics:array<struct<name:string,"
+    "gauge:struct<dataPoints:array<struct<timeUnixNano:bigint>>>,"
+    "histogram:struct<dataPoints:array<struct<count:bigint>>>>>>>>"
+)
+
+
 def data_point_count(nested: DataFrame, json_col: str = "otlp_json") -> int:
-    """Metrics.DataPointCount() over the nested form."""
-    d = nested.select(F.from_json(F.col(json_col), METRICS_OTLP_SCHEMA).alias("d"))
+    """Metrics.DataPointCount() over the nested form — counts EVERY
+    metric branch (real pdata counts all datapoint slices, so a
+    gauge-only parse would silently return 0 on histogram docs)."""
+    d = nested.select(
+        F.from_json(F.col(json_col), COMBINED_METRICS_OTLP_SCHEMA).alias("d")
+    )
+    branch = lambda m, name: F.coalesce(  # noqa: E731
+        F.size(m[name]["dataPoints"]), F.lit(0)
+    )
     n = d.select(
         F.aggregate(
             F.col("d.scopeMetrics"),
@@ -415,7 +445,7 @@ def data_point_count(nested: DataFrame, json_col: str = "otlp_json") -> int:
             + F.aggregate(
                 s["metrics"],
                 F.lit(0),
-                lambda a2, m: a2 + F.size(m["gauge"]["dataPoints"]),
+                lambda a2, m: a2 + branch(m, "gauge") + branch(m, "histogram"),
             ),
         ).alias("n")
     )
@@ -455,7 +485,16 @@ def nest_histogram_metrics_to_otlp(
         F.sum("value_sum").alias("_sum"),
         F.min("value_min").alias("_min"),
         F.max("value_max").alias("_max"),
-    )
+        F.max("bucket_idx").alias("_maxb"),
+    ).withColumn(
+        # bounds shorter than the bucketing would silently TRUNCATE the
+        # counts vector (count != sum(bucketCounts)); fail the job loud
+        "_chk",
+        F.assert_true(
+            F.col("_maxb") <= n_buckets - 1,
+            F.lit(f"bucket_idx exceeds bounds-derived vector ({n_buckets} slots)"),
+        ),
+    ).drop("_maxb")
     full_counts = F.transform(
         F.sequence(F.lit(0), F.lit(n_buckets - 1)),
         lambda i: F.coalesce(F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")),
@@ -472,33 +511,22 @@ def nest_histogram_metrics_to_otlp(
     )
     return per_svc.select(
         F.col("svc"),
-        F.to_json(
-            F.struct(
+        F.col("_chk"),
+        _resource_envelope(
+            F.col("svc"),
+            F.array(
                 F.struct(
-                    F.map_filter(
-                        F.create_map(F.lit("svc"), F.col("svc")),
-                        lambda k, v: v.isNotNull(),
-                    ).alias("attributes")
-                ).alias("resource"),
-                F.array(
+                    F.lit(metric_name).alias("name"),
                     F.struct(
-                        F.struct(F.lit("otelcol-spark").alias("name")).alias("scope"),
-                        F.array(
-                            F.struct(
-                                F.lit(metric_name).alias("name"),
-                                F.struct(
-                                    F.lit(
-                                        "AGGREGATION_TEMPORALITY_DELTA"
-                                    ).alias("aggregationTemporality"),
-                                    F.array(dp).alias("dataPoints"),
-                                ).alias("histogram"),
-                            )
-                        ).alias("metrics"),
-                    )
-                ).alias("scopeMetrics"),
-            )
+                        F.lit("AGGREGATION_TEMPORALITY_DELTA").alias(
+                            "aggregationTemporality"
+                        ),
+                        F.array(dp).alias("dataPoints"),
+                    ).alias("histogram"),
+                )
+            ),
         ).alias("otlp_json"),
-    )
+    ).drop("_chk")
 
 
 def flatten_histogram_metrics_from_otlp(
@@ -508,15 +536,10 @@ def flatten_histogram_metrics_from_otlp(
     svc-level count/sum/min/max carried on every row (empty buckets —
     zero count — are dropped, matching histogram_datapoints' sparse
     row form)."""
-    d = nested.select(
-        F.from_json(F.col(json_col), HIST_METRICS_OTLP_SCHEMA).alias("d")
+    m = _explode_to_metrics(nested, HIST_METRICS_OTLP_SCHEMA, json_col)
+    dp = m.select(
+        F.col("_svc").alias("svc"), F.explode("m.histogram.dataPoints").alias("p")
     )
-    sm = d.select(
-        F.col("d.resource.attributes")["svc"].alias("svc"),
-        F.explode("d.scopeMetrics").alias("s"),
-    )
-    m = sm.select("svc", F.explode("s.metrics").alias("m"))
-    dp = m.select("svc", F.explode("m.histogram.dataPoints").alias("p"))
     rows = dp.select(
         "svc",
         F.col("p.count").alias("count"),

@@ -117,7 +117,22 @@ def test_histogram_envelope_full_vector_and_sparse_inverse(spark, sf_dir):
     assert dp["explicitBounds"] == list(signals.DEFAULT_BOUNDS)
     assert dp["count"] == sum(dp["bucketCounts"])
     back = pdata.flatten_histogram_metrics_from_otlp(nested)
-    sparse = back.select("svc", "bucket_idx", "bucket_count")
-    orig = dps.select("svc", "bucket_idx", "bucket_count")
-    assert sparse.exceptAll(orig).count() == 0
-    assert orig.exceptAll(sparse).count() == 0
+    # expected rows incl. the carried svc-level aggregates (all 7 cols
+    # — alias swaps in the flatten must not survive pytest)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("svc")
+    want = dps.select(
+        "svc", "bucket_idx", "bucket_count",
+        F.sum("bucket_count").over(w).alias("count"),
+        F.sum("value_sum").over(w).alias("value_sum"),
+        F.min("value_min").over(w).alias("value_min"),
+        F.max("value_max").over(w).alias("value_max"),
+    )
+    cols = ["svc", "bucket_idx", "bucket_count", "count",
+            "value_sum", "value_min", "value_max"]
+    assert back.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(back.select(cols)).count() == 0
+    # DataPointCount counts the histogram branch too (gauge-only parse
+    # would read 0)
+    assert pdata.data_point_count(nested) == nested.count()
