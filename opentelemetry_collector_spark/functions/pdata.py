@@ -356,12 +356,20 @@ def _explode_to_metrics(nested: DataFrame, schema: str, json_col: str) -> DataFr
 
 
 def nest_metrics_to_otlp(
-    points: DataFrame, metric_name: str = "turn_latency_ms"
+    points: DataFrame,
+    metric_name: str = "turn_latency_ms",
+    doc_window_ns: int = 3_600_000_000_000,
 ) -> DataFrame:
-    """Flat gauge points → one ResourceMetrics OTLP-JSON document per
-    service (pdata/pmetric/json.go envelope: Resource → ScopeMetrics →
-    Metric → Gauge → NumberDataPoint; resource = the service — the
-    natural metrics resource — datapoint attributes carry conv/turn).
+    """Flat gauge points → ResourceMetrics OTLP-JSON documents, one per
+    (service, time window) (pdata/pmetric/json.go envelope: Resource →
+    ScopeMetrics → Metric → Gauge → NumberDataPoint; resource = the
+    service — the natural metrics resource — datapoint attributes
+    carry conv/turn). The doc_window_ns bound is load-bearing at
+    scale: one-document-per-service would collect_list the service's
+    ENTIRE point history onto a single reducer (measured 3× slower at
+    600k points even locally); real OTLP producers batch per export
+    interval for the same reason. OTLP permits many ResourceMetrics
+    documents per resource, so the flatten is unchanged.
     Input: (conv_id, turn_idx, svc, ts_ns, value); NULL value maps to
     the omitted oneof (asInt null in JSON), NULL svc to a document
     whose resource attribute map simply OMITS the key (presence-
@@ -384,10 +392,14 @@ def nest_metrics_to_otlp(
         lambda e: e["attributes"]["turn_idx"].cast("int"),
     )
     return (
-        points.groupBy(F.col("svc").alias("_svc"))
+        points.groupBy(
+            F.col("svc").alias("_svc"),
+            F.floor(F.col("ts_ns") / doc_window_ns).alias("_win"),
+        )
         .agg(F.array_sort(F.collect_list(dp), by_dp).alias("_dps"))
         .select(
             F.col("_svc").alias("svc"),
+            F.col("_win").alias("doc_window"),
             _resource_envelope(
                 F.col("_svc"),
                 F.array(

@@ -53,7 +53,11 @@ def clean_corpus(
         .join(quality_keep, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
         .join(sampled, "doc_id", "left_semi")
-    )
+    ).persist()
+    # persist is load-bearing: neardup_components runs per-round
+    # ACTIONS during construction — without the cache every round
+    # re-executes the whole pre-filter chain (incl. the contamination
+    # gram join; measured ~2× pipeline wall time)
     pairs = dedup.neardup_pairs_minhash(pre, threshold=neardup_threshold)
     reps = (
         dedup.neardup_components(pre, pairs)
