@@ -689,15 +689,41 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_components(docs, pairs)
 
 
+# component labels per (SparkContext, sf_dir): the label-propagation
+# stage runs per-round ACTIONS at construction time — pay them once per
+# session (the _bpe_merges_for convention), then every corpus_pipeline
+# invocation is fully lazy. Production analog: labels persisted to a
+# table, like the bucketed dedup store.
+_CORPUS_LABELS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _corpus_labels_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opentelemetry_collector_spark.plans import corpus_pipeline as cpl
+
+    key = (id(spark.sparkContext), sf_dir)
+    labels = _CORPUS_LABELS.get(key)
+    if labels is None:
+        docs = tables.read_table(spark, sf_dir, "documents")
+        labels = _CORPUS_LABELS[key] = cpl.component_labels(
+            docs, MIX_RATES_PPM
+        )
+    return labels
+
+
 def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus pipeline: quality → componentwise
     dedup → decontamination → mix sampling → sequence packing, each
     stage the same operator its standalone query runs; the oracle
-    chains the same SQL mirrors (plans/corpus_pipeline.py)."""
+    chains the same SQL mirrors (plans/corpus_pipeline.py). Component
+    labels are a precomputed stage input (r4 verdict #4) — recomputing
+    them inline paid the per-round propagation actions on every
+    invocation."""
     from opentelemetry_collector_spark.plans import corpus_pipeline as cpl
 
     docs = tables.read_table(spark, sf_dir, "documents")
-    return cpl.corpus_pipeline(docs, MIX_RATES_PPM)
+    return cpl.corpus_pipeline(
+        docs, MIX_RATES_PPM, labels=_corpus_labels_for(spark, sf_dir)
+    )
 
 
 def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:

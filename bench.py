@@ -242,11 +242,36 @@ def run_scale_growth(base_docs: int = 5000, base_vecs: int = 2000) -> dict:
     return scale_growth.growth_report(spark, base_docs, base_vecs)
 
 
+def _emit(res: dict) -> None:
+    """The driver parses bench stdout with a bounded capture window —
+    the JSON line must be the ONLY stdout content (r4's artifact came
+    back `parsed: null` from tail truncation). We also drop a copy in
+    BENCH_RESULT.json so a mangled pipe never loses the numbers."""
+    line = json.dumps(res)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_RESULT.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        res = run_scaling()
-        print(json.dumps(res))
-    elif "--scale-growth" in sys.argv:
-        print(json.dumps(run_scale_growth()))
-    else:
-        print(json.dumps(run_once()))
+    # While the benchmark runs, route fd-1 to fd-2 so JVM/py4j/fixture
+    # chatter cannot precede (or truncate away) the result line; restore
+    # stdout only for the single JSON emit.
+    saved_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        if "--scaling" in sys.argv:
+            res = run_scaling()
+        elif "--scale-growth" in sys.argv:
+            res = run_scale_growth()
+        else:
+            res = run_once()
+    finally:
+        sys.stdout.flush()
+        os.dup2(saved_stdout, 1)
+        os.close(saved_stdout)
+    _emit(res)

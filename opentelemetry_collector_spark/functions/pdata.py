@@ -498,21 +498,29 @@ def nest_histogram_metrics_to_otlp(
         F.min("value_min").alias("_min"),
         F.max("value_max").alias("_max"),
         F.max("bucket_idx").alias("_maxb"),
-    ).withColumn(
-        # bounds shorter than the bucketing would silently TRUNCATE the
-        # counts vector (count != sum(bucketCounts)); fail the job loud
-        "_chk",
-        F.assert_true(
-            F.col("_maxb") <= n_buckets - 1,
-            F.lit(f"bucket_idx exceeds bounds-derived vector ({n_buckets} slots)"),
-        ),
-    ).drop("_maxb")
+    )
+    # bounds shorter than the bucketing would silently TRUNCATE the
+    # counts vector (count != sum(bucketCounts)); fail the job loud.
+    # The guard must live INSIDE a retained output expression — a
+    # standalone assert column gets pruned by Catalyst and never runs.
+    guarded_count = F.when(
+        F.col("_maxb") <= n_buckets - 1, F.col("_count")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"bucket_idx exceeds bounds-derived vector ({n_buckets} slots): "
+                ),
+                F.col("_maxb").cast("string"),
+            )
+        )
+    )
     full_counts = F.transform(
         F.sequence(F.lit(0), F.lit(n_buckets - 1)),
         lambda i: F.coalesce(F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")),
     )
     dp = F.struct(
-        F.col("_count").cast("long").alias("count"),
+        guarded_count.cast("long").alias("count"),
         F.col("_sum").cast("long").alias("sum"),
         F.col("_min").cast("long").alias("min"),
         F.col("_max").cast("long").alias("max"),
@@ -523,7 +531,6 @@ def nest_histogram_metrics_to_otlp(
     )
     return per_svc.select(
         F.col("svc"),
-        F.col("_chk"),
         _resource_envelope(
             F.col("svc"),
             F.array(
@@ -538,7 +545,7 @@ def nest_histogram_metrics_to_otlp(
                 )
             ),
         ).alias("otlp_json"),
-    ).drop("_chk")
+    )
 
 
 def flatten_histogram_metrics_from_otlp(

@@ -596,11 +596,28 @@ def _encode_number_batch(pdf: pd.DataFrame) -> list[bytes]:
         raise ValueError("encode_number_points: NULL ts_ns in batch")
     ts = pdf["ts_ns"].to_numpy(dtype="int64").astype("<i8")
     tsbuf = ts.view("u1").reshape(n, 8).tobytes()
-    vals = pdf["value"]
-    null_mask = vals.isna().to_numpy()
-    vbuf = vals.to_numpy(dtype="int64", na_value=0).astype("<i8").view(
-        "u1"
-    ).reshape(n, 8).tobytes()
+    if "_val_filled" in pdf.columns:
+        # exact path: encode_number_points pre-split the nullable long
+        # into a NON-NULL filled column + a null flag Spark-side, so the
+        # Arrow batch never demotes to float64 and magnitudes past 2^53
+        # stay bit-exact (the demotion happens at the Arrow→pandas
+        # boundary — any in-batch repair would already be lossy)
+        null_mask = pdf["_val_null"].to_numpy(dtype="bool")
+        vals_np = pdf["_val_filled"].to_numpy(dtype="int64")
+    else:
+        vals = pdf["value"]
+        null_mask = vals.isna().to_numpy()
+        if null_mask.any() and vals.dtype.kind == "f":
+            # mixed-null Arrow batch demoted long→float64; past 2^53 the
+            # doubles are already rounded — fail loud like ts_ns does
+            # rather than emit silently-corrupted sfixed64 payloads
+            if np.abs(np.nan_to_num(vals.to_numpy())).max() >= 2**53:
+                raise ValueError(
+                    "encode_number_points: NULL-demoted float64 batch with "
+                    "values beyond 2^53 — use the pre-split filled/flag path"
+                )
+        vals_np = vals.to_numpy(dtype="int64", na_value=0)
+    vbuf = vals_np.astype("<i8").view("u1").reshape(n, 8).tobytes()
     svc_memo: dict = {}
 
     def svc_field(s) -> bytes:
@@ -624,7 +641,18 @@ def _encode_number_batch(pdf: pd.DataFrame) -> list[bytes]:
 
 def encode_number_points(df: DataFrame) -> DataFrame:
     """Gauge/Sum NumberDataPoints (as_int) with one svc attribute.
-    Input: conv_id, turn_idx, svc, ts_ns (long), value (long)."""
+    Input: conv_id, turn_idx, svc, ts_ns (long), value (long).
+
+    The nullable value column is split Spark-side into a non-null
+    filled column + a null flag so Arrow batches carrying NULLs keep
+    int64 dtype — a demoted float64 batch silently rounds magnitudes
+    past 2^53 (sfixed64 losslessness would break on exactly the mixed
+    NULL/huge-value batches the codec claims to handle)."""
+    from pyspark.sql import functions as F
+
+    df = df.withColumn(
+        "_val_filled", F.coalesce(F.col("value"), F.lit(0).cast("long"))
+    ).withColumn("_val_null", F.col("value").isNull())
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

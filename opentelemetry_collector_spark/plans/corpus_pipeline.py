@@ -36,31 +36,83 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_spark.operators import corpus, dedup
 
 
+def prefilter_corpus(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    bench_mod: int = corpus.CONTAM_BENCH_MOD,
+    default_ppm: int = 0,
+) -> DataFrame:
+    """The lazy pre-dedup survivor frame: quality + decontamination +
+    mix sampling as one conjunction of doc-id-keyed semi/anti joins
+    riding the documents scan."""
+    quality_keep = corpus.quality_rules(df).filter("keep").select("doc_id")
+    contaminated = corpus.contamination(df, bench_mod=bench_mod).select("doc_id")
+    sampled = corpus.mix_sample(df, rates_ppm, default_ppm).select("doc_id")
+    return (
+        df.filter(F.col("doc_id") % bench_mod != 0)  # eval set never trains
+        .join(quality_keep, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(sampled, "doc_id", "left_semi")
+    )
+
+
+def component_labels(
+    df: DataFrame,
+    rates_ppm: dict[str, int],
+    neardup_threshold: float = 0.5,
+    bench_mod: int = corpus.CONTAM_BENCH_MOD,
+    default_ppm: int = 0,
+    persist_handle: list | None = None,
+) -> DataFrame:
+    """Near-dup component labels over the pre-filtered survivors —
+    the expensive stage (per-round actions during construction),
+    exposed so callers pay it ONCE and feed the result to
+    clean_corpus/corpus_pipeline as a stage input (at 100 TB this is
+    a persisted table, like the bucketed dedup store)."""
+    pre = prefilter_corpus(df, rates_ppm, bench_mod, default_ppm).persist()
+    if persist_handle is not None:
+        persist_handle.append(pre)
+    pairs = dedup.neardup_pairs_minhash(
+        pre, threshold=neardup_threshold, persist_handle=persist_handle
+    )
+    return dedup.neardup_components(pre, pairs, persist_handle=persist_handle)
+
+
 def clean_corpus(
     df: DataFrame,
     rates_ppm: dict[str, int],
     neardup_threshold: float = 0.5,
     bench_mod: int = corpus.CONTAM_BENCH_MOD,
     default_ppm: int = 0,
+    persist_handle: list | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving documents (full rows): quality + decontamination +
-    sampling first, then componentwise dedup AMONG the survivors."""
-    quality_keep = corpus.quality_rules(df).filter("keep").select("doc_id")
-    contaminated = corpus.contamination(df, bench_mod=bench_mod).select("doc_id")
-    sampled = corpus.mix_sample(df, rates_ppm, default_ppm).select("doc_id")
-    pre = (
-        df.filter(F.col("doc_id") % bench_mod != 0)  # eval set never trains
-        .join(quality_keep, "doc_id", "left_semi")
-        .join(contaminated, "doc_id", "left_anti")
-        .join(sampled, "doc_id", "left_semi")
-    ).persist()
-    # persist is load-bearing: neardup_components runs per-round
-    # ACTIONS during construction — without the cache every round
-    # re-executes the whole pre-filter chain (incl. the contamination
-    # gram join; measured ~2× pipeline wall time)
-    pairs = dedup.neardup_pairs_minhash(pre, threshold=neardup_threshold)
+    sampling first, then componentwise dedup AMONG the survivors.
+
+    ``labels`` — precomputed ``component_labels`` output (doc_id,
+    component_id over the SAME pre-filter parameters); when given, the
+    call is fully lazy (no label-propagation actions re-paid).
+    ``persist_handle=[]`` receives every persisted intermediate so
+    callers (bench, CLI) unpersist deterministically instead of
+    leaving caches to the ContextCleaner (r4 advice)."""
+    pre = prefilter_corpus(df, rates_ppm, bench_mod, default_ppm)
+    if labels is None:
+        pre = pre.persist()
+        # persist is load-bearing: neardup_components runs per-round
+        # ACTIONS during construction — without the cache every round
+        # re-executes the whole pre-filter chain (incl. the
+        # contamination gram join; measured ~2× pipeline wall time)
+        if persist_handle is not None:
+            persist_handle.append(pre)
+        pairs = dedup.neardup_pairs_minhash(
+            pre, threshold=neardup_threshold, persist_handle=persist_handle
+        )
+        labels = dedup.neardup_components(
+            pre, pairs, persist_handle=persist_handle
+        )
     reps = (
-        dedup.neardup_components(pre, pairs)
+        labels
         .filter(F.col("doc_id") == F.col("component_id"))
         .select("doc_id")
     )
@@ -73,11 +125,20 @@ def corpus_pipeline(
     budget_tokens: int = corpus.PACK_BUDGET_TOKENS,
     neardup_threshold: float = 0.5,
     default_ppm: int = 0,
+    persist_handle: list | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """clean_corpus → pack_sequences: per-surviving-doc training-chunk
     placement."""
     return corpus.pack_sequences(
-        clean_corpus(df, rates_ppm, neardup_threshold, default_ppm=default_ppm),
+        clean_corpus(
+            df,
+            rates_ppm,
+            neardup_threshold,
+            default_ppm=default_ppm,
+            persist_handle=persist_handle,
+            labels=labels,
+        ),
         budget_tokens,
     )
 

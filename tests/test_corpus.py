@@ -129,3 +129,24 @@ def test_corpus_pipeline_composes_stage_semantics(spark, docs):
     for r in sorted(out, key=lambda r: r["doc_id"]):
         assert r["chunk_id"] == pos // 128 and r["offset_in_chunk"] == pos % 128
         pos += r["n_tokens"]
+
+
+def test_corpus_pipeline_precomputed_labels_identical(spark, docs):
+    """The precomputed-labels stage input (r4 verdict: amortize the
+    per-invocation label-propagation actions) must produce the exact
+    inline result, and persist_handle must surface every cached frame
+    for deterministic unpersist (r4 advice: clean_corpus leaked
+    `pre`)."""
+    from opentelemetry_collector_spark.plans import corpus_pipeline as cpl
+
+    rates = {f"src{i}": 500_000 for i in range(20)}
+    inline = cpl.corpus_pipeline(docs, rates, budget_tokens=128).collect()
+    handle: list = []
+    labels = cpl.component_labels(docs, rates, persist_handle=handle)
+    assert handle  # pre + pairs intermediates surfaced
+    with_labels = cpl.corpus_pipeline(
+        docs, rates, budget_tokens=128, labels=labels
+    ).collect()
+    assert sorted(map(tuple, with_labels)) == sorted(map(tuple, inline))
+    for frame in handle:
+        frame.unpersist()

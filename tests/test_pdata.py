@@ -136,3 +136,33 @@ def test_histogram_envelope_full_vector_and_sparse_inverse(spark, sf_dir):
     # DataPointCount counts the histogram branch too (gauge-only parse
     # would read 0)
     assert pdata.data_point_count(nested) == nested.count()
+
+
+def test_histogram_envelope_overflow_guard_raises(spark):
+    """bucket_idx beyond the bounds-derived vector must fail LOUD, not
+    emit a truncated all-zero bucketCounts (r4 advice: the original
+    assert lived in a pruned column and never ran)."""
+    import pytest
+
+    dps = spark.createDataFrame(
+        [("api", 9, 3, 100, 1, 50)],
+        "svc string, bucket_idx int, bucket_count long, value_sum long,"
+        " value_min long, value_max long",
+    )
+    nested = pdata.nest_histogram_metrics_to_otlp(dps, bounds=(10, 100))
+    with pytest.raises(Exception, match="exceeds bounds-derived"):
+        nested.collect()
+
+
+def test_histogram_envelope_guard_passes_in_range(spark):
+    dps = spark.createDataFrame(
+        [("api", 2, 3, 100, 1, 50), ("api", 0, 1, 5, 5, 5)],
+        "svc string, bucket_idx int, bucket_count long, value_sum long,"
+        " value_min long, value_max long",
+    )
+    nested = pdata.nest_histogram_metrics_to_otlp(dps, bounds=(10, 100))
+    import json
+
+    doc = json.loads(nested.first()["otlp_json"])
+    dp = doc["scopeMetrics"][0]["metrics"][0]["histogram"]["dataPoints"][0]
+    assert dp["bucketCounts"] == [1, 0, 3] and dp["count"] == 4

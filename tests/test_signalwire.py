@@ -346,3 +346,21 @@ def test_neardup_components_nonconvergence_is_loud(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.neardup_components(docs, chain, max_iters=2)
+
+
+def test_encode_huge_value_next_to_null_is_exact(spark):
+    """A mixed NULL/huge-value Arrow batch must keep sfixed64 values
+    bit-exact: without the Spark-side filled/flag pre-split, Arrow→
+    pandas demotes long→float64 and 2^62+1 silently rounds to 2^62
+    (r4 advice)."""
+    big = 2**62 + 1
+    pts = spark.createDataFrame(
+        [("c1", 0, "api", 1000, big), ("c1", 1, "api", 2000, None)],
+        "conv_id string, turn_idx int, svc string, ts_ns long, value long",
+    ).coalesce(1)  # one partition → one Arrow batch carries both rows
+    back = {
+        r["turn_idx"]: r
+        for r in W.decode_number_points(W.encode_number_points(pts)).collect()
+    }
+    assert back[0]["value"] == big  # bit-exact, not 2^62
+    assert back[1]["value"] is None

@@ -71,11 +71,13 @@ def main() -> None:
     # default_ppm flows through clean_corpus into mix_sample's own
     # fallthrough, which covers unknown AND NULL sources — no
     # observed-source scan or rates-dict splicing needed
+    handle: list = []
     kept = cpl.clean_corpus(
         docs,
         rates,
         neardup_threshold=args.neardup_threshold,
         default_ppm=default_ppm,
+        persist_handle=handle,
     ).persist()
     # persist: the write and the chunk-count agg both consume the full
     # two-pass packing shuffle — without the cache it runs twice
@@ -91,6 +93,8 @@ def main() -> None:
     ).first()["n"]
     placements.unpersist()
     kept.unpersist()
+    for frame in handle:
+        frame.unpersist()
     print(json.dumps({
         "docs_in": n_in,
         "docs_kept": n_out,
