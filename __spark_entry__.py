@@ -77,6 +77,60 @@ def _parsed_cte() -> str:
     )
 
 
+def _rich_spans_cte() -> str:
+    """DuckDB mirror of signals.rich_spans_from_turns +
+    span_content_signatures: the full Span content surface rebuilt
+    from the parsed table with window functions + CASE (signature
+    strings — nested list<struct> values don't hash portably across
+    engines)."""
+    from opentelemetry_collector_spark.functions.signals import (
+        SLOW_EVENT_THRESHOLD_MS,
+    )
+
+    return f"""{_parsed_cte()}, spans0 AS (
+        SELECT conv_id, turn_idx,
+               md5(conv_id) AS trace_id,
+               substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
+               coalesce(tool, '') || '/' || coalesce(svc, '') AS name,
+               'SPAN_KIND_CLIENT' AS kind,
+               CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
+                    ELSE 'STATUS_CODE_OK' END AS status,
+               epoch_ns(ts) AS start_ns,
+               epoch_ns(ts) + cast(coalesce(latency_ms, 0) AS BIGINT) * 1000000
+                 AS end_ns,
+               CASE WHEN turn_idx % 2 = 0
+                    THEN 'ot=' || coalesce(svc, 'none') END AS trace_state,
+               CASE WHEN svc IS NOT NULL AND tool IS NOT NULL
+                         THEN 'svc=' || svc || ';tool=' || tool
+                    WHEN svc IS NOT NULL THEN 'svc=' || svc
+                    WHEN tool IS NOT NULL THEN 'tool=' || tool
+                    ELSE '' END AS attrs_sig,
+               level, latency_ms, coalesce(text, '') AS body
+        FROM parsed WHERE role = 'tool'),
+    spans1 AS (
+        SELECT *,
+               lag(span_id) OVER w AS parent_span_id,
+               first_value(span_id) OVER w AS root_span_id
+        FROM spans0 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    rich_spans AS (
+        SELECT conv_id, turn_idx, trace_id, span_id, parent_span_id, name,
+               kind, status, start_ns, end_ns, trace_state, attrs_sig,
+               concat_ws('|',
+                 CASE WHEN level = 'ERROR' THEN 'exception@' || end_ns ||
+                      '{{exception.message=' || substr(body, 1, 32) || '}}' END,
+                 CASE WHEN latency_ms > {SLOW_EVENT_THRESHOLD_MS}
+                      THEN 'slow@' || end_ns ||
+                      '{{latency_ms=' || latency_ms || '}}' END) AS events_sig,
+               concat_ws('|',
+                 CASE WHEN parent_span_id IS NOT NULL
+                      THEN parent_span_id || '#{{link.type=parent}}' END,
+                 CASE WHEN root_span_id <> span_id
+                      THEN root_span_id || '#{{link.type=root}}' END) AS links_sig,
+               CASE WHEN level = 'ERROR' AND length(body) > 0
+                    THEN substr(body, 1, 48) END AS status_message
+        FROM spans1)"""
+
+
 def _routed_cte() -> str:
     sink = route_mod.oracle_sink_fragment()
     return f"{_parsed_cte()}, routed AS (SELECT parsed.*, {sink} AS sink FROM parsed)"
@@ -487,53 +541,36 @@ def _q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ptrace wire-format round-trip (pdata/ptrace/json.go +
-    encoding.go Sizer analog): spans → Span protobuf wire bytes →
-    decode → OTLP/JSON (to_json/from_json) → fields. The oracle reads
-    the same span fields straight from the parsed table, so a green
-    row proves BOTH codecs are lossless for trace/span/parent IDs
-    (hex ↔ 16/8-byte bytes), kind/status enums and ns timestamps."""
+    """ptrace wire-format round-trip over the FULL Span content
+    surface (r5; pdata/ptrace/generated_span.go:53-199): rich spans —
+    TraceState, attributes, exception/slow events, parent/root links,
+    Status.message — → Span protobuf wire bytes → decode → signature
+    columns. The oracle rebuilds the same signatures straight from the
+    parsed table, so a green row proves the codec is lossless for
+    every field it claims to carry, incl. multi-event and multi-link
+    spans."""
     from opentelemetry_collector_spark.functions import signals, signalwire
 
     parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
-    spans = signals.spans_from_turns(parsed).select(
-        "conv_id", "turn_idx", "trace_id", "span_id", "parent_span_id",
-        "name", "kind", "status",
-        (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).alias("start_ns"),
-        (F.unix_micros(F.col("end_ts").cast("timestamp")) * 1000).alias("end_ns"),
-    )
+    spans = signals.rich_spans_from_turns(parsed)
     decoded = signalwire.decode_spans(signalwire.encode_spans(spans))
-    fields = (
-        "trace_id", "span_id", "parent_span_id", "name", "kind", "status",
-        "start_ns", "end_ns",
-    )
-    json_schema = (
-        "trace_id string, span_id string, parent_span_id string, "
-        "name string, kind string, status string, start_ns long, end_ns long"
-    )
-    return (
-        decoded.withColumn("otlp_json", F.to_json(F.struct(*fields)))
-        .select("conv_id", "turn_idx", F.from_json("otlp_json", json_schema).alias("s"))
-        .select("conv_id", "turn_idx", "s.*")
-    )
+    return signals.span_content_signatures(decoded)
 
 
 def _q_spans_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ptrace OTLP/JSON ENVELOPE round-trip (pdata/ptrace/json.go's
     ResourceSpans → ScopeSpans → Span nesting, the full-document form
-    — spans_roundtrip covers the per-span codec): flat spans → nested
-    JSON docs → flattened back; oracle reads the same fields straight
-    from the parsed table."""
+    — spans_roundtrip covers the per-span codec) over the FULL Span
+    content surface: rich spans → nested JSON docs (traceState /
+    attributes / events / links / status.message with proto3
+    presence) → flattened back → signature columns; oracle rebuilds
+    the same signatures from the parsed table."""
     from opentelemetry_collector_spark.functions import pdata, signals
 
     parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
-    spans = signals.spans_from_turns(parsed).select(
-        "conv_id", "trace_id", "span_id", "parent_span_id", "name", "kind",
-        "status",
-        (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).alias("start_ns"),
-        (F.unix_micros(F.col("end_ts").cast("timestamp")) * 1000).alias("end_ns"),
-    )
-    return pdata.flatten_spans_from_otlp(pdata.nest_spans_to_otlp(spans))
+    spans = signals.rich_spans_from_turns(parsed)
+    flat = pdata.flatten_spans_from_otlp(pdata.nest_spans_to_otlp(spans))
+    return signals.span_content_signatures(flat)
 
 
 def _q_metrics_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,38 +1300,16 @@ def oracle_sql() -> dict[str, str]:
                      AS parent_span_id,
                    name, kind, status, start_ts, end_ts
             FROM spans""",
-        "spans_roundtrip": f"""{_parsed_cte()}, spans AS (
-            SELECT conv_id, turn_idx,
-                   md5(conv_id) AS trace_id,
-                   substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
-                   coalesce(tool, '') || '/' || coalesce(svc, '') AS name,
-                   'SPAN_KIND_CLIENT' AS kind,
-                   CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
-                        ELSE 'STATUS_CODE_OK' END AS status,
-                   epoch_ns(ts) AS start_ns,
-                   epoch_ns(ts + to_microseconds(coalesce(latency_ms, 0) * 1000))
-                     AS end_ns
-            FROM parsed WHERE role = 'tool')
-            SELECT conv_id, turn_idx, trace_id, span_id,
-                   lag(span_id) OVER (PARTITION BY conv_id ORDER BY turn_idx)
-                     AS parent_span_id,
-                   name, kind, status, start_ns, end_ns
-            FROM spans""",
-        "spans_otlp_json": f"""{_parsed_cte()}
-            SELECT conv_id,
-                   md5(conv_id) AS trace_id,
-                   substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
-                   lag(substr(md5(conv_id || ':' || turn_idx), 1, 16))
-                     OVER (PARTITION BY conv_id ORDER BY turn_idx)
-                     AS parent_span_id,
-                   coalesce(tool, '') || '/' || coalesce(svc, '') AS name,
-                   'SPAN_KIND_CLIENT' AS kind,
-                   CASE WHEN level = 'ERROR' THEN 'STATUS_CODE_ERROR'
-                        ELSE 'STATUS_CODE_OK' END AS status,
-                   epoch_ns(ts) AS start_ns,
-                   epoch_ns(ts + to_microseconds(coalesce(latency_ms, 0) * 1000))
-                     AS end_ns
-            FROM parsed WHERE role = 'tool'""",
+        "spans_roundtrip": f"""{_rich_spans_cte()}
+            SELECT conv_id, turn_idx, trace_id, span_id, parent_span_id,
+                   name, kind, status, start_ns, end_ns, trace_state,
+                   attrs_sig, events_sig, links_sig, status_message
+            FROM rich_spans""",
+        "spans_otlp_json": f"""{_rich_spans_cte()}
+            SELECT conv_id, trace_id, span_id, parent_span_id,
+                   name, kind, status, start_ns, end_ns, trace_state,
+                   attrs_sig, events_sig, links_sig, status_message
+            FROM rich_spans""",
         "metrics_roundtrip": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
                    cast(latency_ms AS bigint) AS value

@@ -211,13 +211,53 @@ def log_record_count(nested: DataFrame) -> int:
 
 # --------------------------------------------- ptrace OTLP/JSON envelope
 
+_KVLIST_JSON_DDL = (
+    "array<struct<key:string,value:struct<stringValue:string>>>"
+)
 SPANS_OTLP_SCHEMA = (
     "struct<resource:struct<attributes:map<string,string>>,"
     "scopeSpans:array<struct<scope:struct<name:string>,"
-    "spans:array<struct<traceId:string,spanId:string,parentSpanId:string,"
-    "name:string,kind:string,startTimeUnixNano:bigint,"
-    "endTimeUnixNano:bigint,status:struct<code:string>>>>>>"
+    "spans:array<struct<traceId:string,spanId:string,traceState:string,"
+    "parentSpanId:string,name:string,kind:string,"
+    "startTimeUnixNano:bigint,endTimeUnixNano:bigint,"
+    f"attributes:{_KVLIST_JSON_DDL},"
+    "events:array<struct<timeUnixNano:bigint,name:string,"
+    f"attributes:{_KVLIST_JSON_DDL}>>,"
+    "links:array<struct<traceId:string,spanId:string,traceState:string,"
+    f"attributes:{_KVLIST_JSON_DDL}>>,"
+    "status:struct<message:string,code:string>>>>>>"
 )
+_FLAT_ATTRS_DDL = "array<struct<key:string,value:string>>"
+
+
+def _attrs_to_json_form(attrs: Column) -> Column:
+    """flat [(key, value)] → protojson [{key, value:{stringValue}}]
+    (pdata/pcommon/value.go JSON encoding, string branch); empty →
+    NULL so to_json omits the field (presence-faithful)."""
+    return F.when(
+        F.size(attrs) > 0,
+        F.transform(
+            attrs,
+            lambda x: F.struct(
+                x["key"].alias("key"),
+                F.struct(x["value"].alias("stringValue")).alias("value"),
+            ),
+        ),
+    )
+
+
+def _attrs_from_json_form(attrs: Column) -> Column:
+    """Inverse: absent → [] (the canonical flat form)."""
+    return F.coalesce(
+        F.transform(
+            attrs,
+            lambda x: F.struct(
+                x["key"].alias("key"),
+                x["value"]["stringValue"].alias("value"),
+            ),
+        ),
+        F.array().cast(_FLAT_ATTRS_DDL),
+    )
 
 
 def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
@@ -225,17 +265,65 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
     conversation (pdata/ptrace/json.go envelope: Resource → ScopeSpans
     → Span; resource = conversation, scope = the span's tool — the
     instrumentation-scope analog, mirroring nest_to_otlp's role
-    scoping). Input: spans_from_turns output plus start_ns/end_ns
-    longs. IDs stay hex strings (OTLP/JSON ID encoding)."""
+    scoping). Input: rich_spans_from_turns output (or the lean
+    spans_from_turns shape — absent content columns are filled empty).
+    IDs stay hex strings (OTLP/JSON ID encoding); the full Span
+    content surface — traceState, attributes, events, links,
+    status.message (pdata/ptrace/generated_span.go:53-199) — is
+    carried with proto3 presence (empty/NULL → key omitted)."""
+    for c, ddl in (
+        ("trace_state", "string"),
+        ("status_message", "string"),
+        ("attrs", _FLAT_ATTRS_DDL),
+        (
+            "events",
+            f"array<struct<ts_ns:bigint,name:string,attrs:{_FLAT_ATTRS_DDL}>>",
+        ),
+        (
+            "links",
+            "array<struct<trace_id:string,span_id:string,trace_state:string,"
+            f"attrs:{_FLAT_ATTRS_DDL}>>",
+        ),
+    ):
+        if c not in spans.columns:
+            spans = spans.withColumn(c, F.lit(None).cast(ddl))
     span_struct = F.struct(
         F.col("trace_id").alias("traceId"),
         F.col("span_id").alias("spanId"),
+        F.col("trace_state").alias("traceState"),
         F.col("parent_span_id").alias("parentSpanId"),
         F.col("name").alias("name"),
         F.col("kind").alias("kind"),
         F.col("start_ns").alias("startTimeUnixNano"),
         F.col("end_ns").alias("endTimeUnixNano"),
-        F.struct(F.col("status").alias("code")).alias("status"),
+        _attrs_to_json_form(F.col("attrs")).alias("attributes"),
+        F.when(
+            F.size("events") > 0,
+            F.transform(
+                F.col("events"),
+                lambda e: F.struct(
+                    e["ts_ns"].alias("timeUnixNano"),
+                    e["name"].alias("name"),
+                    _attrs_to_json_form(e["attrs"]).alias("attributes"),
+                ),
+            ),
+        ).alias("events"),
+        F.when(
+            F.size("links") > 0,
+            F.transform(
+                F.col("links"),
+                lambda ln: F.struct(
+                    ln["trace_id"].alias("traceId"),
+                    ln["span_id"].alias("spanId"),
+                    ln["trace_state"].alias("traceState"),
+                    _attrs_to_json_form(ln["attrs"]).alias("attributes"),
+                ),
+            ),
+        ).alias("links"),
+        F.struct(
+            F.col("status_message").alias("message"),
+            F.col("status").alias("code"),
+        ).alias("status"),
     )
     scopes = (
         spans.withColumn("_tool", F.split(F.col("name"), "/").getItem(0))
@@ -286,6 +374,13 @@ def flatten_spans_from_otlp(
         F.explode("d.scopeSpans").alias("s"),
     )
     sp = sc.select("conv_id", F.explode("s.spans").alias("p"))
+    empty_events = (
+        f"array<struct<ts_ns:bigint,name:string,attrs:{_FLAT_ATTRS_DDL}>>"
+    )
+    empty_links = (
+        "array<struct<trace_id:string,span_id:string,trace_state:string,"
+        f"attrs:{_FLAT_ATTRS_DDL}>>"
+    )
     return sp.select(
         "conv_id",
         F.col("p.traceId").alias("trace_id"),
@@ -296,6 +391,32 @@ def flatten_spans_from_otlp(
         F.col("p.status.code").alias("status"),
         F.col("p.startTimeUnixNano").alias("start_ns"),
         F.col("p.endTimeUnixNano").alias("end_ns"),
+        F.col("p.traceState").alias("trace_state"),
+        _attrs_from_json_form(F.col("p.attributes")).alias("attrs"),
+        F.coalesce(
+            F.transform(
+                F.col("p.events"),
+                lambda e: F.struct(
+                    e["timeUnixNano"].alias("ts_ns"),
+                    e["name"].alias("name"),
+                    _attrs_from_json_form(e["attributes"]).alias("attrs"),
+                ),
+            ),
+            F.array().cast(empty_events),
+        ).alias("events"),
+        F.coalesce(
+            F.transform(
+                F.col("p.links"),
+                lambda ln: F.struct(
+                    ln["traceId"].alias("trace_id"),
+                    ln["spanId"].alias("span_id"),
+                    ln["traceState"].alias("trace_state"),
+                    _attrs_from_json_form(ln["attributes"]).alias("attrs"),
+                ),
+            ),
+            F.array().cast(empty_links),
+        ).alias("links"),
+        F.col("p.status.message").alias("status_message"),
     )
 
 

@@ -158,3 +158,200 @@ def spans_from_turns(parsed: DataFrame) -> DataFrame:
     )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return spans.withColumn("parent_span_id", F.lag("span_id").over(w))
+
+
+SLOW_EVENT_THRESHOLD_MS = 8000
+
+
+def _kv(k: Column, v: Column) -> Column:
+    return F.struct(k.alias("key"), v.alias("value"))
+
+
+def rich_spans_from_turns(parsed: DataFrame) -> DataFrame:
+    """spans_from_turns plus the full Span content surface
+    (pdata/ptrace/generated_span.go:53-199): TraceState, span
+    Attributes, Events, Links and Status.message — the r4 verdict gap
+    (a subset codec silently drops exceptions-as-events / span links).
+
+    Deterministic data-derived enrichment, all Catalyst and all
+    DuckDB-mirrorable:
+    - ``trace_state``: even turns carry ``ot=<svc|none>`` (odd turns
+      NULL → absent on the wire, exercising presence);
+    - ``attrs``: [(svc), (tool)] sorted by key, NULL values skipped —
+      an empty set stays ``[]`` (canonical flat form; wire/JSON omit);
+    - ``events``: ``exception`` (with ``exception.message`` = first 32
+      body chars) when level=ERROR, plus ``slow`` (latency as string)
+      when latency_ms > 8000 — an ERROR∧slow span carries BOTH
+      (multi-event, non-vacuous in the fixtures);
+    - ``links``: one to the parent span and one to the conversation's
+      root span when they exist (turn ≥ 2 carries both — multi-link);
+    - ``status_message``: first 48 body chars on ERROR spans with a
+      non-empty body, else NULL (Status.message is error context).
+
+    start_ns/end_ns are ns longs (end = start + latency_ms·10⁶) so the
+    wire stage receives Catalyst-computed epochs.
+    """
+    tool_turns = parsed.filter(F.col("role") == "tool")
+    start_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    end_ns = (
+        start_ns
+        + (F.coalesce(F.col("latency_ms"), F.lit(0)) * F.lit(1_000_000)).cast("long")
+    )
+    spans = tool_turns.select(
+        F.md5(F.col("conv_id")).alias("trace_id"),
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))), 1, 16
+        ).alias("span_id"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.concat(
+            F.coalesce(F.col("tool"), F.lit("")),
+            F.lit("/"),
+            F.coalesce(F.col("svc"), F.lit("")),
+        ).alias("name"),
+        F.lit("SPAN_KIND_CLIENT").alias("kind"),
+        start_ns.alias("start_ns"),
+        end_ns.alias("end_ns"),
+        F.when(F.col("level") == "ERROR", F.lit("STATUS_CODE_ERROR"))
+        .otherwise(F.lit("STATUS_CODE_OK"))
+        .alias("status"),
+        F.col("svc"),
+        F.col("tool"),
+        F.col("level"),
+        F.col("latency_ms"),
+        F.coalesce(F.col("text"), F.lit("")).alias("_body"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    spans = spans.withColumn("parent_span_id", F.lag("span_id").over(w)).withColumn(
+        "_root_span_id", F.first("span_id").over(w)
+    )
+    attrs = F.filter(
+        F.array(
+            _kv(F.lit("svc"), F.col("svc")), _kv(F.lit("tool"), F.col("tool"))
+        ),
+        lambda x: x["value"].isNotNull(),
+    )
+    # candidate events/links carry a _keep flag so the filtered array
+    # keeps ONE struct type (Spark can't type a bare empty array), then
+    # transform strips the flag
+    ev_candidates = F.array(
+        F.struct(
+            F.col("end_ns").alias("ts_ns"),
+            F.lit("exception").alias("name"),
+            F.array(
+                _kv(F.lit("exception.message"), F.substring(F.col("_body"), 1, 32))
+            ).alias("attrs"),
+            (F.col("level") == "ERROR").alias("_keep"),
+        ),
+        F.struct(
+            F.col("end_ns").alias("ts_ns"),
+            F.lit("slow").alias("name"),
+            F.array(
+                _kv(F.lit("latency_ms"), F.col("latency_ms").cast("string"))
+            ).alias("attrs"),
+            (F.col("latency_ms") > SLOW_EVENT_THRESHOLD_MS).alias("_keep"),
+        ),
+    )
+    events = F.transform(
+        F.filter(ev_candidates, lambda e: F.coalesce(e["_keep"], F.lit(False))),
+        lambda e: F.struct(
+            e["ts_ns"].alias("ts_ns"), e["name"].alias("name"), e["attrs"].alias("attrs")
+        ),
+    )
+    link_candidates = F.array(
+        F.struct(
+            F.col("trace_id").alias("trace_id"),
+            F.col("parent_span_id").alias("span_id"),
+            F.lit(None).cast("string").alias("trace_state"),
+            F.array(_kv(F.lit("link.type"), F.lit("parent"))).alias("attrs"),
+            F.col("parent_span_id").isNotNull().alias("_keep"),
+        ),
+        F.struct(
+            F.col("trace_id").alias("trace_id"),
+            F.col("_root_span_id").alias("span_id"),
+            F.lit(None).cast("string").alias("trace_state"),
+            F.array(_kv(F.lit("link.type"), F.lit("root"))).alias("attrs"),
+            (F.col("_root_span_id") != F.col("span_id")).alias("_keep"),
+        ),
+    )
+    links = F.transform(
+        F.filter(link_candidates, lambda e: F.coalesce(e["_keep"], F.lit(False))),
+        lambda e: F.struct(
+            e["trace_id"].alias("trace_id"),
+            e["span_id"].alias("span_id"),
+            e["trace_state"].alias("trace_state"),
+            e["attrs"].alias("attrs"),
+        ),
+    )
+    return spans.select(
+        "conv_id",
+        "turn_idx",
+        "trace_id",
+        "span_id",
+        "parent_span_id",
+        "name",
+        "kind",
+        "status",
+        "start_ns",
+        "end_ns",
+        F.when(
+            F.col("turn_idx") % 2 == 0,
+            F.concat(F.lit("ot="), F.coalesce(F.col("svc"), F.lit("none"))),
+        ).alias("trace_state"),
+        attrs.alias("attrs"),
+        events.alias("events"),
+        links.alias("links"),
+        F.when(
+            (F.col("level") == "ERROR") & (F.length("_body") > 0),
+            F.substring(F.col("_body"), 1, 48),
+        ).alias("status_message"),
+    )
+
+
+def span_content_signatures(df: DataFrame) -> DataFrame:
+    """Flatten the nested Span content (attrs/events/links) into
+    deterministic signature strings covering EVERY field the wire and
+    JSON codecs carry — the oracle-portable form (DuckDB rebuilds the
+    same strings from the source table with window functions + CASE;
+    hashing nested list<struct> values across engines is not
+    portable). Empty lists sign as '' (never NULL)."""
+    attr_sig = lambda a: F.array_join(  # noqa: E731
+        F.transform(
+            a,
+            lambda x: F.concat(
+                x["key"], F.lit("="), F.coalesce(x["value"], F.lit(""))
+            ),
+        ),
+        ";",
+    )
+    return (
+        df.withColumn("attrs_sig", attr_sig(F.col("attrs")))
+        .withColumn(
+            "events_sig",
+            F.array_join(
+                F.transform(
+                    F.col("events"),
+                    lambda e: F.concat(
+                        e["name"], F.lit("@"), e["ts_ns"].cast("string"),
+                        F.lit("{"), attr_sig(e["attrs"]), F.lit("}"),
+                    ),
+                ),
+                "|",
+            ),
+        )
+        .withColumn(
+            "links_sig",
+            F.array_join(
+                F.transform(
+                    F.col("links"),
+                    lambda ln: F.concat(
+                        ln["span_id"], F.lit("#"),
+                        F.coalesce(ln["trace_state"], F.lit("")),
+                        F.lit("{"), attr_sig(ln["attrs"]), F.lit("}"),
+                    ),
+                ),
+                "|",
+            ),
+        )
+        .drop("attrs", "events", "links")
+    )

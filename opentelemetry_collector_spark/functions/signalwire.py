@@ -363,6 +363,78 @@ def decode_summary_point(buf: bytes) -> dict:
 
 # ---------------------------------------------------------------- Span
 
+def _aslist(v) -> list:
+    """Normalize an Arrow list cell (None / list / numpy object array)
+    to a plain list — numpy arrays poison truthiness (`arr or []`
+    raises on len>1), so every repeated-field consumer goes through
+    this."""
+    if v is None:
+        return []
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    return list(v)
+
+
+def _attrs_field(field: int, attrs) -> bytes:
+    """repeated KeyValue at the given field number (Span:9, Event:3,
+    Link:4). Accepts [{'key':k,'value':v}] (the Arrow struct form) or
+    [(k, v)] tuples; empty/None emits nothing (proto3 presence)."""
+    if attrs is None or len(attrs) == 0:
+        return b""
+    out = bytearray()
+    for a in attrs:
+        k, v = (a["key"], a["value"]) if isinstance(a, dict) else (a[0], a[1])
+        out += _len_delim(field, _str_attr(k, "" if v is None else v))
+    return bytes(out)
+
+
+def _encode_event(ev) -> bytes:
+    """Span.Event: 1 time_unix_nano (fixed64), 2 name, 3 attributes
+    (trace.proto Span.Event)."""
+    ts = ev["ts_ns"] if isinstance(ev, dict) else ev[0]
+    name = ev["name"] if isinstance(ev, dict) else ev[1]
+    attrs = ev["attrs"] if isinstance(ev, dict) else ev[2]
+    out = bytearray()
+    if ts:
+        out += _fixed64(1, int(ts))
+    if name:
+        out += _len_delim(2, name.encode("utf-8"))
+    out += _attrs_field(3, attrs)
+    return bytes(out)
+
+
+def _encode_link(ln) -> bytes:
+    """Span.Link: 1 trace_id, 2 span_id, 3 trace_state, 4 attributes
+    (trace.proto Span.Link)."""
+    if isinstance(ln, dict):
+        t, s, st, attrs = ln["trace_id"], ln["span_id"], ln["trace_state"], ln["attrs"]
+    else:
+        t, s, st, attrs = ln
+    out = bytearray()
+    if t:
+        out += _len_delim(1, bytes.fromhex(t))
+    if s:
+        out += _len_delim(2, bytes.fromhex(s))
+    if isinstance(st, str) and st:
+        out += _len_delim(3, st.encode("utf-8"))
+    out += _attrs_field(4, attrs)
+    return bytes(out)
+
+
+def _status_field(code: str, message) -> bytes:
+    """Status{2 message, 3 code} — field 2 before 3, canonical
+    ascending order; empty status emits nothing."""
+    payload = bytearray()
+    if isinstance(message, str) and message:
+        payload += _len_delim(2, message.encode("utf-8"))
+    code_n = STATUS_CODES.index(code)
+    if code_n:
+        payload += _varint_field(3, code_n)
+    return _len_delim(15, bytes(payload)) if payload else b""
+
+
 def encode_span(
     trace_id_hex: str,
     span_id_hex: str,
@@ -372,10 +444,21 @@ def encode_span(
     start_ns: int,
     end_ns: int,
     status: str,
+    trace_state: str | None = None,
+    attrs=None,
+    events=None,
+    links=None,
+    status_message: str | None = None,
 ) -> bytes:
+    """Full Span content surface (trace.proto fields 1-9,11,13,15;
+    pdata/ptrace/generated_span.go:53-199) in canonical ascending
+    field order. Legacy 8-arg calls emit byte-identical output to the
+    r4 subset codec (the extended fields are absent → omitted)."""
     out = bytearray()
     out += _len_delim(1, bytes.fromhex(trace_id_hex))
     out += _len_delim(2, bytes.fromhex(span_id_hex))
+    if isinstance(trace_state, str) and trace_state:
+        out += _len_delim(3, trace_state.encode("utf-8"))
     if parent_span_id_hex is not None:
         out += _len_delim(4, bytes.fromhex(parent_span_id_hex))
     if name:
@@ -385,23 +468,77 @@ def encode_span(
         out += _varint_field(6, kind_n)
     out += _fixed64(7, start_ns)
     out += _fixed64(8, end_ns)
-    status_n = STATUS_CODES.index(status)
-    if status_n:
-        out += _len_delim(15, _varint_field(3, status_n))
+    out += _attrs_field(9, attrs)
+    for ev in _aslist(events):
+        out += _len_delim(11, _encode_event(ev))
+    for ln in _aslist(links):
+        out += _len_delim(13, _encode_link(ln))
+    out += _status_field(status, status_message)
     return bytes(out)
+
+
+def _decode_attr_list(bufs: list[bytes]) -> list[dict]:
+    """KeyValue list preserving order + duplicates (the Span
+    attrs/events/links form; _decode_attrs' dict collapses both)."""
+    out = []
+    for buf in bufs:
+        k = v = None
+        for f, _w, val in _fields(buf):
+            if f == 1:
+                k = val.decode("utf-8")
+            elif f == 2:
+                for f2, _w2, v2 in _fields(val):
+                    if f2 == 1:
+                        v = v2.decode("utf-8")
+        out.append({"key": k, "value": v})
+    return out
+
+
+def _decode_event(buf: bytes) -> dict:
+    ev = {"ts_ns": 0, "name": "", "attrs": []}
+    attr_bufs = []
+    for f, _w, val in _fields(buf):
+        if f == 1:
+            ev["ts_ns"] = val
+        elif f == 2:
+            ev["name"] = val.decode("utf-8")
+        elif f == 3:
+            attr_bufs.append(val)
+    ev["attrs"] = _decode_attr_list(attr_bufs)
+    return ev
+
+
+def _decode_link(buf: bytes) -> dict:
+    ln = {"trace_id": "", "span_id": "", "trace_state": None, "attrs": []}
+    attr_bufs = []
+    for f, _w, val in _fields(buf):
+        if f == 1:
+            ln["trace_id"] = val.hex()
+        elif f == 2:
+            ln["span_id"] = val.hex()
+        elif f == 3:
+            ln["trace_state"] = val.decode("utf-8")
+        elif f == 4:
+            attr_bufs.append(val)
+    ln["attrs"] = _decode_attr_list(attr_bufs)
+    return ln
 
 
 def decode_span(buf: bytes) -> dict:
     rec: dict = {
         "trace_id": "", "span_id": "", "parent_span_id": None,
         "name": "", "kind": SPAN_KINDS[0], "start_ns": 0, "end_ns": 0,
-        "status": STATUS_CODES[0],
+        "status": STATUS_CODES[0], "trace_state": None, "attrs": [],
+        "events": [], "links": [], "status_message": None,
     }
+    attr_bufs: list[bytes] = []
     for f, _w, val in _fields(buf):
         if f == 1:
             rec["trace_id"] = val.hex()
         elif f == 2:
             rec["span_id"] = val.hex()
+        elif f == 3:
+            rec["trace_state"] = val.decode("utf-8")
         elif f == 4:
             rec["parent_span_id"] = val.hex()
         elif f == 5:
@@ -412,20 +549,35 @@ def decode_span(buf: bytes) -> dict:
             rec["start_ns"] = val
         elif f == 8:
             rec["end_ns"] = val
+        elif f == 9:
+            attr_bufs.append(val)
+        elif f == 11:
+            rec["events"].append(_decode_event(val))
+        elif f == 13:
+            rec["links"].append(_decode_link(val))
         elif f == 15:
             for f2, _w2, v2 in _fields(val):
-                if f2 == 3:
+                if f2 == 2:
+                    rec["status_message"] = v2.decode("utf-8")
+                elif f2 == 3:
                     rec["status"] = STATUS_CODES[v2]
+    rec["attrs"] = _decode_attr_list(attr_bufs)
     return rec
 
 
 # ---------------------------------------------------------- Spark stages
 
 SPAN_PROTO_SCHEMA = "conv_id string, turn_idx int, proto binary, proto_bytes long"
+_ATTRS_DDL = "array<struct<key:string,value:string>>"
 SPAN_ROUNDTRIP_SCHEMA = (
     "conv_id string, turn_idx int, trace_id string, span_id string, "
     "parent_span_id string, name string, kind string, status string, "
-    "start_ns long, end_ns long"
+    "start_ns long, end_ns long, trace_state string, "
+    f"attrs {_ATTRS_DDL}, "
+    f"events array<struct<ts_ns:bigint,name:string,attrs:{_ATTRS_DDL}>>, "
+    "links array<struct<trace_id:string,span_id:string,trace_state:string,"
+    f"attrs:{_ATTRS_DDL}>>, "
+    "status_message string"
 )
 
 
@@ -483,6 +635,36 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
             got = status_memo[v] = _len_delim(15, _varint_field(3, c)) if c else b""
         return got
 
+    # extended Span content (r5: TraceState, attrs, events, links,
+    # Status.message) — per-row encoded; columns may be absent for
+    # legacy subset callers (then every segment is b"")
+    has_ext = "trace_state" in pdf.columns
+    if has_ext:
+        tstates = pdf["trace_state"]
+        attrs_col = pdf["attrs"]
+        events_col = pdf["events"]
+        links_col = pdf["links"]
+        smsg_col = pdf["status_message"]
+
+    def ext_segments(i) -> tuple[bytes, bytes, bytes, bytes, str | None]:
+        if not has_ext:
+            return b"", b"", b"", b"", None
+        ts = tstates.iloc[i]
+        tsb = (
+            _len_delim(3, ts.encode("utf-8"))
+            if isinstance(ts, str) and ts
+            else b""
+        )
+        ab = _attrs_field(9, _aslist(attrs_col.iloc[i]))
+        evb = b"".join(
+            _len_delim(11, _encode_event(e)) for e in _aslist(events_col.iloc[i])
+        )
+        lkb = b"".join(
+            _len_delim(13, _encode_link(ln)) for ln in _aslist(links_col.iloc[i])
+        )
+        sm = smsg_col.iloc[i]
+        return tsb, ab, evb, lkb, (sm if isinstance(sm, str) else None)
+
     out: list[bytes] = []
     for i, (t, s, p, nm, k, st) in enumerate(
         zip(
@@ -498,6 +680,7 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
             )
         except ValueError:
             canonical = False
+        tsb, ab, evb, lkb, sm = ext_segments(i)
         if not canonical:
             # foreign/malformed ids: the length-prefix constants assume
             # canonical 16/8-BYTE ids (validated on the DECODED bytes —
@@ -506,21 +689,29 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
             out.append(
                 encode_span(t, s, p, nm, k,
                             int(pdf["start_ns"].iloc[i]),
-                            int(pdf["end_ns"].iloc[i]), st)
+                            int(pdf["end_ns"].iloc[i]), st,
+                            trace_state=tstates.iloc[i] if has_ext else None,
+                            attrs=_aslist(attrs_col.iloc[i]) if has_ext else None,
+                            events=_aslist(events_col.iloc[i]) if has_ext else None,
+                            links=_aslist(links_col.iloc[i]) if has_ext else None,
+                            status_message=sm)
             )
             continue
         parent = _SPAN_PARENT_TAG + pb if pb is not None else b""
+        status_seg = _status_field(st, sm) if sm else status_field(st)
         out.append(
             b"".join(
                 (
                     _SPAN_TRACE_TAG, tb,
                     _SPAN_ID_TAG, sb,
+                    tsb,
                     parent,
                     name_field(nm),
                     kind_field(k),
                     _SPAN_START_TAG, sbuf[i * 8 : i * 8 + 8],
                     _SPAN_END_TAG, ebuf[i * 8 : i * 8 + 8],
-                    status_field(st),
+                    ab, evb, lkb,
+                    status_seg,
                 )
             )
         )
@@ -564,6 +755,11 @@ def decode_spans(df: DataFrame) -> DataFrame:
                     "status": [r["status"] for r in rows],
                     "start_ns": [r["start_ns"] for r in rows],
                     "end_ns": [r["end_ns"] for r in rows],
+                    "trace_state": [r["trace_state"] for r in rows],
+                    "attrs": [r["attrs"] for r in rows],
+                    "events": [r["events"] for r in rows],
+                    "links": [r["links"] for r in rows],
+                    "status_message": [r["status_message"] for r in rows],
                 }
             )
 

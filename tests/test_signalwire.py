@@ -364,3 +364,116 @@ def test_encode_huge_value_next_to_null_is_exact(spark):
     }
     assert back[0]["value"] == big  # bit-exact, not 2^62
     assert back[1]["value"] is None
+
+
+def test_span_extended_golden_bytes():
+    """r5 full Span content surface: trace_state (3), attributes (9),
+    events (11), links (13), Status.message (15.2) — bytes hand-derived
+    from trace.proto field numbers, canonical ascending order."""
+    got = W.encode_span(
+        "00" * 15 + "ff", "11" * 8, None, "n", "SPAN_KIND_CLIENT",
+        9, 10, "STATUS_CODE_ERROR",
+        trace_state="a=b",
+        attrs=[("k", "v")],
+        events=[(7, "e", [("x", "y")])],
+        links=[("22" * 16, "33" * 8, "s", [])],
+        status_message="m",
+    )
+    assert got.hex() == (
+        "0a10" + "00" * 15 + "ff"          # 1: trace_id
+        + "1208" + "11" * 8                # 2: span_id
+        + "1a03" + "613d62"                # 3: trace_state "a=b"
+        + "2a016e"                         # 5: name "n"
+        + "3003"                           # 6: kind CLIENT=3
+        + "390900000000000000"             # 7: start=9
+        + "410a00000000000000"             # 8: end=10
+        + "4a08" + "0a016b12030a0176"      # 9: KeyValue{k: v}
+        + "5a16"                           # 11: Event (22 bytes)
+        + "090700000000000000"             #   1: time=7
+        + "120165"                         #   2: name "e"
+        + "1a08" + "0a017812030a0179"      #   3: KeyValue{x: y}
+        + "6a1f"                           # 13: Link (31 bytes)
+        + "0a10" + "22" * 16               #   1: trace_id
+        + "1208" + "33" * 8                #   2: span_id
+        + "1a0173"                         #   3: trace_state "s"
+        + "7a05" + "12016d" + "1802"       # 15: Status{message "m", code=2}
+    )
+    back = W.decode_span(got)
+    assert back["trace_state"] == "a=b"
+    assert back["attrs"] == [{"key": "k", "value": "v"}]
+    assert back["events"] == [
+        {"ts_ns": 7, "name": "e", "attrs": [{"key": "x", "value": "y"}]}
+    ]
+    assert back["links"] == [
+        {"trace_id": "22" * 16, "span_id": "33" * 8, "trace_state": "s",
+         "attrs": []}
+    ]
+    assert back["status_message"] == "m"
+
+
+def test_span_extended_vectorized_matches_scalar():
+    """_encode_span_batch with the extended columns must emit
+    byte-identical output to scalar encode_span for every presence
+    combination (multi-event, multi-link, absent everything)."""
+    import pandas as pd
+
+    rows = [
+        dict(trace_id="ab" * 16, span_id="cd" * 8, parent_span_id="ef" * 8,
+             name="t/s", kind="SPAN_KIND_CLIENT", status="STATUS_CODE_ERROR",
+             start_ns=1, end_ns=2, trace_state="ot=x",
+             attrs=[{"key": "svc", "value": "api"}],
+             events=[{"ts_ns": 2, "name": "exception",
+                      "attrs": [{"key": "exception.message", "value": "boom"}]},
+                     {"ts_ns": 2, "name": "slow",
+                      "attrs": [{"key": "latency_ms", "value": "9001"}]}],
+             links=[{"trace_id": "ab" * 16, "span_id": "ef" * 8,
+                     "trace_state": None,
+                     "attrs": [{"key": "link.type", "value": "parent"}]},
+                    {"trace_id": "ab" * 16, "span_id": "11" * 8,
+                     "trace_state": "w=1",
+                     "attrs": [{"key": "link.type", "value": "root"}]}],
+             status_message="bad"),
+        dict(trace_id="ab" * 16, span_id="cd" * 8, parent_span_id=None,
+             name="n", kind="SPAN_KIND_CLIENT", status="STATUS_CODE_OK",
+             start_ns=3, end_ns=4, trace_state=None, attrs=[], events=[],
+             links=[], status_message=None),
+    ]
+    pdf = pd.DataFrame(rows)
+    got = W._encode_span_batch(pdf)
+    for i, r in enumerate(rows):
+        want = W.encode_span(
+            r["trace_id"], r["span_id"], r["parent_span_id"], r["name"],
+            r["kind"], r["start_ns"], r["end_ns"], r["status"],
+            trace_state=r["trace_state"], attrs=r["attrs"],
+            events=r["events"], links=r["links"],
+            status_message=r["status_message"],
+        )
+        assert got[i] == want, i
+        back = W.decode_span(got[i])
+        assert back["events"] == r["events"]
+        assert back["links"] == r["links"]
+
+
+def test_rich_spans_multi_event_multi_link_roundtrip(spark, sf_dir):
+    """End-to-end non-vacuous pin: the fixture produces ERROR∧slow
+    spans (2 events) and turn≥2 spans (2 links); the wire stage must
+    carry both through encode→decode."""
+    from opentelemetry_collector_spark.functions import parse, signals
+    from pyspark.sql import functions as F
+
+    parsed = parse.with_parsed(
+        __import__(
+            "opentelemetry_collector_spark.sources.tables", fromlist=["tables"]
+        ).read_transcripts(spark, sf_dir),
+        "native",
+    )
+    rs = signals.rich_spans_from_turns(parsed)
+    dec = W.decode_spans(W.encode_spans(rs))
+    counts = dec.agg(
+        F.sum((F.size("events") == 2).cast("int")).alias("two_ev"),
+        F.sum((F.size("links") == 2).cast("int")).alias("two_lk"),
+        F.sum(F.col("trace_state").isNotNull().cast("int")).alias("ts"),
+        F.sum(F.col("status_message").isNotNull().cast("int")).alias("sm"),
+    ).first()
+    assert counts["two_ev"] > 0 and counts["two_lk"] > 0
+    assert counts["ts"] > 0 and counts["sm"] > 0
