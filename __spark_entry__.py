@@ -602,6 +602,62 @@ def _q_metrics_histogram_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdata.flatten_histogram_metrics_from_otlp(nested)
 
 
+def _q_metrics_sum_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum branch of the pmetric OTLP/JSON envelope (r5 — the document
+    form is uniform over all 5 metric types,
+    pdata/pmetric/metric_type.go:10-16): per-svc CUMULATIVE running
+    latency total (a genuine monotonic counter series) → documents
+    carrying aggregationTemporality + isMonotonic on the metric →
+    flattened back with both flags on every row."""
+    from opentelemetry_collector_spark.functions import pdata
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("svc")
+        .orderBy("ts_ns", "conv_id", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    points = (
+        parsed.filter(F.col("latency_ms").isNotNull())
+        .select(
+            "conv_id", "turn_idx", "svc",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+            F.col("latency_ms").cast("long").alias("_v"),
+        )
+        .withColumn("value", F.sum("_v").over(w))
+        .drop("_v")
+    )
+    return pdata.flatten_sum_metrics_from_otlp(pdata.nest_sum_metrics_to_otlp(points))
+
+
+def _q_metrics_exp_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExponentialHistogram branch of the envelope: scale-0 buckets →
+    one document per svc (positive.offset + dense bucketCounts with
+    zero slots, zeroCount, count) → flattened back to sparse rows."""
+    from opentelemetry_collector_spark.functions import pdata, signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    dps = signals.exp_histogram_datapoints(parsed)
+    return pdata.flatten_exp_histogram_metrics_from_otlp(
+        pdata.nest_exp_histogram_metrics_to_otlp(dps)
+    )
+
+
+def _q_metrics_summary_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary branch of the envelope: per-svc count/sum +
+    quantileValues (0.5/0.9/0.99) → documents → flattened back,
+    quantiles matched by value not position."""
+    from opentelemetry_collector_spark.functions import pdata, signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    dps = signals.summary_datapoints(parsed)
+    return pdata.flatten_summary_metrics_from_otlp(
+        pdata.nest_summary_metrics_to_otlp(dps)
+    )
+
+
 def _q_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pmetric wire-format round-trip (pdata/pmetric/json.go:15 +
     encoding.go Sizer analog): per-turn latency gauge points →
@@ -1084,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_roundtrip": _q_metrics_roundtrip,
         "metrics_otlp_json": _q_metrics_otlp_json,
         "metrics_histogram_otlp": _q_metrics_histogram_otlp,
+        "metrics_sum_otlp": _q_metrics_sum_otlp,
+        "metrics_exp_otlp": _q_metrics_exp_otlp,
+        "metrics_summary_otlp": _q_metrics_summary_otlp,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
@@ -1337,6 +1396,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.svc, b.bucket_idx, b.bucket_count, s.count,
                    s.value_sum, s.value_min, s.value_max
             FROM b JOIN s ON b.svc IS NOT DISTINCT FROM s.svc""",
+        "metrics_sum_otlp": f"""{_parsed_cte()}
+            SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
+                   cast(sum(latency_ms) OVER (
+                        PARTITION BY svc ORDER BY ts, conv_id, turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS value,
+                   'AGGREGATION_TEMPORALITY_CUMULATIVE' AS temporality,
+                   true AS is_monotonic
+            FROM parsed WHERE latency_ms IS NOT NULL""",
+        "metrics_exp_otlp": f"""{_parsed_cte()}
+            SELECT svc,
+                   cast(CASE WHEN latency_ms > 0
+                        THEN ceil(log2(latency_ms)) - 1
+                        END AS int) AS bucket_idx,
+                   cast(count(*) AS bigint) AS bucket_count
+            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1, 2""",
+        "metrics_summary_otlp": f"""{_parsed_cte()}
+            SELECT svc, cast(count(*) AS bigint) AS n,
+                   cast(sum(latency_ms) AS bigint) AS value_sum,
+                   round(quantile_cont(latency_ms, 0.5), 4) AS q5,
+                   round(quantile_cont(latency_ms, 0.9), 4) AS q9,
+                   round(quantile_cont(latency_ms, 0.99), 4) AS q99
+            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1""",
         "docs_quality": f"""WITH {_edge_docs_cte()},
             base AS ({corpus_oracle.oracle_quality_rules('docs_all')})
             SELECT * FROM base""",

@@ -80,6 +80,10 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "spans_otlp_json",
         "metrics_otlp_json",
         "metrics_histogram_otlp",
+        # r5: the remaining three metric-type envelope branches
+        "metrics_sum_otlp",
+        "metrics_exp_otlp",
+        "metrics_summary_otlp",
         # r4: corpus-shaping family
         "docs_quality",
         "sample_mix",

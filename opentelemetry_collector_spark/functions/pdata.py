@@ -556,7 +556,10 @@ COMBINED_METRICS_OTLP_SCHEMA = (
     "scopeMetrics:array<struct<scope:struct<name:string>,"
     "metrics:array<struct<name:string,"
     "gauge:struct<dataPoints:array<struct<timeUnixNano:bigint>>>,"
-    "histogram:struct<dataPoints:array<struct<count:bigint>>>>>>>>"
+    "histogram:struct<dataPoints:array<struct<count:bigint>>>,"
+    "sum:struct<dataPoints:array<struct<timeUnixNano:bigint>>>,"
+    "exponentialHistogram:struct<dataPoints:array<struct<count:bigint>>>,"
+    "summary:struct<dataPoints:array<struct<count:bigint>>>>>>>>"
 )
 
 
@@ -578,7 +581,12 @@ def data_point_count(nested: DataFrame, json_col: str = "otlp_json") -> int:
             + F.aggregate(
                 s["metrics"],
                 F.lit(0),
-                lambda a2, m: a2 + branch(m, "gauge") + branch(m, "histogram"),
+                lambda a2, m: a2
+                + branch(m, "gauge")
+                + branch(m, "histogram")
+                + branch(m, "sum")
+                + branch(m, "exponentialHistogram")
+                + branch(m, "summary"),
             ),
         ).alias("n")
     )
@@ -692,3 +700,277 @@ def flatten_histogram_metrics_from_otlp(
         "svc", "bucket_idx", "bucket_count", "count",
         "value_sum", "value_min", "value_max",
     )
+
+
+# ----------------------- Sum / ExponentialHistogram / Summary envelopes
+# (r5: the metrics OTLP/JSON document form is uniform over all 5 metric
+# types — pdata/pmetric/metric_type.go:10-16; gauge + histogram landed
+# in r4, these close the envelope matrix. Flat codecs for the same
+# shapes live in signals.py / signalwire.py.)
+
+SUM_METRICS_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeMetrics:array<struct<scope:struct<name:string>,"
+    "metrics:array<struct<name:string,"
+    "sum:struct<aggregationTemporality:string,isMonotonic:boolean,"
+    "dataPoints:array<struct<timeUnixNano:bigint,asInt:bigint,"
+    "attributes:map<string,string>>>>>>>>>"
+)
+
+
+def nest_sum_metrics_to_otlp(
+    points: DataFrame,
+    metric_name: str = "turn_latency_total",
+    temporality: str = "AGGREGATION_TEMPORALITY_CUMULATIVE",
+    is_monotonic: bool = True,
+    doc_window_ns: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Sum branch of the ResourceMetrics document
+    (pdata/pmetric/json.go Sum: aggregationTemporality + isMonotonic
+    ride the metric, not the datapoint). Same envelope/windowing rules
+    as the gauge nest (one doc per service × window — bounded
+    collect_list)."""
+    dp = F.struct(
+        F.col("ts_ns").alias("timeUnixNano"),
+        F.col("value").alias("asInt"),
+        F.map_filter(
+            F.create_map(
+                F.lit("conv_id"), F.col("conv_id"),
+                F.lit("turn_idx"), F.col("turn_idx").cast("string"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attributes"),
+    )
+    by_dp = _cmp(
+        lambda e: e["attributes"]["conv_id"],
+        lambda e: e["attributes"]["turn_idx"].cast("int"),
+    )
+    return (
+        points.groupBy(
+            F.col("svc").alias("_svc"),
+            F.floor(F.col("ts_ns") / doc_window_ns).alias("_win"),
+        )
+        .agg(F.array_sort(F.collect_list(dp), by_dp).alias("_dps"))
+        .select(
+            F.col("_svc").alias("svc"),
+            F.col("_win").alias("doc_window"),
+            _resource_envelope(
+                F.col("_svc"),
+                F.array(
+                    F.struct(
+                        F.lit(metric_name).alias("name"),
+                        F.struct(
+                            F.lit(temporality).alias("aggregationTemporality"),
+                            F.lit(is_monotonic).alias("isMonotonic"),
+                            F.col("_dps").alias("dataPoints"),
+                        ).alias("sum"),
+                    )
+                ),
+            ).alias("otlp_json"),
+        )
+    )
+
+
+def flatten_sum_metrics_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse: documents → flat cumulative points, with the
+    metric-level temporality/isMonotonic carried onto every row (so a
+    green oracle proves the flags survive the round trip)."""
+    m = _explode_to_metrics(nested, SUM_METRICS_OTLP_SCHEMA, json_col)
+    dp = m.select(
+        "_svc",
+        F.col("m.sum.aggregationTemporality").alias("temporality"),
+        F.col("m.sum.isMonotonic").alias("is_monotonic"),
+        F.explode("m.sum.dataPoints").alias("p"),
+    )
+    return dp.select(
+        F.col("p.attributes")["conv_id"].alias("conv_id"),
+        F.col("p.attributes")["turn_idx"].cast("int").alias("turn_idx"),
+        F.col("_svc").alias("svc"),
+        F.col("p.timeUnixNano").alias("ts_ns"),
+        F.col("p.asInt").alias("value"),
+        "temporality",
+        "is_monotonic",
+    )
+
+
+EXP_METRICS_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeMetrics:array<struct<scope:struct<name:string>,"
+    "metrics:array<struct<name:string,"
+    "exponentialHistogram:struct<aggregationTemporality:string,"
+    "dataPoints:array<struct<count:bigint,scale:int,zeroCount:bigint,"
+    "positive:struct<offset:int,bucketCounts:array<bigint>>>>>>>>>>"
+)
+
+
+def nest_exp_histogram_metrics_to_otlp(
+    exp_dps: DataFrame,
+    metric_name: str = "turn_latency_ms",
+) -> DataFrame:
+    """ExponentialHistogram branch: signals.exp_histogram_datapoints
+    rows (svc × scale-0 bucket_idx; NULL idx = the zero bucket) → one
+    document per service with a complete ExponentialHistogramDataPoint
+    (pdata/pmetric/generated_exponentialhistogramdatapoint.go):
+    positive.offset = min index, bucketCounts dense from offset with
+    zero slots, zeroCount from the NULL-idx rows, count = total."""
+    per_svc = exp_dps.groupBy("svc").agg(
+        F.map_from_entries(
+            F.collect_list(
+                # the zero bucket (NULL idx) keys under int-min — the
+                # dense sequence below never reaches it
+                F.struct(
+                    F.coalesce(F.col("bucket_idx"), F.lit(-(2**31))).alias("k"),
+                    F.col("bucket_count").alias("v"),
+                )
+            )
+        ).alias("_bc"),
+        F.min("bucket_idx").alias("_lo"),
+        F.max("bucket_idx").alias("_hi"),
+        F.sum("bucket_count").alias("_count"),
+        F.sum(
+            F.when(F.col("bucket_idx").isNull(), F.col("bucket_count")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_zero"),
+    )
+    dense = F.when(
+        F.col("_lo").isNotNull(),
+        F.transform(
+            F.sequence(F.col("_lo"), F.col("_hi")),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    dp = F.struct(
+        F.col("_count").cast("long").alias("count"),
+        F.lit(0).alias("scale"),
+        F.col("_zero").cast("long").alias("zeroCount"),
+        F.struct(
+            F.coalesce(F.col("_lo"), F.lit(0)).alias("offset"),
+            dense.alias("bucketCounts"),
+        ).alias("positive"),
+    )
+    return per_svc.select(
+        F.col("svc"),
+        _resource_envelope(
+            F.col("svc"),
+            F.array(
+                F.struct(
+                    F.lit(metric_name).alias("name"),
+                    F.struct(
+                        F.lit("AGGREGATION_TEMPORALITY_DELTA").alias(
+                            "aggregationTemporality"
+                        ),
+                        F.array(dp).alias("dataPoints"),
+                    ).alias("exponentialHistogram"),
+                )
+            ),
+        ).alias("otlp_json"),
+    )
+
+
+def flatten_exp_histogram_metrics_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse: documents → sparse (svc, bucket_idx, bucket_count)
+    rows (zero slots dropped; zeroCount>0 restores the NULL-idx
+    row), matching exp_histogram_datapoints' form."""
+    m = _explode_to_metrics(nested, EXP_METRICS_OTLP_SCHEMA, json_col)
+    dp = m.select(
+        F.col("_svc").alias("svc"),
+        F.explode("m.exponentialHistogram.dataPoints").alias("p"),
+    )
+    pos = dp.select(
+        "svc",
+        F.col("p.positive.offset").alias("_off"),
+        F.posexplode(F.col("p.positive.bucketCounts")).alias("_i", "bucket_count"),
+    ).select(
+        "svc",
+        (F.col("_off") + F.col("_i")).cast("int").alias("bucket_idx"),
+        F.col("bucket_count"),
+    ).filter(F.col("bucket_count") > 0)
+    zero = dp.filter(F.col("p.zeroCount") > 0).select(
+        "svc",
+        F.lit(None).cast("int").alias("bucket_idx"),
+        F.col("p.zeroCount").alias("bucket_count"),
+    )
+    return pos.unionByName(zero)
+
+
+SUMMARY_METRICS_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeMetrics:array<struct<scope:struct<name:string>,"
+    "metrics:array<struct<name:string,"
+    "summary:struct<dataPoints:array<struct<count:bigint,sum:bigint,"
+    "quantileValues:array<struct<quantile:double,value:double>>>>>>>>>>"
+)
+
+SUMMARY_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def nest_summary_metrics_to_otlp(
+    summary_dps: DataFrame,
+    metric_name: str = "turn_latency_ms",
+    quantiles: tuple[float, ...] = SUMMARY_QUANTILES,
+) -> DataFrame:
+    """Summary branch: signals.summary_datapoints rows (svc, n,
+    value_sum, q5/q9/q99) → one document per service with a
+    SummaryDataPoint carrying quantileValues
+    (pdata/pmetric/json.go Summary / ValueAtQuantile)."""
+    qcols = [f"q{str(q).replace('0.', '')}" for q in quantiles]
+    qv = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("quantile"), F.col(c).alias("value")
+            )
+            for q, c in zip(quantiles, qcols)
+        ]
+    )
+    dp = F.struct(
+        F.col("n").cast("long").alias("count"),
+        F.col("value_sum").cast("long").alias("sum"),
+        qv.alias("quantileValues"),
+    )
+    return summary_dps.select(
+        F.col("svc"),
+        _resource_envelope(
+            F.col("svc"),
+            F.array(
+                F.struct(
+                    F.lit(metric_name).alias("name"),
+                    F.struct(F.array(dp).alias("dataPoints")).alias("summary"),
+                )
+            ),
+        ).alias("otlp_json"),
+    )
+
+
+def flatten_summary_metrics_from_otlp(
+    nested: DataFrame,
+    json_col: str = "otlp_json",
+    quantiles: tuple[float, ...] = SUMMARY_QUANTILES,
+) -> DataFrame:
+    """Inverse: documents → (svc, n, value_sum, q5, q9, q99) rows —
+    quantile values matched BY the quantile field, not position."""
+    m = _explode_to_metrics(nested, SUMMARY_METRICS_OTLP_SCHEMA, json_col)
+    dp = m.select(
+        F.col("_svc").alias("svc"), F.explode("m.summary.dataPoints").alias("p")
+    )
+    cols = [
+        F.col("p.count").alias("n"),
+        F.col("p.sum").alias("value_sum"),
+    ]
+    for q in quantiles:
+        cols.append(
+            F.try_element_at(
+                F.filter(
+                    F.col("p.quantileValues"),
+                    lambda x: x["quantile"] == F.lit(float(q)),
+                ),
+                F.lit(1),
+            )["value"].alias(f"q{str(q).replace('0.', '')}")
+        )
+    return dp.select("svc", *cols)

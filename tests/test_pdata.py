@@ -166,3 +166,25 @@ def test_histogram_envelope_guard_passes_in_range(spark):
     doc = json.loads(nested.first()["otlp_json"])
     dp = doc["scopeMetrics"][0]["metrics"][0]["histogram"]["dataPoints"][0]
     assert dp["bucketCounts"] == [1, 0, 3] and dp["count"] == 4
+
+
+def test_data_point_count_covers_all_five_branches(spark, sf_dir):
+    """Metrics.DataPointCount must count sum/exponentialHistogram/
+    summary documents too (r5 — the envelope is uniform over all 5
+    metric types; a gauge+histogram-only count reads 0 on them)."""
+    from opentelemetry_collector_spark.functions import parse as parse_mod
+    from opentelemetry_collector_spark.functions import signals
+    from opentelemetry_collector_spark.sources import tables
+
+    parsed = parse_mod.with_parsed(
+        tables.read_transcripts(spark, sf_dir), "native"
+    ).cache()
+    exp_docs = pdata.nest_exp_histogram_metrics_to_otlp(
+        signals.exp_histogram_datapoints(parsed)
+    )
+    sum_docs = pdata.nest_summary_metrics_to_otlp(
+        signals.summary_datapoints(parsed)
+    )
+    # one datapoint per document for both branches
+    assert pdata.data_point_count(exp_docs) == exp_docs.count()
+    assert pdata.data_point_count(sum_docs) == sum_docs.count()
