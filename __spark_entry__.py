@@ -367,17 +367,25 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_centroids_for(sf_dir: str):
     """Deterministic IVF fit shared by the Spark query and the oracle:
-    lowest-4096 vec_ids read via pyarrow, numpy k-means (seeded) — both
-    sides inline the identical centroid literals. (fit_ivf, the Spark
-    fit path, is pinned equal to this in tests/test_similarity.py.)"""
+    md5-Bernoulli sample at rate ivf_sample_target(n, k)/n (r5 — the
+    r4 lowest-4096 head wasn't representative and didn't scale), numpy
+    k-means (seeded) — both sides inline the identical centroid
+    literals. (fit_ivf, the Spark fit path, is pinned equal to this in
+    tests/test_similarity.py.)"""
     import numpy as np
     import pyarrow.parquet as pq
 
     from opentelemetry_collector_spark.operators import similarity
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = t.sort_by("vec_id").slice(0, 4096)  # never pylist the whole table
-    vecs = np.array(head.column("embedding").to_pylist(), dtype="float64")
+    t = t.sort_by("vec_id")
+    ids = t.column("vec_id").to_pylist()
+    n = len(ids)
+    target = similarity.ivf_sample_target(n, 16)
+    if target < n:
+        mask = [similarity.ivf_sample_keep(n, target, i) for i in ids]
+        t = t.filter(mask)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype="float64")
     return similarity.ivf_centroids(vecs, k=16)
 
 
@@ -614,8 +622,13 @@ def _q_metrics_sum_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
     from pyspark.sql import Window
 
+    # series = (svc, hour): cumulative-with-restart — the stream-start
+    # reset OTLP cumulative semantics allow — so the running-sum window
+    # partitions into svc × hour slices instead of 6 corpus-length
+    # single-threaded partitions (measured 5.5 s → parallel; `div` not
+    # `/`: ns epochs exceed double's 2^53 exact-integer range)
     w = (
-        Window.partitionBy("svc")
+        Window.partitionBy("svc", "_hr")
         .orderBy("ts_ns", "conv_id", "turn_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -626,8 +639,9 @@ def _q_metrics_sum_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
             F.col("latency_ms").cast("long").alias("_v"),
         )
+        .withColumn("_hr", F.expr("ts_ns div 3600000000000"))
         .withColumn("value", F.sum("_v").over(w))
-        .drop("_v")
+        .drop("_v", "_hr")
     )
     return pdata.flatten_sum_metrics_from_otlp(pdata.nest_sum_metrics_to_otlp(points))
 
@@ -655,6 +669,23 @@ def _q_metrics_summary_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dps = signals.summary_datapoints(parsed)
     return pdata.flatten_summary_metrics_from_otlp(
         pdata.nest_summary_metrics_to_otlp(dps)
+    )
+
+
+def _q_logs_anyvalue_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested pcommon.Value attributes through the envelope (r5;
+    pdata/pcommon/value.go:18-29): every turn carries one attribute per
+    AnyValue branch — string/int/double/bool/bytes plus a nested
+    arrayValue and kvlistValue — in the protojson form
+    ({"intValue":"123"}, {"bytesValue": base64}, {"arrayValue":
+    {"values":[...]}}). Round trip → flat typed columns; the oracle
+    rebuilds them from the parsed table directly, so a green row
+    proves all 7 branches survive, incl. absent-vs-empty presence."""
+    from opentelemetry_collector_spark.functions import pdata
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    return pdata.flatten_attrs_anyvalue_from_otlp(
+        pdata.nest_attrs_anyvalue_to_otlp(parsed)
     )
 
 
@@ -1143,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_sum_otlp": _q_metrics_sum_otlp,
         "metrics_exp_otlp": _q_metrics_exp_otlp,
         "metrics_summary_otlp": _q_metrics_summary_otlp,
+        "logs_anyvalue_otlp": _q_logs_anyvalue_otlp,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
@@ -1399,7 +1431,8 @@ def oracle_sql() -> dict[str, str]:
         "metrics_sum_otlp": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
                    cast(sum(latency_ms) OVER (
-                        PARTITION BY svc ORDER BY ts, conv_id, turn_idx
+                        PARTITION BY svc, epoch_ns(ts) // 3600000000000
+                        ORDER BY ts, conv_id, turn_idx
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS value,
                    'AGGREGATION_TEMPORALITY_CUMULATIVE' AS temporality,
@@ -1419,6 +1452,16 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(latency_ms, 0.9), 4) AS q9,
                    round(quantile_cont(latency_ms, 0.99), 4) AS q99
             FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1""",
+        "logs_anyvalue_otlp": f"""{_parsed_cte()}
+            SELECT conv_id, turn_idx, svc,
+                   cast(latency_ms AS BIGINT) AS latency_ms,
+                   cast(latency_ms AS DOUBLE) * cast(0.5 AS DOUBLE) AS score,
+                   valid,
+                   CASE WHEN req_id IS NOT NULL
+                        THEN base64(encode(req_id)) END AS req_b64,
+                   concat_ws(';', tool, role) AS tools_sig,
+                   'conv=' || conv_id || ';turn=' || turn_idx AS ctx_sig
+            FROM parsed""",
         "docs_quality": f"""WITH {_edge_docs_cte()},
             base AS ({corpus_oracle.oracle_quality_rules('docs_all')})
             SELECT * FROM base""",

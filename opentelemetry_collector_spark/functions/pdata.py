@@ -974,3 +974,221 @@ def flatten_summary_metrics_from_otlp(
             )["value"].alias(f"q{str(q).replace('0.', '')}")
         )
     return dp.select("svc", *cols)
+
+
+# ------------------------------------- nested AnyValue attributes (r5)
+# pdata/pcommon/value.go:18-29: attribute values are a 7-typed union —
+# string/bool/int/double/bytes plus NESTED arrayValue and kvlistValue.
+# The r4 envelopes carried map<string,string> attrs only; this path is
+# the protojson-faithful KeyValue-list form with one nesting level
+# (pcommon JSON: {"intValue":"123"} — int64 rides as a STRING,
+# {"bytesValue": base64}, {"arrayValue":{"values":[...]}},
+# {"kvlistValue":{"values":[{"key":...,"value":...}]}}).
+
+ANYVALUE_LEAF_DDL = (
+    "struct<stringValue:string,intValue:string,doubleValue:double,"
+    "boolValue:boolean,bytesValue:string>"
+)
+ANYVALUE_DDL = (
+    "struct<stringValue:string,intValue:string,doubleValue:double,"
+    "boolValue:boolean,bytesValue:string,"
+    f"arrayValue:struct<values:array<{ANYVALUE_LEAF_DDL}>>,"
+    f"kvlistValue:struct<values:array<struct<key:string,"
+    f"value:{ANYVALUE_LEAF_DDL}>>>>"
+)
+LOGS_ANYVALUE_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeLogs:array<struct<scope:struct<name:string>,"
+    "logRecords:array<struct<timeUnixNano:bigint,turnIdx:int,"
+    f"attributes:array<struct<key:string,value:{ANYVALUE_DDL}>>>>>>>"
+)
+
+_LEAF_FIELDS = ("stringValue", "intValue", "doubleValue", "boolValue", "bytesValue")
+_LEAF_TYPES = ("string", "string", "double", "boolean", "string")
+
+
+def _av_leaf(**kw: Column) -> Column:
+    """5-branch AnyValue leaf struct: the named branch set, the rest
+    NULL (to_json omits them — the oneof)."""
+    return F.struct(
+        *[
+            (kw[f] if f in kw else F.lit(None).cast(t)).alias(f)
+            for f, t in zip(_LEAF_FIELDS, _LEAF_TYPES)
+        ]
+    )
+
+
+def _av(**kw: Column) -> Column:
+    """Full 7-branch AnyValue struct (leaf branches + arrayValue /
+    kvlistValue)."""
+    cols = [
+        (kw[f] if f in kw else F.lit(None).cast(t)).alias(f)
+        for f, t in zip(_LEAF_FIELDS, _LEAF_TYPES)
+    ]
+    cols.append(
+        (
+            kw["arrayValue"]
+            if "arrayValue" in kw
+            else F.lit(None).cast(f"struct<values:array<{ANYVALUE_LEAF_DDL}>>")
+        ).alias("arrayValue")
+    )
+    cols.append(
+        (
+            kw["kvlistValue"]
+            if "kvlistValue" in kw
+            else F.lit(None).cast(
+                f"struct<values:array<struct<key:string,value:{ANYVALUE_LEAF_DDL}>>>"
+            )
+        ).alias("kvlistValue")
+    )
+    return F.struct(*cols)
+
+
+def nest_attrs_anyvalue_to_otlp(parsed: DataFrame) -> DataFrame:
+    """One ResourceLogs document per conversation whose records carry
+    the full AnyValue attribute union (one per branch, data-derived):
+
+    - ``svc``        stringValue (NULL svc → attribute ABSENT),
+    - ``latency_ms`` intValue (protojson string form; NULL → absent),
+    - ``score``      doubleValue = latency_ms · 0.5 (NULL → absent),
+    - ``valid``      boolValue (NULL → absent),
+    - ``req_b64``    bytesValue = base64(req_id bytes) (NULL → absent),
+    - ``tools``      arrayValue of stringValues [tool, role] with NULL
+                     members skipped — ALWAYS present, so an empty
+                     array round-trips as empty (≠ absent),
+    - ``ctx``        kvlistValue {conv: conv_id, turn: turn_idx}.
+    """
+    leaf_str = lambda c: _av_leaf(stringValue=c)  # noqa: E731
+    attr = lambda k, v: F.struct(F.lit(k).alias("key"), v.alias("value"))  # noqa: E731
+    attrs = F.filter(
+        F.array(
+            attr("svc", _av(stringValue=F.col("svc"))),
+            attr("latency_ms", _av(intValue=F.col("latency_ms").cast("string"))),
+            attr("score", _av(doubleValue=F.col("latency_ms") * F.lit(0.5))),
+            attr("valid", _av(boolValue=F.col("valid"))),
+            attr(
+                "req_b64",
+                _av(bytesValue=F.base64(F.col("req_id").cast("binary"))),
+            ),
+            attr(
+                "tools",
+                _av(
+                    arrayValue=F.struct(
+                        F.transform(
+                            F.filter(
+                                F.array(F.col("tool"), F.col("role")),
+                                lambda x: x.isNotNull(),
+                            ),
+                            leaf_str,
+                        ).alias("values")
+                    )
+                ),
+            ),
+            attr(
+                "ctx",
+                _av(
+                    kvlistValue=F.struct(
+                        F.array(
+                            F.struct(
+                                F.lit("conv").alias("key"),
+                                leaf_str(F.col("conv_id")).alias("value"),
+                            ),
+                            F.struct(
+                                F.lit("turn").alias("key"),
+                                leaf_str(F.col("turn_idx").cast("string")).alias(
+                                    "value"
+                                ),
+                            ),
+                        ).alias("values")
+                    )
+                ),
+            ),
+        ),
+        # an attribute whose every branch is NULL is ABSENT (presence);
+        # array/kvlist attrs are always present (their struct is set)
+        lambda a: (
+            a["value"]["stringValue"].isNotNull()
+            | a["value"]["intValue"].isNotNull()
+            | a["value"]["doubleValue"].isNotNull()
+            | a["value"]["boolValue"].isNotNull()
+            | a["value"]["bytesValue"].isNotNull()
+            | a["value"]["arrayValue"].isNotNull()
+            | a["value"]["kvlistValue"].isNotNull()
+        ),
+    )
+    rec = F.struct(
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("timeUnixNano"),
+        F.col("turn_idx").alias("turnIdx"),
+        attrs.alias("attributes"),
+    )
+    with_rec = parsed.select("conv_id", "turn_idx", rec.alias("record"))
+    return (
+        with_rec.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list("record"), _cmp(lambda e: e["turnIdx"])
+            ).alias("_recs")
+        )
+        .select(
+            "conv_id",
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.create_map(F.lit("conv_id"), F.col("conv_id")).alias(
+                            "attributes"
+                        )
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(F.lit("otelcol-spark").alias("name")).alias(
+                                "scope"
+                            ),
+                            F.col("_recs").alias("logRecords"),
+                        )
+                    ).alias("scopeLogs"),
+                )
+            ).alias("otlp_json"),
+        )
+    )
+
+
+def flatten_attrs_anyvalue_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse → flat typed columns (one per AnyValue branch; nested
+    array/kvlist flattened to signature strings — the oracle-portable
+    form). Absent attributes come back NULL; an EMPTY arrayValue comes
+    back '' (present-but-empty ≠ absent, pinned by test)."""
+    d = nested.select(
+        F.from_json(F.col(json_col), LOGS_ANYVALUE_OTLP_SCHEMA).alias("d")
+    )
+    sl = d.select(
+        F.col("d.resource.attributes")["conv_id"].alias("conv_id"),
+        F.explode("d.scopeLogs").alias("s"),
+    )
+    recs = sl.select("conv_id", F.explode("s.logRecords").alias("r"))
+    get = lambda k: F.try_element_at(  # noqa: E731
+        F.filter(F.col("r.attributes"), lambda a: a["key"] == F.lit(k)), F.lit(1)
+    )["value"]
+    return recs.select(
+        "conv_id",
+        F.col("r.turnIdx").alias("turn_idx"),
+        get("svc")["stringValue"].alias("svc"),
+        get("latency_ms")["intValue"].cast("long").alias("latency_ms"),
+        get("score")["doubleValue"].alias("score"),
+        get("valid")["boolValue"].alias("valid"),
+        get("req_b64")["bytesValue"].alias("req_b64"),
+        F.array_join(
+            F.transform(
+                get("tools")["arrayValue"]["values"], lambda v: v["stringValue"]
+            ),
+            ";",
+        ).alias("tools_sig"),
+        F.array_join(
+            F.transform(
+                get("ctx")["kvlistValue"]["values"],
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]["stringValue"]),
+            ),
+            ";",
+        ).alias("ctx_sig"),
+    )

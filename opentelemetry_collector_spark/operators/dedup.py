@@ -1416,6 +1416,7 @@ def neardup_components(
     id_col: str = "doc_id",
     max_iters: int = 20,
     persist_handle: list | None = None,
+    stats_handle: dict | None = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph: every doc
     gets component_id = min doc id reachable through near-dup edges.
@@ -1446,8 +1447,9 @@ def neardup_components(
     labels = ids.withColumn("comp", F.col("id")).persist()
     labels.count()
     converged = False
+    rounds = 0
     try:
-        for _ in range(max_iters):
+        for rounds in range(1, max_iters + 1):
             neigh = (
                 edges.join(labels.withColumnRenamed("id", "v"), "v")
                 .groupBy("u")
@@ -1483,6 +1485,10 @@ def neardup_components(
                 f"neardup_components did not converge in {max_iters} "
                 "rounds (component diameter exceeds max_iters)"
             )
+        if stats_handle is not None:
+            # O(component-diameter) evidence for the scale-growth
+            # harness: rounds-to-convergence at two corpus scales
+            stats_handle["rounds"] = rounds
         if persist_handle is not None:
             persist_handle.append(labels)
         # else: the returned cache is reclaimed by the ContextCleaner

@@ -213,19 +213,63 @@ def ivf_centroids(
     return cent
 
 
+def ivf_sample_target(n: int, k: int = 16) -> int:
+    """Fit-sample size rule (r5 — replaces the fixed lowest-4096 head):
+    ≥256 points per centroid (the standard k-means stability
+    guideline), floor 4096 so tiny corpora fit on everything, cap
+    65536 so the driver collect stays bounded at ANY corpus size.
+    Scales with k, not n — k-means sample sufficiency depends on the
+    number of clusters, not the population (documented bound; the
+    Bernoulli selection below keeps the sample REPRESENTATIVE as n
+    grows, which the lowest-id head was not)."""
+    return min(n, max(256 * k, 4096), 65536)
+
+
+def ivf_sample_threshold(n: int, target: int) -> int:
+    """uint32 keep-threshold for the md5-Bernoulli rule: keep iff
+    uint32(md5(str(id))[:8]) < ceil(target·2³²/n). Computed driver-side
+    in arbitrary-precision Python so the per-row comparison needs no
+    bigint multiply (h·n overflows long past n≈2³¹ — real at 100 TB
+    embedding scale)."""
+    return (target * (2**32) + n - 1) // n
+
+
+def ivf_sample_keep(n: int, target: int, id_val) -> bool:
+    """THE md5-Bernoulli membership rule, integer-exact and engine-
+    portable (the mix_sample ppm pattern). Python mirror of the Spark
+    predicate in fit_ivf — the oracle-side pyarrow fit uses this
+    directly."""
+    import hashlib
+
+    h = int(hashlib.md5(str(id_val).encode()).hexdigest()[:8], 16)
+    return h < ivf_sample_threshold(n, target)
+
+
 def fit_ivf(
     df: DataFrame,
     k: int = 16,
-    sample: int = 4096,
+    sample: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = IVF_SEED,
 ) -> np.ndarray:
-    """Fit centroids on a DETERMINISTIC sample (lowest ids) — layout-
-    independent, so refits on reshuffled inputs give identical cells.
-    At corpus scale the fit is a driver-side numpy job over a bounded
-    sample; assignment below is the distributed part."""
-    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    """Fit centroids on a DETERMINISTIC, REPRESENTATIVE sample:
+    md5-Bernoulli over ids at rate ivf_sample_target(n, k)/n — layout-
+    independent (refits on reshuffled inputs give identical cells) and
+    distribution-faithful at any corpus size (the r4 lowest-4096 head
+    over-represented whatever the low ids happened to contain). The
+    driver collect is bounded by the 65536 cap; assignment below is
+    the distributed part. ``sample`` overrides the target (tests)."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("fit_ivf: empty input")
+    target = sample if sample is not None else ivf_sample_target(n, k)
+    if target < n:
+        keep = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long") < F.lit(int(ivf_sample_threshold(n, target)))
+        df = df.filter(keep)
+    rows = df.orderBy(id_col).select(vec_col).collect()
     return ivf_centroids(np.array([r[0] for r in rows]), k=k, seed=seed)
 
 

@@ -37,6 +37,9 @@ GENERATORS = (
     "neardup_winnow",
     "embedding_neardup_lsh",
     "dedup_incremental",
+    # r5 (VERDICT r4 #6): the two previously-absent generators
+    "neardup_components",
+    "ann_ivf_probe",
 )
 
 
@@ -48,8 +51,68 @@ def _emb(spark: SparkSession, fx_dir: str) -> DataFrame:
     return spark.read.parquet(f"{fx_dir}/embeddings.parquet")
 
 
+def _ivf_fit(spark: SparkSession, fx_dir: str):
+    """Centroids + query vector for the scale-growth corpus (query =
+    lowest-id embedding; fit = the registered query's md5-Bernoulli
+    path, which genuinely subsamples at the 4× scale)."""
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb = _emb(spark, fx_dir)
+    cent = similarity.fit_ivf(emb, k=16)
+    q = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    return emb, cent, q
+
+
+def ivf_probe_recall(
+    spark: SparkSession,
+    fx_dir: str,
+    k: int = 10,
+    n_queries: int = 16,
+    strong: float = 0.8,
+) -> float:
+    """Strong-neighbor recall: over the first n_queries vectors,
+    (found planted twins) / (all planted twins), where a twin is an
+    exact top-k neighbor with cosine ≥ `strong` (the fixture's noisy
+    copies sit at ~0.93; random 64-dim pairs at ~0). Candidate growth
+    alone can't show the probe still FINDS things, and single-query
+    top-k recall is dominated by noise neighbors for queries without
+    planted twins (measured: a twin-less query reads the
+    n_probes/n_cells floor regardless of correctness)."""
+    from opentelemetry_collector_spark.operators import similarity
+
+    emb, cent, _ = _ivf_fit(spark, fx_dir)
+    celled = similarity.with_ivf_cell(emb, cent).persist()
+    qrows = emb.orderBy("vec_id").limit(n_queries).collect()
+    num = den = 0
+    try:
+        for r in qrows:
+            q = [float(v) for v in r["embedding"]]
+            others = F.col("vec_id") != r["vec_id"]
+            exact = similarity.cosine_topk(emb.filter(others), q, k=k).collect()
+            twins = {e["vec_id"] for e in exact if e["cos_sim"] >= strong}
+            if not twins:
+                continue
+            found = {
+                x["vec_id"]
+                for x in similarity.ann_topk_ivf(
+                    celled.filter(others), q, cent, k=k, n_probes=4
+                ).collect()
+            }
+            num += len(found & twins)
+            den += len(twins)
+    finally:
+        celled.unpersist()
+    if den == 0:
+        raise RuntimeError(
+            "ivf_probe_recall: no planted twins among the query set — "
+            "the recall metric would be vacuous"
+        )
+    return num / den
+
+
 def build(
-    spark: SparkSession, fx_dir: str, name: str, candidates_only: bool
+    spark: SparkSession, fx_dir: str, name: str, candidates_only: bool,
+    stats: dict | None = None,
 ) -> DataFrame:
     """The generator exactly as its registered query runs it (same
     thresholds / hamming budget / scaled bits), on the scale-growth
@@ -94,6 +157,26 @@ def build(
             store,
             candidates_only=candidates_only,
         )
+    if name == "neardup_components":
+        # candidates = the symmetric edge list the propagation joins
+        # on every round; full = the label frame. Rounds-to-converge
+        # land in `stats` (the O(diameter) claim needs the round count
+        # at both scales, not just wall time).
+        docs = _docs(spark, fx_dir)
+        pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5)
+        if candidates_only:
+            return pairs
+        return dedup.neardup_components(docs, pairs, stats_handle=stats)
+    if name == "ann_ivf_probe":
+        # candidates = vectors inside the probed cells (the probe's
+        # scan volume — the quantity that must stay ~n·probes/cells);
+        # full = the IVF top-k itself
+        emb, cent, q = _ivf_fit(spark, fx_dir)
+        celled = similarity.with_ivf_cell(emb, cent)
+        if candidates_only:
+            probes = similarity.ivf_probe_cells(q, cent, n_probes=4)
+            return celled.filter(F.col("ivf_cell").isin(probes))
+        return similarity.ann_topk_ivf(celled, q, cent, k=10, n_probes=4)
     raise KeyError(name)
 
 
@@ -111,20 +194,29 @@ def measure(
     for name in names:
         cand = build(spark, fx_dir, name, candidates_only=True).count()
         spark.catalog.clearCache()
+        stats: dict = {}
         t0 = time.perf_counter()
         res = (
-            build(spark, fx_dir, name, candidates_only=False)
+            build(spark, fx_dir, name, candidates_only=False, stats=stats)
             .agg(F.count(F.lit(1)))
             .collect()[0][0]
         )
         sec = time.perf_counter() - t0
         spark.catalog.clearCache()
         out[name] = {
-            "n": n_vecs if name == "embedding_neardup_lsh" else n_docs,
+            "n": (
+                n_vecs
+                if name in ("embedding_neardup_lsh", "ann_ivf_probe")
+                else n_docs
+            ),
             "candidates": cand,
             "results": res,
             "sec": round(sec, 3),
         }
+        out[name].update(stats)  # e.g. components' rounds-to-converge
+        if name == "ann_ivf_probe":
+            out[name]["recall"] = round(ivf_probe_recall(spark, fx_dir), 3)
+            spark.catalog.clearCache()
     return out
 
 

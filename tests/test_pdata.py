@@ -188,3 +188,50 @@ def test_data_point_count_covers_all_five_branches(spark, sf_dir):
     # one datapoint per document for both branches
     assert pdata.data_point_count(exp_docs) == exp_docs.count()
     assert pdata.data_point_count(sum_docs) == sum_docs.count()
+
+
+def test_anyvalue_envelope_presence_edges(spark):
+    """The AnyValue envelope's presence contract (r5): an attribute
+    whose value is NULL is ABSENT from the document and comes back
+    NULL; an EMPTY arrayValue is PRESENT and comes back '' (≠ absent);
+    int64 rides as a protojson STRING; bytes as base64."""
+    import json
+
+    rows = [
+        # all branches present
+        ("c1", 0, "2025-01-01 00:00:00", "api", 100, True, "r-1", "db", "tool"),
+        # svc/latency/valid/req NULL → those attrs absent; tool+role
+        # NULL → arrayValue PRESENT but empty
+        ("c1", 1, "2025-01-01 00:00:01", None, None, None, None, None, None),
+    ]
+    parsed = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, ts string, svc string, "
+        "latency_ms long, valid boolean, req_id string, tool string, "
+        "role string",
+    )
+    nested = pdata.nest_attrs_anyvalue_to_otlp(parsed)
+    doc = json.loads(nested.first()["otlp_json"])
+    recs = doc["scopeLogs"][0]["logRecords"]
+    by_turn = {r["turnIdx"]: {a["key"]: a["value"] for a in r["attributes"]} for r in recs}
+    assert by_turn[0]["latency_ms"] == {"intValue": "100"}  # int64-as-string
+    assert by_turn[0]["score"] == {"doubleValue": 50.0}
+    assert by_turn[0]["valid"] == {"boolValue": True}
+    assert "bytesValue" in by_turn[0]["req_b64"]
+    assert by_turn[0]["tools"] == {
+        "arrayValue": {"values": [{"stringValue": "db"}, {"stringValue": "tool"}]}
+    }
+    assert by_turn[0]["ctx"]["kvlistValue"]["values"][0] == {
+        "key": "conv", "value": {"stringValue": "c1"}
+    }
+    # absent vs empty
+    assert "svc" not in by_turn[1] and "latency_ms" not in by_turn[1]
+    assert "valid" not in by_turn[1] and "req_b64" not in by_turn[1]
+    assert by_turn[1]["tools"] == {"arrayValue": {"values": []}}
+    flat = {r["turn_idx"]: r for r in pdata.flatten_attrs_anyvalue_from_otlp(nested).collect()}
+    assert flat[0]["svc"] == "api" and flat[0]["latency_ms"] == 100
+    assert flat[0]["tools_sig"] == "db;tool" and flat[0]["req_b64"]
+    assert flat[1]["svc"] is None and flat[1]["latency_ms"] is None
+    assert flat[1]["valid"] is None and flat[1]["req_b64"] is None
+    assert flat[1]["tools_sig"] == ""  # present-but-empty, not NULL
+    assert flat[1]["ctx_sig"] == "conv=c1;turn=1"

@@ -50,3 +50,32 @@ def test_generators_find_planted_duplicates(report, name):
     scales would pass the growth gate while finding nothing."""
     g = report["generators"][name]
     assert g["x4"]["results"] > 0, f"{name} found no duplicates at 4×"
+
+
+def test_components_rounds_stay_diameter_bounded(report):
+    """Label propagation converges in O(component diameter) rounds;
+    the duplicate-cluster structure is scale-invariant in the fixture,
+    so a 4× corpus must not need meaningfully more rounds (a growing
+    round count would mean chains growing with n — the pathology the
+    two-phase star algorithm exists for)."""
+    g = report["generators"]["neardup_components"]
+    assert g["x1"]["rounds"] >= 1
+    assert g["x4"]["rounds"] <= g["x1"]["rounds"] + 2
+    # labels cover every doc at both scales
+    assert g["x1"]["results"] == g["x1"]["n"]
+    assert g["x4"]["results"] == g["x4"]["n"]
+
+
+def test_ivf_probe_recall_holds_at_both_scales(report):
+    """Candidate growth alone can't show the probe still finds the
+    true neighbors — strong-neighbor (planted-twin) recall must hold
+    as n grows (the fit subsamples via md5-Bernoulli at 4×; the
+    metric itself raises if the query set carries no twins)."""
+    g = report["generators"]["ann_ivf_probe"]
+    assert g["x1"]["recall"] >= 0.8
+    assert g["x4"]["recall"] >= 0.8
+    # probe scan volume stays the n_probes/n_cells fraction: 4/16 of
+    # the corpus ± cell-imbalance slack
+    for s in ("x1", "x4"):
+        frac = g[s]["candidates"] / g[s]["n"]
+        assert 0.05 <= frac <= 0.6, f"{s}: probe scans {frac:.2f} of corpus"

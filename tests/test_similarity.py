@@ -223,3 +223,31 @@ def test_band_key_sign_margin_over_fixtures():
         planes = np.vstack(plane_sets)
         margin = np.abs(mat @ planes.T).min()
         assert margin >= 1e-9, f"{sf_dir}: sign margin {margin} too small"
+
+
+def test_ivf_fit_bernoulli_sample_engages_and_is_layout_stable(spark, sf_dir):
+    """With a sample override below n, the md5-Bernoulli fit path must
+    (a) actually subsample, (b) give identical centroids on a
+    reshuffled input, and (c) match a pure-Python selection of the
+    same rule (the oracle mirror)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    target = 256
+    a = similarity.fit_ivf(emb, k=4, sample=target)
+    b = similarity.fit_ivf(emb.repartition(7), k=4, sample=target)
+    assert np.array_equal(a, b)
+    # python mirror of the selection
+    rows = sorted(
+        (r["vec_id"], r["embedding"]) for r in emb.collect()
+        if similarity.ivf_sample_keep(n, target, r["vec_id"])
+    )
+    assert 0 < len(rows) < n  # genuinely subsampled
+    # binomial concentration: within 4σ of the target rate
+    sd = (n * (target / n) * (1 - target / n)) ** 0.5
+    assert abs(len(rows) - target) < 4 * sd + 1
+    c = similarity.ivf_centroids(
+        np.array([v for _, v in rows], dtype="float64"), k=4
+    )
+    assert np.array_equal(a, c)
