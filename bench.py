@@ -74,6 +74,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "lm_score",
         "profile_hot_functions",
         "dedup_incremental",
+        # r5: the production path — per-increment cost against the
+        # disk-backed bucketed store (built once in the warm-up)
+        "dedup_incremental_bucketed",
         # r4: per-signal wire formats (pmetric/ptrace codecs)
         "spans_roundtrip",
         "metrics_roundtrip",

@@ -240,7 +240,7 @@ def ensure_versioned_tool_dim() -> str:
 # otherwise serve stale bytes from a prior round's fixtures/ dir (r3
 # switched media image payloads from hash chains to real PNGs — an old
 # cache would silently exercise the stub path forever)
-MEDIA_GEN_VERSION = 3
+MEDIA_GEN_VERSION = 4
 PROFILES_GEN_VERSION = 1
 
 
@@ -257,6 +257,8 @@ def ensure_media(n: int = 96, seed: int = SEED) -> str:
     import hashlib
 
     from opentelemetry_collector_spark.operators.multimodal import (
+        AVI_FPS,
+        _avi_frames,
         _wav_samples,
         media_rows,
     )
@@ -268,15 +270,22 @@ def ensure_media(n: int = 96, seed: int = SEED) -> str:
         # any encoding — the Spark side recomputes it from the DECODED
         # wav stream, so oracle parity is a true codec check (not the
         # decoder checking itself)
-        sample_sums = []
+        sample_sums, pixel_sums, frame_counts = [], [], []
         for i, mt, _payload, meta in rows:
+            ssum = psum = nfr = None
             if mt == "audio/wav":
                 ns = meta["sample_rate"] * meta["duration_ms"] // 1000
-                sample_sums.append(
-                    int(_wav_samples(i, seed, ns).sum(dtype="int64"))
+                ssum = int(_wav_samples(i, seed, ns).sum(dtype="int64"))
+            elif mt == "video/avi":
+                nfr = meta["duration_ms"] * AVI_FPS // 1000
+                psum = int(
+                    _avi_frames(
+                        i, seed, nfr, meta["height"], meta["width"]
+                    ).sum(dtype="int64")
                 )
-            else:
-                sample_sums.append(None)
+            sample_sums.append(ssum)
+            pixel_sums.append(psum)
+            frame_counts.append(nfr)
         meta_type = pa.struct(
             [
                 ("width", pa.int32()),
@@ -297,6 +306,8 @@ def ensure_media(n: int = 96, seed: int = SEED) -> str:
                     pa.string(),
                 ),
                 "audio_sample_sum": pa.array(sample_sums, pa.int64()),
+                "video_pixel_sum": pa.array(pixel_sums, pa.int64()),
+                "video_n_frames": pa.array(frame_counts, pa.int32()),
             }
         )
         path.parent.mkdir(parents=True, exist_ok=True)

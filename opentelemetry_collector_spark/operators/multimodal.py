@@ -10,9 +10,10 @@ Spark-side plumbing for a training-data pipeline's media handling:
   (functions/png.py: struct chunk walk + zlib inflate + 0-4 defilter);
 - audio/wav rows decode for REAL via the stdlib codec
   (functions/wav.py: `wave` + numpy → PCM s16le samples);
-- video decode stays STUBBED (no codec libs in this container) behind
-  ``_decode_stub``, a deterministic fake with the real-library call
-  site marked.
+- video/avi rows decode for REAL via the stdlib codec (r5;
+  functions/avi.py: RIFF walk → rawvideo RGB24 frames). Compressed
+  video (h264 etc.) genuinely needs external codec libraries and
+  degrades to ``_decode_stub``, the documented deterministic fake.
 
 Scale notes: mapInPandas streams Arrow batches (no full-partition
 materialization); media work is embarrassingly parallel so the only
@@ -40,7 +41,8 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes long, sha256 string, "
     "feature array<float>, decoded_shape array<int>, "
-    "decoded_duration_ms int, sample_sum long"
+    "decoded_duration_ms int, sample_sum long, "
+    "n_frames int, pixel_sum long"
 )
 
 RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
@@ -66,27 +68,58 @@ def _wav_samples(i: int, seed: int, n_samples: int) -> np.ndarray:
     return rng.randint(-(2**15), 2**15, size=shape).astype("<i2")
 
 
+AVI_FPS = 10
+
+
+def _avi_frames(i: int, seed: int, n_frames: int, h: int, w: int) -> np.ndarray:
+    """Deterministic test video i: seeded RGB noise + a per-frame
+    gradient so frames differ (frame sampling has real content)."""
+    rng = np.random.RandomState(seed * 100_003 + i)
+    frames = rng.randint(0, 256, size=(n_frames, h, w, 3)).astype(np.uint8)
+    grad = (np.add.outer(np.arange(h), np.arange(w)) % 128).astype(np.uint8)
+    for f in range(n_frames):
+        frames[f, :, :, 0] = (frames[f, :, :, 0] // 2 + grad + f) % 256
+    return frames
+
+
 def media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic media rows — the pdata/testdata GenerateLogs analog
     for media. image/png rows carry REAL spec-conformant PNG bytes
     (functions/png.py encoder, filter type i%5 so all five filters
     appear in the fixtures); audio/wav rows carry REAL RIFF/WAVE PCM
     s16le bytes (functions/wav.py, mono + stereo, duration matching
-    the metadata); video payloads stay seeded hash chains (decoder
-    remains a stub — no codec libs here). Shared by synthetic_media
-    (in-memory tests) and fixtures.ensure_media (the parquet the
-    DuckDB oracle reads)."""
-    from opentelemetry_collector_spark.functions import png, wav
+    the metadata); video/avi rows carry REAL RIFF/AVI rawvideo RGB24
+    bytes (functions/avi.py, r5 — frame count matching the metadata
+    duration at 10 fps). Shared by synthetic_media (in-memory tests)
+    and fixtures.ensure_media (the parquet the DuckDB oracle reads)."""
+    from opentelemetry_collector_spark.functions import avi, png, wav
 
     rows = []
     for i in range(n):
-        mt = ("image/png", "audio/wav", "video/mp4")[i % 3]
+        mt = ("image/png", "audio/wav", "video/avi")[i % 3]
+        n_frames = 4 + i % 7
         meta = {
-            "width": 64 + (i % 8) * 16 if mt.startswith("image") else None,
-            "height": 64 + (i % 5) * 16 if mt.startswith("image") else None,
+            "width": (
+                64 + (i % 8) * 16
+                if mt.startswith("image")
+                else 16 + (i % 3) * 4 if mt.startswith("video") else None
+            ),
+            "height": (
+                64 + (i % 5) * 16
+                if mt.startswith("image")
+                else 12 + (i % 2) * 4 if mt.startswith("video") else None
+            ),
             "sample_rate": 16000 if mt.startswith("audio") else None,
-            "duration_ms": 1000 + i * 10 if not mt.startswith("image") else None,
-            "codec": {"image/png": "png", "audio/wav": "pcm_s16le", "video/mp4": "h264"}[mt],
+            "duration_ms": (
+                1000 + i * 10
+                if mt.startswith("audio")
+                else n_frames * 1000 // AVI_FPS if mt.startswith("video") else None
+            ),
+            "codec": {
+                "image/png": "png",
+                "audio/wav": "pcm_s16le",
+                "video/avi": "rawvideo",
+            }[mt],
         }
         if mt == "image/png":
             payload = png.encode(
@@ -99,7 +132,10 @@ def media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 _wav_samples(i, seed, n_samples), meta["sample_rate"]
             )
         else:
-            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+            payload = avi.encode(
+                _avi_frames(i, seed, n_frames, meta["height"], meta["width"]),
+                fps=AVI_FPS,
+            )
         rows.append((i, mt, bytearray(payload), meta))
     return rows
 
@@ -136,15 +172,17 @@ def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """Media decode dispatch: PNG images decode for REAL (stdlib codec,
     functions/png.py — zlib inflate + full 0-4 defilter incl. Paeth),
-    WAV audio decodes for REAL (functions/wav.py — PCM s16le samples);
-    video falls through to the documented _decode_stub.
+    WAV audio decodes for REAL (functions/wav.py — PCM s16le samples),
+    AVI rawvideo decodes for REAL (r5, functions/avi.py — RIFF walk →
+    (n, h, w, 3) frames); compressed video falls through to the
+    documented _decode_stub.
 
-    A malformed/unsupported payload (truncated PNG, compressed WAV —
-    dirty corpora have all of them) must NOT kill the Spark task from
-    inside mapInPandas: it degrades to the deterministic stub decode,
-    exactly how the row would have been treated before the codec
-    existed."""
-    from opentelemetry_collector_spark.functions import png, wav
+    A malformed/unsupported payload (truncated PNG, compressed WAV,
+    h264 AVI — dirty corpora have all of them) must NOT kill the Spark
+    task from inside mapInPandas: it degrades to the deterministic
+    stub decode, exactly how the row would have been treated before
+    the codec existed."""
+    from opentelemetry_collector_spark.functions import avi, png, wav
 
     if media_type == "image/png" and payload[: len(png.PNG_MAGIC)] == png.PNG_MAGIC:
         try:
@@ -156,6 +194,11 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
             return wav.decode(payload)[0].astype(np.float32)
         except ValueError:
             return _decode_stub(payload, media_type)
+    if media_type.startswith("video") and payload[:4] == b"RIFF":
+        try:
+            return avi.decode(payload)[0].astype(np.float32)
+        except ValueError:
+            return _decode_stub(payload, media_type)
     return _decode_stub(payload, media_type)
 
 
@@ -165,12 +208,13 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     Arrow batches in, Arrow batches out; pure function of payload bytes.
     """
 
-    from opentelemetry_collector_spark.functions import wav
+    from opentelemetry_collector_spark.functions import avi, wav
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, shapes, hashes, nbytes = [], [], [], []
             durations, sample_sums = [], []
+            frame_counts, pixel_sums = [], []
             for payload, mt in zip(pdf["payload"], pdf["media_type"]):
                 arr = decode_media(bytes(payload), mt)
                 flat = arr.ravel()
@@ -179,10 +223,11 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                 shapes.append(list(arr.shape))
                 hashes.append(hashlib.sha256(bytes(payload)).hexdigest())
                 nbytes.append(len(bytes(payload)))
-                # audio: duration + exact integer sample sum from the
-                # DECODED stream (the oracle checks them against
-                # generation-time ground truth — a real decode check)
-                dur = ssum = None
+                # audio/video: duration + exact integer content sums
+                # from the DECODED stream (the oracle checks them
+                # against generation-time ground truth — a real decode
+                # check, not the decoder checking itself)
+                dur = ssum = nfr = psum = None
                 if mt == "audio/wav":
                     try:
                         samples, rate = wav.decode(bytes(payload))
@@ -190,8 +235,18 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                         ssum = int(samples.sum(dtype="int64"))
                     except ValueError:
                         pass
+                elif mt.startswith("video"):
+                    try:
+                        frames, fps = avi.decode(bytes(payload))
+                        nfr = frames.shape[0]
+                        dur = round(1000 * nfr / fps)
+                        psum = int(frames.sum(dtype="int64"))
+                    except ValueError:
+                        pass
                 durations.append(dur)
                 sample_sums.append(ssum)
+                frame_counts.append(nfr)
+                pixel_sums.append(psum)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -202,6 +257,8 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                     "decoded_shape": shapes,
                     "decoded_duration_ms": pd.array(durations, dtype="Int32"),
                     "sample_sum": pd.array(sample_sums, dtype="Int64"),
+                    "n_frames": pd.array(frame_counts, dtype="Int32"),
+                    "pixel_sum": pd.array(pixel_sums, dtype="Int64"),
                 }
             )
 
@@ -243,8 +300,11 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
 
 def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
-    (real impl: pyav/ffmpeg seek; stub derives frame bytes from the
-    payload hash chain). Explodes rows — the canonical fan-out shape."""
+    at every_ms intervals, carrying the REAL decoded frame's RGB bytes
+    (r5, functions/avi.py; undecodable video — e.g. compressed —
+    degrades to the hash-chain stub frame so dirty corpora never kill
+    the task). Explodes rows — the canonical fan-out shape."""
+    from opentelemetry_collector_spark.functions import avi
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -254,13 +314,26 @@ def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
             ):
                 if not mt.startswith("video"):
                     continue
+                decoded = fps = None
+                try:
+                    decoded, fps = avi.decode(bytes(payload))
+                except ValueError:
+                    pass
                 dur = (meta or {}).get("duration_ms") or 0
+                if decoded is not None and fps:
+                    dur = 1000 * decoded.shape[0] // fps
                 for t in range(0, int(dur), every_ms):
                     ids.append(mid)
                     ts.append(t)
-                    frames.append(
-                        hashlib.sha256(bytes(payload) + t.to_bytes(4, "big")).digest()
-                    )
+                    if decoded is not None and fps:
+                        idx = min(t * fps // 1000, decoded.shape[0] - 1)
+                        frames.append(decoded[idx].tobytes())
+                    else:
+                        frames.append(
+                            hashlib.sha256(
+                                bytes(payload) + t.to_bytes(4, "big")
+                            ).digest()
+                        )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_ms": ts, "frame": frames}
             )

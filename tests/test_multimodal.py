@@ -1,8 +1,9 @@
 """Multimodal plumbing: schema, Arrow batch shape, determinism.
 
-The decode is a documented deterministic stub (no media libs in this
-container); everything Spark-side — mapInPandas signatures, schemas,
-explode shape, partitioning — is real.
+All three modalities decode for REAL via stdlib codecs (png/wav/avi);
+compressed payloads degrade to the documented deterministic stub.
+Everything Spark-side — mapInPandas signatures, schemas, explode
+shape, partitioning — is real.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ def media(spark):
 def test_media_schema(media):
     assert media.count() == 48
     kinds = {r["media_type"] for r in media.select("media_type").distinct().collect()}
-    assert kinds == {"image/png", "audio/wav", "video/mp4"}
+    assert kinds == {"image/png", "audio/wav", "video/avi"}
 
 
 def test_feature_extraction_shape_and_determinism(media):
@@ -49,13 +50,34 @@ def test_resize_only_touches_images(media):
 
 def test_frame_sampling_explodes_videos(media):
     frames = mm.sample_frames(media, every_ms=250)
-    n_videos = media.filter(F.col("media_type") == "video/mp4").count()
+    vids = media.filter(F.col("media_type") == "video/avi")
+    n_videos = vids.count()
     out = frames.collect()
     assert len(out) > n_videos  # multiple frames per video
-    assert {r["media_id"] for r in out} == {
-        r["media_id"] for r in media.filter(F.col("media_type") == "video/mp4").collect()
-    }
-    for r in out[:5]:
+    assert {r["media_id"] for r in out} == {r["media_id"] for r in vids.collect()}
+    # real decoded frames: RGB bytes matching the video's dimensions,
+    # and distinct frames at distinct timestamps (the per-frame
+    # gradient means content actually changes)
+    meta = {r["media_id"]: r["meta"] for r in vids.collect()}
+    by_vid: dict = {}
+    for r in out:
+        m = meta[r["media_id"]]
+        assert len(bytes(r["frame"])) == m["width"] * m["height"] * 3
+        by_vid.setdefault(r["media_id"], {})[r["frame_ms"]] = bytes(r["frame"])
+    multi = [v for v in by_vid.values() if len(v) >= 2]
+    assert multi and any(len(set(v.values())) > 1 for v in multi)
+
+
+def test_frame_sampling_degrades_on_compressed_video(spark):
+    """A video row whose payload is NOT decodable AVI (e.g. h264 in an
+    mp4) must still produce stub frames, not kill the task."""
+    rows = [(0, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42" * 8),
+             {"width": None, "height": None, "sample_rate": None,
+              "duration_ms": 500, "codec": "h264"})]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_frames(df, every_ms=250).collect()
+    assert len(out) == 2
+    for r in out:
         assert len(bytes(r["frame"])) == 32  # sha256 stub frame
 
 
@@ -115,9 +137,9 @@ def test_png_decode_rejects_garbage():
 
 def test_extract_features_real_decoded_shapes(spark):
     """media_features over synthetic media: PNG rows must report their
-    TRUE decoded (height, width[, 3]) and WAV rows their TRUE sample
-    counts — proving both real decoders ran — while video keeps the
-    documented stub shape."""
+    TRUE decoded (height, width[, 3]), WAV rows their TRUE sample
+    counts, and AVI rows their TRUE (n_frames, h, w, 3) — proving all
+    three real decoders ran."""
     from opentelemetry_collector_spark.operators import multimodal as mm
 
     df = mm.synthetic_media(spark, n=12)
@@ -136,8 +158,11 @@ def test_extract_features_real_decoded_shapes(spark):
             assert shape == want, (media_id, shape)
             assert out[media_id]["decoded_duration_ms"] == meta["duration_ms"]
         else:
-            assert len(shape) == 1  # video stub: flat byte array
-            assert out[media_id]["decoded_duration_ms"] is None
+            n_frames = 4 + media_id % 7
+            assert shape == [n_frames, meta["height"], meta["width"], 3], (
+                media_id, shape,
+            )
+            assert out[media_id]["decoded_duration_ms"] == meta["duration_ms"]
 
 
 def test_wav_codec_roundtrip_and_golden():
@@ -187,3 +212,45 @@ def test_wav_malformed_degrades_to_stub():
     truncated = b"RIFF\x00\x00\x00\x00WAVE"
     out2 = mm.decode_media(truncated, "audio/wav")
     assert out2.dtype == np.float32
+
+
+def test_avi_codec_roundtrip_and_ground_truth():
+    """Stdlib AVI codec: encode→decode is pixel-identical (incl. odd
+    widths that need DIB row padding), fps survives, and the decoded
+    pixel sum equals the source ground truth — the same
+    generation-time-vs-decode contract the WAV codec carries."""
+    import numpy as np
+
+    from opentelemetry_collector_spark.functions import avi
+
+    frames = mm._avi_frames(5, 42, n_frames=6, h=12, w=17)  # odd width
+    buf = avi.encode(frames, fps=10)
+    back, fps = avi.decode(buf)
+    assert fps == 10 and np.array_equal(back, frames)
+    assert int(back.sum(dtype="int64")) == int(frames.sum(dtype="int64"))
+    # malformed payloads raise ValueError (decode_media degrades)
+    import pytest
+
+    for bad in (b"", b"RIFF\x04\x00\x00\x00AVI ", buf[:50]):
+        with pytest.raises(ValueError):
+            avi.decode(bad)
+
+
+def test_video_features_carry_decoded_ground_truth(media):
+    """extract_features' n_frames/pixel_sum come from the DECODED
+    stream and must match the source frames (real decode check)."""
+    out = {
+        r["media_id"]: r
+        for r in mm.extract_features(media).collect()
+    }
+    vids = media.filter(F.col("media_type") == "video/avi").collect()
+    assert vids
+    for v in vids:
+        i = v["media_id"]
+        n_frames = 4 + i % 7
+        src = mm._avi_frames(
+            i, 42, n_frames, v["meta"]["height"], v["meta"]["width"]
+        )
+        assert out[i]["n_frames"] == n_frames
+        assert out[i]["pixel_sum"] == int(src.sum(dtype="int64"))
+        assert out[i]["decoded_duration_ms"] == v["meta"]["duration_ms"]
