@@ -1290,6 +1290,19 @@ def write_minhash_store(
     """
     from opentelemetry_collector_spark.sources.tables import write_bucketed
 
+    # a previous SESSION's in-memory catalog forgot these managed
+    # tables but their warehouse directories persist — saveAsTable then
+    # fails LOCATION_ALREADY_EXISTS. Drop both the catalog entry and
+    # any stale location before writing (idempotent re-ingest).
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for suffix in ("_docs", "_keys", "_counts"):
+        t = f"{name}{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t.lower()}", ignore_errors=True)
+
     store = minhash_store(
         df, id_col, text_col, num_hashes, bands, shingle_n
     ).persist()  # two writes + the counts agg consume it

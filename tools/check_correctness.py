@@ -6,6 +6,10 @@ oracle_sql() in DuckDB against the same parquet files, compares
 
 Usage: python tools/check_correctness.py [key ...]
        python tools/check_correctness.py --json CORRECTNESS_local_rN.json
+       CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_correctness.py \
+           neardup_minhash simhash_pairs ...   # second-scale value check
+           # (r5: caps and q/bits laddering are scale-dependent — the
+           # sf0.01 oracle never exercises the regimes the bench runs)
 
 --json writes the full per-key result as a checked-in artifact so the
 rounds where the driver's frozen key list lags the registry still have
@@ -28,7 +32,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 from opentelemetry_collector_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
