@@ -135,7 +135,7 @@ def decode(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a RIFF/AVI payload")
     w = h = n = None
     usec_per_frame = 100_000
-    bitcount = compression = None
+    bm_w = bm_h = bitcount = compression = None
     frame_chunks: list[tuple[int, int]] = []
     try:
         for fourcc, ps, sz in _walk(payload, 12, len(payload)):
@@ -150,7 +150,7 @@ def decode(payload: bytes) -> tuple[np.ndarray, int]:
                     elif f2 == b"LIST" and payload[ps2 : ps2 + 4] == b"strl":
                         for f3, ps3, _sz3 in _walk(payload, ps2 + 4, ps2 + sz2):
                             if f3 == b"strf":
-                                (_bs, _bw, _bh, _pl, bitcount, compression) = (
+                                (_bs, bm_w, bm_h, _pl, bitcount, compression) = (
                                     struct.unpack_from("<IiiHHI", payload, ps3)
                                 )
             elif listtype == b"movi":
@@ -166,6 +166,15 @@ def decode(payload: bytes) -> tuple[np.ndarray, int]:
             f"unsupported format (biBitCount={bitcount}, "
             f"biCompression={compression}; rawvideo RGB24 only)"
         )
+    # strf's BITMAPINFOHEADER is the authoritative pixel layout:
+    # biHeight < 0 is the legal top-down DIB variant (no row flip);
+    # a width mismatch vs avih would silently mis-stride every row —
+    # reject it rather than emit garbage frames
+    top_down = bm_h is not None and bm_h < 0
+    if bm_w is not None and (bm_w != w or abs(bm_h) != h):
+        raise ValueError(
+            f"strf dimensions {bm_w}×{bm_h} disagree with avih {w}×{h}"
+        )
     stride = (w * 3 + 3) & ~3
     frames = np.empty((len(frame_chunks), h, w, 3), dtype=np.uint8)
     for i, (ps, sz) in enumerate(frame_chunks):
@@ -173,6 +182,6 @@ def decode(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"frame {i}: {sz} bytes < expected {stride * h}")
         rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=ps)
         bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        frames[i] = bgr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+        frames[i] = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
     fps = round(1_000_000 / usec_per_frame) if usec_per_frame else 10
     return frames, fps

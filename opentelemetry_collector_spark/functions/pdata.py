@@ -476,6 +476,52 @@ def _explode_to_metrics(nested: DataFrame, schema: str, json_col: str) -> DataFr
     return sm.select("_svc", F.explode("s.metrics").alias("m"))
 
 
+def _nest_windowed_points(
+    points: DataFrame,
+    metric_struct_fn,
+    doc_window_ns: int,
+) -> DataFrame:
+    """THE (service × time-window) NumberDataPoint document machinery,
+    shared by the gauge and sum nests (they differ only in the metric
+    wrapper struct — metric_struct_fn maps the sorted datapoint array
+    column to it). Window assignment uses integer `div`, not double
+    division: ns epochs exceed double's 2^53 exact-integer range, so
+    `floor(ts_ns / w)` can misplace points within ~128 ns of an hour
+    boundary into the adjacent document (r5 review finding — for the
+    sum branch that would break cumulative-restart/document
+    alignment)."""
+    dp = F.struct(
+        F.col("ts_ns").alias("timeUnixNano"),
+        F.col("value").alias("asInt"),
+        F.map_filter(
+            F.create_map(
+                F.lit("conv_id"), F.col("conv_id"),
+                F.lit("turn_idx"), F.col("turn_idx").cast("string"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attributes"),
+    )
+    # unique (conv, turn) orders datapoints deterministically
+    by_dp = _cmp(
+        lambda e: e["attributes"]["conv_id"],
+        lambda e: e["attributes"]["turn_idx"].cast("int"),
+    )
+    return (
+        points.groupBy(
+            F.col("svc").alias("_svc"),
+            F.expr(f"ts_ns div {int(doc_window_ns)}").alias("_win"),
+        )
+        .agg(F.array_sort(F.collect_list(dp), by_dp).alias("_dps"))
+        .select(
+            F.col("_svc").alias("svc"),
+            F.col("_win").alias("doc_window"),
+            _resource_envelope(
+                F.col("_svc"), F.array(metric_struct_fn(F.col("_dps")))
+            ).alias("otlp_json"),
+        )
+    )
+
+
 def nest_metrics_to_otlp(
     points: DataFrame,
     metric_name: str = "turn_latency_ms",
@@ -496,41 +542,13 @@ def nest_metrics_to_otlp(
     whose resource attribute map simply OMITS the key (presence-
     faithful: svc='' stays distinct from NULL through the round
     trip)."""
-    dp = F.struct(
-        F.col("ts_ns").alias("timeUnixNano"),
-        F.col("value").alias("asInt"),
-        F.map_filter(
-            F.create_map(
-                F.lit("conv_id"), F.col("conv_id"),
-                F.lit("turn_idx"), F.col("turn_idx").cast("string"),
-            ),
-            lambda k, v: v.isNotNull(),
-        ).alias("attributes"),
-    )
-    # unique (conv, turn) orders datapoints deterministically
-    by_dp = _cmp(
-        lambda e: e["attributes"]["conv_id"],
-        lambda e: e["attributes"]["turn_idx"].cast("int"),
-    )
-    return (
-        points.groupBy(
-            F.col("svc").alias("_svc"),
-            F.floor(F.col("ts_ns") / doc_window_ns).alias("_win"),
-        )
-        .agg(F.array_sort(F.collect_list(dp), by_dp).alias("_dps"))
-        .select(
-            F.col("_svc").alias("svc"),
-            F.col("_win").alias("doc_window"),
-            _resource_envelope(
-                F.col("_svc"),
-                F.array(
-                    F.struct(
-                        F.lit(metric_name).alias("name"),
-                        F.struct(F.col("_dps").alias("dataPoints")).alias("gauge"),
-                    )
-                ),
-            ).alias("otlp_json"),
-        )
+    return _nest_windowed_points(
+        points,
+        lambda dps: F.struct(
+            F.lit(metric_name).alias("name"),
+            F.struct(dps.alias("dataPoints")).alias("gauge"),
+        ),
+        doc_window_ns,
     )
 
 
@@ -727,47 +745,20 @@ def nest_sum_metrics_to_otlp(
 ) -> DataFrame:
     """Sum branch of the ResourceMetrics document
     (pdata/pmetric/json.go Sum: aggregationTemporality + isMonotonic
-    ride the metric, not the datapoint). Same envelope/windowing rules
-    as the gauge nest (one doc per service × window — bounded
-    collect_list)."""
-    dp = F.struct(
-        F.col("ts_ns").alias("timeUnixNano"),
-        F.col("value").alias("asInt"),
-        F.map_filter(
-            F.create_map(
-                F.lit("conv_id"), F.col("conv_id"),
-                F.lit("turn_idx"), F.col("turn_idx").cast("string"),
-            ),
-            lambda k, v: v.isNotNull(),
-        ).alias("attributes"),
-    )
-    by_dp = _cmp(
-        lambda e: e["attributes"]["conv_id"],
-        lambda e: e["attributes"]["turn_idx"].cast("int"),
-    )
-    return (
-        points.groupBy(
-            F.col("svc").alias("_svc"),
-            F.floor(F.col("ts_ns") / doc_window_ns).alias("_win"),
-        )
-        .agg(F.array_sort(F.collect_list(dp), by_dp).alias("_dps"))
-        .select(
-            F.col("_svc").alias("svc"),
-            F.col("_win").alias("doc_window"),
-            _resource_envelope(
-                F.col("_svc"),
-                F.array(
-                    F.struct(
-                        F.lit(metric_name).alias("name"),
-                        F.struct(
-                            F.lit(temporality).alias("aggregationTemporality"),
-                            F.lit(is_monotonic).alias("isMonotonic"),
-                            F.col("_dps").alias("dataPoints"),
-                        ).alias("sum"),
-                    )
-                ),
-            ).alias("otlp_json"),
-        )
+    ride the metric, not the datapoint). Shares the gauge nest's
+    (service × window) machinery — _nest_windowed_points — so the
+    window rule (integer div) and datapoint shape can't drift apart."""
+    return _nest_windowed_points(
+        points,
+        lambda dps: F.struct(
+            F.lit(metric_name).alias("name"),
+            F.struct(
+                F.lit(temporality).alias("aggregationTemporality"),
+                F.lit(is_monotonic).alias("isMonotonic"),
+                dps.alias("dataPoints"),
+            ).alias("sum"),
+        ),
+        doc_window_ns,
     )
 
 

@@ -1295,9 +1295,11 @@ def write_minhash_store(
     # fails LOCATION_ALREADY_EXISTS. Drop both the catalog entry and
     # any stale location before writing (idempotent re-ingest).
     import shutil
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # unquote: the file: URI percent-encodes spaces etc. — an encoded
+    # path would make the rmtree a silent no-op (r5 review finding)
+    warehouse = unquote(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
     for suffix in ("_docs", "_keys", "_counts"):
         t = f"{name}{suffix}"
         spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -239,7 +239,10 @@ def extract_features(df: DataFrame, feature_dim: int = 8) -> DataFrame:
                     try:
                         frames, fps = avi.decode(bytes(payload))
                         nfr = frames.shape[0]
-                        dur = round(1000 * nfr / fps)
+                        # fps can legally decode to 0 (sub-1fps
+                        # timelapse) — a ZeroDivision here would kill
+                        # the task, not degrade (r5 review finding)
+                        dur = round(1000 * nfr / fps) if fps else None
                         psum = int(frames.sum(dtype="int64"))
                     except ValueError:
                         pass

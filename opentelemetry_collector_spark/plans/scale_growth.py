@@ -51,16 +51,27 @@ def _emb(spark: SparkSession, fx_dir: str) -> DataFrame:
     return spark.read.parquet(f"{fx_dir}/embeddings.parquet")
 
 
+_IVF_FIT_CACHE: dict = {}
+
+
 def _ivf_fit(spark: SparkSession, fx_dir: str):
     """Centroids + query vector for the scale-growth corpus (query =
     lowest-id embedding; fit = the registered query's md5-Bernoulli
-    path, which genuinely subsamples at the 4× scale)."""
+    path, which genuinely subsamples at the 4× scale). Memoized per
+    (session, corpus): measure() needs the identical fit three times
+    per scale (candidates, full, recall) — re-running the
+    count+collect+k-means would triple the fit cost inside the timed
+    harness (r5 review finding)."""
     from opentelemetry_collector_spark.operators import similarity
 
-    emb = _emb(spark, fx_dir)
-    cent = similarity.fit_ivf(emb, k=16)
-    q = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
-    return emb, cent, q
+    key = (id(spark.sparkContext), fx_dir)
+    got = _IVF_FIT_CACHE.get(key)
+    if got is None:
+        emb = _emb(spark, fx_dir)
+        cent = similarity.fit_ivf(emb, k=16)
+        q = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+        got = _IVF_FIT_CACHE[key] = (emb, cent, q)
+    return got
 
 
 def ivf_probe_recall(

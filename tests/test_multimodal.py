@@ -254,3 +254,62 @@ def test_video_features_carry_decoded_ground_truth(media):
         assert out[i]["n_frames"] == n_frames
         assert out[i]["pixel_sum"] == int(src.sum(dtype="int64"))
         assert out[i]["decoded_duration_ms"] == v["meta"]["duration_ms"]
+
+
+def test_avi_top_down_and_mismatch_and_zero_fps():
+    """r5 review findings: (a) a top-down DIB AVI (negative strf
+    biHeight) must decode in correct row order, not silently flipped;
+    (b) a strf/avih width disagreement must raise, not mis-stride;
+    (c) fps=0 (sub-1fps timelapse) must not kill extract_features."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from opentelemetry_collector_spark.functions import avi
+
+    frames = mm._avi_frames(3, 42, n_frames=2, h=8, w=8)
+    buf = avi.encode(frames, fps=10)
+
+    def patch_strf(b, new_h=None, new_w=None):
+        i = b.find(b"strf")
+        w0, h0 = struct.unpack_from("<ii", b, i + 8 + 4)
+        out = bytearray(b)
+        struct.pack_into(
+            "<ii", out, i + 8 + 4,
+            new_w if new_w is not None else w0,
+            new_h if new_h is not None else h0,
+        )
+        return bytes(out)
+
+    # (a) negative biHeight: same payload is now TOP-DOWN rows, so the
+    # decode must be the bottom-up interpretation flipped back
+    td, _ = avi.decode(patch_strf(buf, new_h=-8))
+    bu, _ = avi.decode(buf)
+    assert np.array_equal(td, bu[:, ::-1, :, :])
+    # (b) width disagreement raises
+    with pytest.raises(ValueError, match="disagree"):
+        avi.decode(patch_strf(buf, new_w=12))
+    # (c) dwMicroSecPerFrame > 1e6 → fps rounds to 0; decode survives
+    i = buf.find(b"avih")
+    slow = bytearray(buf)
+    struct.pack_into("<I", slow, i + 8, 3_000_000)
+    fr, fps = avi.decode(bytes(slow))
+    assert fps == 0 and np.array_equal(fr, frames)
+
+
+def test_zero_fps_video_degrades_duration_not_task(spark):
+    import struct
+
+    from opentelemetry_collector_spark.functions import avi
+
+    frames = mm._avi_frames(1, 42, n_frames=2, h=8, w=8)
+    buf = bytearray(avi.encode(frames, fps=10))
+    struct.pack_into("<I", buf, buf.find(b"avih") + 8, 3_000_000)
+    rows = [(0, "video/avi", bytearray(bytes(buf)),
+             {"width": 8, "height": 8, "sample_rate": None,
+              "duration_ms": 200, "codec": "rawvideo"})]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.extract_features(df).collect()[0]
+    assert out["n_frames"] == 2 and out["pixel_sum"] is not None
+    assert out["decoded_duration_ms"] is None  # unknown rate, not a crash
