@@ -9,6 +9,7 @@ deterministically by opentelemetry_collector_spark.fixtures (seed 42).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,7 +33,11 @@ from opentelemetry_collector_spark.operators import similarity as sim_oracle
 from opentelemetry_collector_spark.plans import pipeline
 from opentelemetry_collector_spark.sources import tables
 
-ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver runs correctness at sf0.01
+# the driver runs correctness at sf0.01; the env override exists for
+# the SECOND-scale local value check (r5 — several oracles bake
+# scale-dependent literals: query vector, ann bits ladder, simhash q,
+# IVF centroids — at a different sf the oracle must re-derive them)
+ORACLE_SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 ANN_THRESHOLD = 0.3
 
