@@ -529,13 +529,15 @@ def _q_severity_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nest→flatten is lossless: output must equal the raw table's
-    (conv_id, role, text) — the pdata proto↔JSON round-trip analog."""
+    (conv_id, role, text) plus — r5 — the log↔trace correlation tail
+    (flags/traceId/spanId on tool records, absent elsewhere) — the
+    pdata proto↔JSON round-trip analog."""
     from opentelemetry_collector_spark.functions import pdata
 
     df = tables.read_transcripts(spark, sf_dir)
     parsed = parse_mod.with_parsed(df, "native")
     return pdata.flatten_from_otlp(pdata.nest_to_otlp(parsed)).select(
-        "conv_id", "role", "text"
+        "conv_id", "role", "text", "flags", "trace_id", "span_id"
     )
 
 
@@ -1523,12 +1525,26 @@ def oracle_sql() -> dict[str, str]:
             base AS ({corpus_oracle.oracle_contamination()})
             SELECT * FROM base""",
         "severity_turns": f"""{_parsedcte_sev()}""",
-        "otlp_roundtrip": f"""{_transcripts_cte()}
-            SELECT conv_id, role, text FROM transcripts""",
+        "otlp_roundtrip": f"""{_parsed_cte()}
+            SELECT conv_id, role, text,
+                   CASE WHEN role = 'tool' THEN 1 END AS flags,
+                   CASE WHEN role = 'tool' THEN md5(conv_id) END AS trace_id,
+                   CASE WHEN role = 'tool'
+                        THEN substr(md5(conv_id || ':' || turn_idx), 1, 16)
+                        END AS span_id
+            FROM parsed""",
         "proto_roundtrip": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, text AS body,
                    coalesce(level, '') AS severity_text,
-                   epoch_ns(ts) AS ts_ns, svc
+                   epoch_ns(ts) AS ts_ns, svc,
+                   cast(CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS int)
+                     AS flags,
+                   CASE WHEN role = 'tool' THEN md5(conv_id) END AS trace_id,
+                   CASE WHEN role = 'tool'
+                        THEN substr(md5(conv_id || ':' || turn_idx), 1, 16)
+                        END AS span_id,
+                   epoch_ns(ts) AS observed_ts_ns,
+                   concat_ws(':', role, tool) AS event_name
             FROM parsed""",
         "forward_merge": f"""{_routed_cte()}
             SELECT sink, conv_id, turn_idx FROM routed

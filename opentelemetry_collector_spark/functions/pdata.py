@@ -73,7 +73,10 @@ def _cmp(*key_fns):
 
 
 def log_record(df_cols: dict[str, Column]) -> Column:
-    """One LogRecord struct (generated_logrecord.go:52-158 fields)."""
+    """One LogRecord struct (generated_logrecord.go:52-158 fields,
+    incl. the r5 log↔trace correlation tail: flags/traceId/spanId —
+    hex IDs, the OTLP/JSON encoding; absent on non-tool records so
+    to_json omits them)."""
     return F.struct(
         df_cols["ts"].alias("timeUnixNano"),
         df_cols["observed_ts"].alias("observedTimeUnixNano"),
@@ -82,6 +85,9 @@ def log_record(df_cols: dict[str, Column]) -> Column:
         df_cols["body"].alias("body"),
         df_cols["attributes"].alias("attributes"),
         df_cols["event_name"].alias("eventName"),
+        df_cols["flags"].alias("flags"),
+        df_cols["trace_id"].alias("traceId"),
+        df_cols["span_id"].alias("spanId"),
     )
 
 
@@ -113,6 +119,19 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
                 lambda k, v: v.isNotNull(),
             ),
             "event_name": F.concat_ws(":", F.col("role"), F.col("tool")),
+            # correlation: tool turns join their span (same md5
+            # derivation as signals.spans_from_turns); flags = W3C
+            # sampled bit. NULL on non-tool records → key omitted.
+            "flags": F.when(F.col("role") == "tool", F.lit(1)),
+            "trace_id": F.when(F.col("role") == "tool", F.md5(F.col("conv_id"))),
+            "span_id": F.when(
+                F.col("role") == "tool",
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
+                    1,
+                    16,
+                ),
+            ),
         }
     )
     with_rec = parsed.select(
@@ -164,7 +183,8 @@ OTLP_SCHEMA = (
     "scopeLogs:array<struct<scope:struct<name:string>,"
     "logRecords:array<struct<timeUnixNano:bigint,"
     "observedTimeUnixNano:bigint,severityNumber:int,severityText:string,"
-    "body:string,attributes:map<string,string>,eventName:string>>>>>"
+    "body:string,attributes:map<string,string>,eventName:string,"
+    "flags:int,traceId:string,spanId:string>>>>>"
 )
 
 
@@ -191,6 +211,9 @@ def flatten_from_otlp(nested: DataFrame, json_col: str = "otlp_json") -> DataFra
         F.col("r.body").alias("text"),
         F.col("r.attributes").alias("attributes"),
         F.col("r.eventName").alias("event_name"),
+        F.col("r.flags").alias("flags"),
+        F.col("r.traceId").alias("trace_id"),
+        F.col("r.spanId").alias("span_id"),
     )
 
 

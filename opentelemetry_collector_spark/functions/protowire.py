@@ -78,19 +78,33 @@ def _kv(key: str, any_value: bytes) -> bytes:
     return _len_delim(1, key.encode("utf-8")) + _len_delim(2, any_value)
 
 
+def _fixed32(field: int, n: int) -> bytes:
+    return _tag(field, 5) + (int(n) & 0xFFFFFFFF).to_bytes(4, "little")
+
+
 def encode_log_record(
     ts_ns: int,
     severity_number: int,
     severity_text: str,
     body: str | None,
     attributes: list[tuple[str, bytes]],
+    flags: int = 0,
+    trace_id_hex: str | None = None,
+    span_id_hex: str | None = None,
+    observed_ts_ns: int = 0,
+    event_name: str | None = None,
 ) -> bytes:
-    """One LogRecord message (logs.proto field numbers).
+    """One LogRecord message (logs.proto field numbers, incl. the
+    log↔trace correlation surface the reference treats first-class —
+    generated_logrecord.go:52-158: 8 flags fixed32, 9 trace_id,
+    10 span_id, 11 observed_time fixed64, 12 event_name; r5).
 
     Presence is encoded faithfully: a NULL body OMITS field 5 (proto
     message-field presence) instead of encoding '', so NULL round-trips
     as NULL — the r2 encoder normalized NULL→'' and the oracle gate
-    could not see it (fixtures had no NULL bodies)."""
+    could not see it (fixtures had no NULL bodies). The new fields
+    default to absent, so legacy 5-arg calls emit byte-identical
+    output."""
     out = bytearray()
     out += _fixed64(1, ts_ns)
     if severity_number:
@@ -101,6 +115,16 @@ def encode_log_record(
         out += _len_delim(5, _any_str(body))
     for key, av in attributes:
         out += _len_delim(6, _kv(key, av))
+    if flags:
+        out += _fixed32(8, flags)
+    if trace_id_hex:
+        out += _len_delim(9, bytes.fromhex(trace_id_hex))
+    if span_id_hex:
+        out += _len_delim(10, bytes.fromhex(span_id_hex))
+    if observed_ts_ns:
+        out += _fixed64(11, observed_ts_ns)
+    if event_name:
+        out += _len_delim(12, event_name.encode("utf-8"))
     return bytes(out)
 
 
@@ -181,6 +205,16 @@ def decode_log_record(buf: bytes) -> dict:
                 elif f2 == 2:
                     v = _decode_any(v2)
             rec["attributes"][k] = v
+        elif field == 8:
+            rec["flags"] = val
+        elif field == 9:
+            rec["trace_id"] = val.hex()
+        elif field == 10:
+            rec["span_id"] = val.hex()
+        elif field == 11:
+            rec["observed_ts_ns"] = val
+        elif field == 12:
+            rec["event_name"] = val.decode("utf-8")
     return rec
 
 
@@ -189,7 +223,8 @@ def decode_log_record(buf: bytes) -> dict:
 PROTO_SCHEMA = "conv_id string, turn_idx int, proto binary, proto_bytes long"
 ROUNDTRIP_SCHEMA = (
     "conv_id string, turn_idx int, body string, severity_text string, "
-    "ts_ns long, svc string"
+    "ts_ns long, svc string, flags int, trace_id string, span_id string, "
+    "observed_ts_ns long, event_name string"
 )
 
 
@@ -250,7 +285,39 @@ def _encode_batch(pdf: pd.DataFrame) -> list[bytes]:
             memo[v] = got
         return got
 
+    # r5: log↔trace correlation tail (flags 8 fixed32, trace_id 9,
+    # span_id 10, observed_time 11, event_name 12). flags/event_name
+    # are low-cardinality memos; ids are per-row hex→bytes; observed ==
+    # ts reuses the fixed64 buffer under tag 11. Columns are optional —
+    # legacy callers emit byte-identical subset records.
+    has_corr = "trace_id" in pdf.columns
+    if has_corr:
+        tids, sids = pdf["trace_id"], pdf["span_id"]
+        flags_col, ev_col = pdf["flags"], pdf["event_name"]
+    flag_memo: dict = {}
+    ev_memo: dict = {}
+
+    def flag_field(v) -> bytes:
+        key = int(v) if pd.notna(v) else 0
+        got = flag_memo.get(key)
+        if got is None:
+            got = flag_memo[key] = _fixed32(8, key) if key else b""
+        return got
+
+    def ev_field(v) -> bytes:
+        got = ev_memo.get(v)
+        if got is None:
+            got = ev_memo[v] = (
+                _len_delim(12, v.encode("utf-8"))
+                if isinstance(v, str) and v
+                else b""
+            )
+        return got
+
     tag5, tag1 = _tag(5, 2), _tag(1, 2)
+    obs_tag = _tag(11, 1)
+    tid_tag = _tag(9, 2) + bytes([16])
+    sid_tag = _tag(10, 2) + bytes([8])
     out: list[bytes] = []
     for i, (sev_n, sev_t, text, role, svc) in enumerate(
         zip(pdf["severity_number"], pdf["level"], pdf["text"], pdf["role"], pdf["svc"])
@@ -261,6 +328,31 @@ def _encode_batch(pdf: pd.DataFrame) -> list[bytes]:
             enc = text.encode("utf-8")
             inner = tag1 + _varint(len(enc)) + enc
             body = tag5 + _varint(len(inner)) + inner
+        if has_corr:
+            t, sp = tids.iloc[i], sids.iloc[i]
+            tb = bytes.fromhex(t) if isinstance(t, str) else None
+            sb = bytes.fromhex(sp) if isinstance(sp, str) else None
+            tail = b"".join(
+                (
+                    flag_field(flags_col.iloc[i]),
+                    # fixed tag+len prefixes assume canonical 16/8-byte
+                    # ids; anything else goes through the generic
+                    # length-delimited builder (same rule as the span
+                    # batch encoder)
+                    (tid_tag + tb if len(tb) == 16 else _len_delim(9, tb))
+                    if tb is not None
+                    else b"",
+                    (sid_tag + sb if len(sb) == 8 else _len_delim(10, sb))
+                    if sb is not None
+                    else b"",
+                    (obs_tag + tsbuf[i * 8 : i * 8 + 8])
+                    if i8[i] != 0
+                    else b"",
+                    ev_field(ev_col.iloc[i]),
+                )
+            )
+        else:
+            tail = b""
         out.append(
             b"".join(
                 (
@@ -271,19 +363,47 @@ def _encode_batch(pdf: pd.DataFrame) -> list[bytes]:
                     body,
                     attr_field("role", role, role_memo, False),
                     attr_field("svc", svc, svc_memo, True),
+                    tail,
                 )
             )
         )
     return out
 
 
-def encode_records(df: DataFrame) -> DataFrame:
+def encode_records(df: DataFrame, with_correlation: bool = True) -> DataFrame:
     """parsed transcript rows → OTLP LogRecord wire bytes + proto Sizer.
 
     Input needs conv_id, turn_idx, role, text, ts, level, svc,
     severity_number (pdata.severity_number). Arrow-batched; per-batch
     marshal is _encode_batch (numpy timestamps + memoized fields).
-    """
+
+    with_correlation (r5): tool turns carry the log↔trace correlation
+    fields — trace_id/span_id via the SAME md5 derivation as
+    signals.spans_from_turns (so a log record joins its span), flags =
+    1 (W3C sampled), event_name = role:tool, observed_time = ts. All
+    derived Catalyst-side (JVM md5), not in Python."""
+    from pyspark.sql import functions as F
+
+    if with_correlation and "trace_id" not in df.columns:
+        is_tool = F.col("role") == "tool"
+        df = (
+            df.withColumn("trace_id", F.when(is_tool, F.md5(F.col("conv_id"))))
+            .withColumn(
+                "span_id",
+                F.when(
+                    is_tool,
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
+                        1,
+                        16,
+                    ),
+                ),
+            )
+            .withColumn("flags", F.when(is_tool, F.lit(1)).otherwise(F.lit(0)))
+            .withColumn(
+                "event_name", F.concat_ws(":", F.col("role"), F.col("tool"))
+            )
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -314,6 +434,11 @@ def decode_records(df: DataFrame) -> DataFrame:
                     "severity_text": [r.get("severity_text", "") for r in rows],
                     "ts_ns": [r.get("ts_ns", 0) for r in rows],
                     "svc": [r["attributes"].get("svc") for r in rows],
+                    "flags": [r.get("flags", 0) for r in rows],
+                    "trace_id": [r.get("trace_id") for r in rows],
+                    "span_id": [r.get("span_id") for r in rows],
+                    "observed_ts_ns": [r.get("observed_ts_ns", 0) for r in rows],
+                    "event_name": [r.get("event_name", "") for r in rows],
                 }
             )
 

@@ -142,3 +142,71 @@ def test_null_body_and_empty_svc_roundtrip():
     buf2 = W.encode_log_record(7, 0, "", "", [])
     rec2 = W.decode_log_record(buf2)
     assert rec2["body"] == ""
+
+
+def test_correlation_fields_golden_bytes():
+    """r5 log↔trace correlation tail: flags (8, fixed32), trace_id (9),
+    span_id (10), observed_time (11, fixed64), event_name (12) —
+    hand-derived from logs.proto field numbers; legacy 5-arg calls
+    stay byte-identical (fields absent)."""
+    base = W.encode_log_record(7, 0, "", None, [])
+    ext = W.encode_log_record(
+        7, 0, "", None, [],
+        flags=1, trace_id_hex="ab" * 16, span_id_hex="cd" * 8,
+        observed_ts_ns=9, event_name="tool:db",
+    )
+    assert ext.startswith(base)
+    assert ext[len(base):].hex() == (
+        "4501000000"            # 8: fixed32 flags=1
+        + "4a10" + "ab" * 16    # 9: trace_id (16 bytes)
+        + "5208" + "cd" * 8     # 10: span_id (8 bytes)
+        + "590900000000000000"  # 11: fixed64 observed=9
+        + "6207" + b"tool:db".hex()  # 12: event_name
+    )
+    rec = W.decode_log_record(ext)
+    assert rec["flags"] == 1 and rec["trace_id"] == "ab" * 16
+    assert rec["span_id"] == "cd" * 8 and rec["observed_ts_ns"] == 9
+    assert rec["event_name"] == "tool:db"
+
+
+def test_batch_encoder_correlation_matches_scalar():
+    """The vectorized tail (memoized flags/event_name, fixed id
+    prefixes, shared ts buffer for observed_time) must equal the
+    scalar encoder for tool and non-tool rows alike."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": [0, 1],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", None]),
+            "severity_number": [9, 17],
+            "level": ["INFO", "ERROR"],
+            "text": ["hello", None],
+            "role": ["tool", "user"],
+            "svc": ["svc-a", None],
+            "trace_id": ["ab" * 16, None],
+            "span_id": ["cd" * 8, None],
+            "flags": [1, 0],
+            "event_name": ["tool:db", "user"],
+        }
+    )
+    got = W._encode_batch(pdf)
+    for i, row in pdf.iterrows():
+        attrs = [("role", W._any_str(row["role"]))]
+        if isinstance(row["svc"], str):
+            attrs.append(("svc", W._any_str(row["svc"])))
+        ts_ns = int(row["ts"].value) if pd.notna(row["ts"]) else 0
+        want = W.encode_log_record(
+            ts_ns=ts_ns,
+            severity_number=int(row["severity_number"]),
+            severity_text=row["level"],
+            body=row["text"],
+            attributes=attrs,
+            flags=int(row["flags"]),
+            trace_id_hex=row["trace_id"] if isinstance(row["trace_id"], str) else None,
+            span_id_hex=row["span_id"] if isinstance(row["span_id"], str) else None,
+            observed_ts_ns=ts_ns,
+            event_name=row["event_name"],
+        )
+        assert got[i] == want, f"row {i}"
