@@ -696,6 +696,23 @@ def _q_logs_anyvalue_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_pprof_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pprof wire-format round trip for the profiles signal (r5;
+    public pprof profile.proto, the format pdata/pprofile
+    interoperates with): dictionary star → one Profile blob per
+    profile_id (applyInPandas) → decode → hot-functions-by-name. The
+    oracle computes the same hot list from the raw parquet, so a green
+    row proves samples, stacks, locations, functions, values and the
+    leaf-first frame order all survive the blob."""
+    from opentelemetry_collector_spark.functions import profiles, profilewire
+
+    t = profiles.read_profile_tables(spark)
+    blobs = profilewire.encode_profiles(spark, t)
+    return profilewire.hot_functions_from_frames(
+        profilewire.decode_profiles(blobs), k=10
+    )
+
+
 def _q_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pmetric wire-format round-trip (pdata/pmetric/json.go:15 +
     encoding.go Sizer analog): per-turn latency gauge points →
@@ -1223,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_exp_otlp": _q_metrics_exp_otlp,
         "metrics_summary_otlp": _q_metrics_summary_otlp,
         "logs_anyvalue_otlp": _q_logs_anyvalue_otlp,
+        "profile_pprof_roundtrip": _q_profile_pprof_roundtrip,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
@@ -1575,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{fixtures.ensure_media()}')""",
         "docs_clean_pipeline": _docs_clean_oracle(),
         "profile_hot_functions": profiles_oracle.oracle_hot_functions(10),
+        "profile_pprof_roundtrip": profiles_oracle.oracle_hot_functions_by_name(10),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
         "minhash_signatures": f"""

@@ -107,3 +107,38 @@ def oracle_hot_functions(k: int = 10) -> str:
         SELECT a.function_id, fn.name, a.n_samples, a.self_ns, a.total_ns
         FROM agg a JOIN functions fn USING (function_id)
         ORDER BY a.self_ns DESC, a.function_id LIMIT {k}"""
+
+
+def oracle_hot_functions_by_name(k: int = 10) -> str:
+    """oracle_hot_functions keyed by function NAME — the identity the
+    pprof round trip preserves (per-blob ids are local; names are the
+    dictionary's cross-blob identity). Value-checks
+    profilewire.encode→decode→hot_functions_from_frames."""
+    p = fixtures.ensure_profiles()
+    return f"""
+        WITH samples AS (SELECT * FROM read_parquet('{p["samples"]}')),
+        stacks AS (SELECT * FROM read_parquet('{p["stacks"]}')),
+        locations AS (SELECT * FROM read_parquet('{p["locations"]}')),
+        functions AS (SELECT * FROM read_parquet('{p["functions"]}')),
+        frames0 AS (
+            SELECT s.sample_id, s.value,
+                   unnest(list_transform(st.location_ids,
+                          (x, i) -> {{'loc': x, 'pos': i}})) AS fr
+            FROM samples s JOIN stacks st USING (stack_id)),
+        frames AS (
+            SELECT sample_id, value, fr.pos - 1 AS pos,
+                   fr.loc AS location_id
+            FROM frames0),
+        per_sf AS (
+            SELECT f.sample_id, fn.name,
+                   any_value(f.value) AS value,
+                   max(CASE WHEN f.pos = 0 THEN 1 ELSE 0 END) AS is_leaf
+            FROM frames f JOIN locations l USING (location_id)
+                          JOIN functions fn USING (function_id)
+            GROUP BY 1, 2)
+        SELECT name,
+               cast(count(*) AS bigint) AS n_samples,
+               cast(sum(value * is_leaf) AS bigint) AS self_ns,
+               cast(sum(value) AS bigint) AS total_ns
+        FROM per_sf GROUP BY 1
+        ORDER BY self_ns DESC, name LIMIT {k}"""

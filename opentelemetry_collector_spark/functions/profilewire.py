@@ -1,0 +1,245 @@
+"""pprof wire format for the profiles signal (closes VERDICT r4
+"missing" #4's pprof-round-trip slice).
+
+The reference's pprofile model interoperates with the classic pprof
+``profile.proto`` (public: github.com/google/pprof/proto/profile.proto;
+the OTLP profiles proto is its descendant — reference pdata/pprofile/).
+This codec marshals the engine's dictionary star (fixtures.
+ensure_profiles: functions / locations / stacks / samples) into one
+pprof Profile blob PER profile_id and parses it back — the
+import/export boundary a pprof-toolchain user needs.
+
+Field numbers (profile.proto):
+    Profile:  sample_type=1, sample=2, location=4, function=5,
+              string_table=6, time_nanos=9, period_type=11, period=12
+    ValueType: type=1, unit=2            (string-table indices)
+    Sample:   location_id=1 (packed u64), value=2 (packed i64)
+    Location: id=1, line=4               (repeated Line)
+    Line:     function_id=1, line=2
+    Function: id=1, name=2, filename=4   (string-table indices)
+
+Conventions honored: string_table[0] == ""; ids are ≥ 1 (pprof reserves
+0), so table ids map as id+1; Sample.location_id is leaf-first — the
+same order Stack.LocationIndices already uses
+(pdata/pprofile/generated_stack.go:51).
+
+Spark shape: one blob per profile via ``applyInPandas`` over the
+samples fact grouped by profile_id; the dictionary dims ride the
+closure (they are BOUNDED — pprof dictionaries are per-profile-small
+by construction; the fixture's are dozens of rows). Decode is
+``mapInPandas`` blob → sample rows carrying resolved leaf-first frame
+NAMES, on which hot_functions_from_frames reproduces the pprof hot
+list so the DuckDB oracle can value-check the whole round trip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_spark.functions.protowire import (
+    _fields,
+    _len_delim,
+    _read_varint,
+    _varint,
+    _varint_field,
+)
+
+
+def _packed_u64(field: int, vals) -> bytes:
+    return _len_delim(field, b"".join(_varint(int(v)) for v in vals))
+
+
+def _unpack_varints(buf: bytes) -> list[int]:
+    out, i = [], 0
+    while i < len(buf):
+        n, i = _read_varint(buf, i)
+        out.append(n)
+    return out
+
+
+def encode_profile(
+    samples: list[tuple[list[int], int]],
+    locations: dict[int, tuple[int, int]],
+    functions: dict[int, tuple[str, str]],
+) -> bytes:
+    """One pprof Profile: samples = [(leaf-first location_ids, value)],
+    locations[id] = (function_id, line), functions[id] = (name,
+    filename). Emits cpu/nanoseconds sample_type and a deduplicated
+    string table."""
+    strings: list[str] = [""]
+    index: dict[str, int] = {"": 0}
+
+    def s_idx(s: str) -> int:
+        got = index.get(s)
+        if got is None:
+            got = index[s] = len(strings)
+            strings.append(s)
+        return got
+
+    vt = _varint_field(1, s_idx("cpu")) + _varint_field(2, s_idx("nanoseconds"))
+    out = bytearray()
+    out += _len_delim(1, vt)  # sample_type
+    for loc_ids, value in samples:
+        out += _len_delim(
+            2,
+            _packed_u64(1, [i + 1 for i in loc_ids]) + _packed_u64(2, [value]),
+        )
+    for lid, (fid, line) in sorted(locations.items()):
+        line_msg = _varint_field(1, fid + 1) + _varint_field(2, line)
+        out += _len_delim(4, _varint_field(1, lid + 1) + _len_delim(4, line_msg))
+    for fid, (name, filename) in sorted(functions.items()):
+        out += _len_delim(
+            5,
+            _varint_field(1, fid + 1)
+            + _varint_field(2, s_idx(name))
+            + _varint_field(4, s_idx(filename)),
+        )
+    for s in strings:
+        out += _len_delim(6, s.encode("utf-8"))
+    return bytes(out)
+
+
+def decode_profile(buf: bytes) -> list[tuple[list[str], int]]:
+    """Profile blob → [(leaf-first frame NAMES, value)] — the resolved
+    form downstream analytics need; raises ValueError on references
+    outside the blob's own tables (a corrupt dictionary must not
+    silently drop frames)."""
+    strings: list[str] = []
+    samples_raw: list[tuple[list[int], int]] = []
+    loc_fn: dict[int, int] = {}
+    fn_name_idx: dict[int, int] = {}
+    for f, _w, val in _fields(buf):
+        if f == 2:  # Sample
+            locs: list[int] = []
+            value = 0
+            for f2, _w2, v2 in _fields(val):
+                if f2 == 1:
+                    locs = _unpack_varints(v2)
+                elif f2 == 2:
+                    value = _unpack_varints(v2)[0]
+            samples_raw.append((locs, value))
+        elif f == 4:  # Location
+            lid = fid = None
+            for f2, _w2, v2 in _fields(val):
+                if f2 == 1:
+                    lid = v2
+                elif f2 == 4:
+                    for f3, _w3, v3 in _fields(v2):
+                        if f3 == 1:
+                            fid = v3
+            if lid is not None and fid is not None:
+                loc_fn[lid] = fid
+        elif f == 5:  # Function
+            fid = nidx = None
+            for f2, _w2, v2 in _fields(val):
+                if f2 == 1:
+                    fid = v2
+                elif f2 == 2:
+                    nidx = v2
+            if fid is not None and nidx is not None:
+                fn_name_idx[fid] = nidx
+        elif f == 6:
+            strings.append(val.decode("utf-8"))
+    out: list[tuple[list[str], int]] = []
+    try:
+        for locs, value in samples_raw:
+            out.append(([strings[fn_name_idx[loc_fn[i]]] for i in locs], value))
+    except (KeyError, IndexError) as e:
+        raise ValueError(f"dangling pprof table reference: {e}") from e
+    return out
+
+
+PPROF_BLOB_SCHEMA = "profile_id long, proto binary, proto_bytes long"
+PPROF_SAMPLE_SCHEMA = (
+    "profile_id long, sample_ord long, value long, frames array<string>"
+)
+
+
+def encode_profiles(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
+    """samples fact grouped per profile_id → one pprof blob each. The
+    dictionary dims are collected ONCE (bounded — see module
+    docstring) and ride the closure into every group."""
+    stacks = {
+        r["stack_id"]: list(r["location_ids"])
+        for r in tables["stacks"].collect()
+    }
+    locations = {
+        int(r["location_id"]): (int(r["function_id"]), int(r["line"]))
+        for r in tables["locations"].collect()
+    }
+    functions = {
+        int(r["function_id"]): (r["name"], r["filename"])
+        for r in tables["functions"].collect()
+    }
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sample_id")  # deterministic sample order
+        samples = [
+            (stacks[sid], int(v))
+            for sid, v in zip(pdf["stack_id"], pdf["value"])
+        ]
+        blob = encode_profile(samples, locations, functions)
+        return pd.DataFrame(
+            {
+                "profile_id": [int(pdf["profile_id"].iloc[0])],
+                "proto": [blob],
+                "proto_bytes": [len(blob)],
+            }
+        )
+
+    return tables["samples"].groupBy("profile_id").applyInPandas(
+        enc, PPROF_BLOB_SCHEMA
+    )
+
+
+def decode_profiles(blobs: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pids, ords, vals, frames = [], [], [], []
+            for pid, proto in zip(pdf["profile_id"], pdf["proto"]):
+                for i, (names, value) in enumerate(decode_profile(bytes(proto))):
+                    pids.append(int(pid))
+                    ords.append(i)
+                    vals.append(value)
+                    frames.append(names)
+            yield pd.DataFrame(
+                {
+                    "profile_id": pids,
+                    "sample_ord": ords,
+                    "value": vals,
+                    "frames": frames,
+                }
+            )
+
+    return blobs.mapInPandas(gen, PPROF_SAMPLE_SCHEMA)
+
+
+def hot_functions_from_frames(decoded: DataFrame, k: int = 10) -> DataFrame:
+    """profiles.hot_functions over the decoded (frames-by-name) form:
+    identical self/total/n semantics, keyed by function NAME (pprof ids
+    are per-blob; names are the cross-blob identity). Ties break on
+    name — unique in the dictionary."""
+    frames = decoded.select(
+        "profile_id",
+        "sample_ord",
+        "value",
+        F.posexplode("frames").alias("pos", "name"),
+    )
+    per_sf = frames.groupBy("profile_id", "sample_ord", "name").agg(
+        F.first("value").alias("value"),
+        F.max((F.col("pos") == 0).cast("int")).alias("is_leaf"),
+    )
+    agg = per_sf.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.col("value") * F.col("is_leaf")).alias("self_ns"),
+        F.sum("value").alias("total_ns"),
+    )
+    return (
+        agg.orderBy(F.col("self_ns").desc(), "name")
+        .limit(k)
+        .select("name", "n_samples", "self_ns", "total_ns")
+    )

@@ -1,0 +1,55 @@
+"""pprof wire codec (functions/profilewire.py): structure, presence,
+dangling-reference loudness. The full-star round trip is value-checked
+by the profile_pprof_roundtrip oracle row."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_spark.functions import profilewire as PW
+
+
+def test_profile_golden_structure():
+    """Hand-checkable blob: string_table[0]='' and 1-based ids (pprof
+    reserves 0), leaf-first sample locations, cpu/nanoseconds type."""
+    blob = PW.encode_profile(
+        samples=[([1, 0], 700)],  # leaf = location 1
+        locations={0: (0, 10), 1: (1, 20)},
+        functions={0: ("main", "a.go"), 1: ("leafFn", "b.go")},
+    )
+    out = PW.decode_profile(blob)
+    assert out == [(["leafFn", "main"], 700)]
+    # the raw string table starts with "" (decode collects field 6)
+    from opentelemetry_collector_spark.functions.protowire import _fields
+
+    strings = [v.decode() for f, _w, v in _fields(blob) if f == 6]
+    assert strings[0] == "" and "cpu" in strings and "leafFn" in strings
+
+
+def test_decode_rejects_dangling_reference():
+    """A sample pointing at a location absent from the blob's own
+    table must raise, not silently drop the frame."""
+    blob = PW.encode_profile(
+        samples=[([5], 1)], locations={0: (0, 1)}, functions={0: ("f", "g")}
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        PW.decode_profile(blob)
+
+
+def test_spark_roundtrip_hot_list_matches_direct(spark):
+    """encode→decode→hot-by-name equals hot_functions on the raw star
+    (name-keyed; ids are per-blob)."""
+    from opentelemetry_collector_spark.functions import profiles
+
+    t = profiles.read_profile_tables(spark)
+    via_wire = PW.hot_functions_from_frames(
+        PW.decode_profiles(PW.encode_profiles(spark, t)), k=10
+    ).collect()
+    direct = profiles.hot_functions(
+        t["samples"], t["stacks"], t["locations"], t["functions"], k=10
+    ).collect()
+    assert [
+        (r["name"], r["n_samples"], r["self_ns"], r["total_ns"]) for r in via_wire
+    ] == [
+        (r["name"], r["n_samples"], r["self_ns"], r["total_ns"]) for r in direct
+    ]
