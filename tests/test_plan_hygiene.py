@@ -29,6 +29,9 @@ ARROW_OK = {
     # hyperplane dot products
     "embedding_neardup_lsh",
     "embedding_dedup",
+    # pprof blobs: per-profile applyInPandas marshal + mapInPandas
+    # parse — export-boundary Python like the other wire codecs (r5)
+    "profile_pprof_roundtrip",
 }
 CARTESIAN_OK = {"embedding_neardup"}  # documented O(n²) baseline
 
