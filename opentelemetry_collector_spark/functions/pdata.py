@@ -72,6 +72,18 @@ def _cmp(*key_fns):
     return comparator
 
 
+def _signals_trace_id() -> Column:
+    from opentelemetry_collector_spark.functions.signals import trace_id_expr
+
+    return trace_id_expr()
+
+
+def _signals_span_id() -> Column:
+    from opentelemetry_collector_spark.functions.signals import span_id_expr
+
+    return span_id_expr()
+
+
 def log_record(df_cols: dict[str, Column]) -> Column:
     """One LogRecord struct (generated_logrecord.go:52-158 fields,
     incl. the r5 log↔trace correlation tail: flags/traceId/spanId —
@@ -119,19 +131,13 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
                 lambda k, v: v.isNotNull(),
             ),
             "event_name": F.concat_ws(":", F.col("role"), F.col("tool")),
-            # correlation: tool turns join their span (same md5
-            # derivation as signals.spans_from_turns); flags = W3C
-            # sampled bit. NULL on non-tool records → key omitted.
+            # correlation: tool turns join their span — THE shared
+            # derivation (signals.trace_id_expr/span_id_expr), so the
+            # envelope, the wire codec and the span queries cannot
+            # drift (r5 review finding). NULL elsewhere → key omitted.
             "flags": F.when(F.col("role") == "tool", F.lit(1)),
-            "trace_id": F.when(F.col("role") == "tool", F.md5(F.col("conv_id"))),
-            "span_id": F.when(
-                F.col("role") == "tool",
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
-                    1,
-                    16,
-                ),
-            ),
+            "trace_id": F.when(F.col("role") == "tool", _signals_trace_id()),
+            "span_id": F.when(F.col("role") == "tool", _signals_span_id()),
         }
     )
     with_rec = parsed.select(

@@ -72,14 +72,13 @@ def hot_functions(
     )
 
 
-def oracle_hot_functions(k: int = 10) -> str:
-    """DuckDB mirror over the same parquet bytes: frame position via an
-    indexed-lambda struct unnest (lateral range(len(col)) is not
-    supported), identical once-per-sample total and leaf-only self
-    sums. DuckDB lambda index is 1-based — pos 1 is the leaf."""
+def _oracle_frames_cte() -> str:
+    """THE shared samples→frames WITH prefix for both profile oracles
+    (incl. the subtle 1-based-DuckDB-lambda 'pos - 1' correction) —
+    one definition so the two gates cannot silently disagree (r5
+    review finding)."""
     p = fixtures.ensure_profiles()
-    return f"""
-        WITH samples AS (SELECT * FROM read_parquet('{p["samples"]}')),
+    return f"""        WITH samples AS (SELECT * FROM read_parquet('{p["samples"]}')),
         stacks AS (SELECT * FROM read_parquet('{p["stacks"]}')),
         locations AS (SELECT * FROM read_parquet('{p["locations"]}')),
         functions AS (SELECT * FROM read_parquet('{p["functions"]}')),
@@ -91,7 +90,15 @@ def oracle_hot_functions(k: int = 10) -> str:
         frames AS (
             SELECT sample_id, value, fr.pos - 1 AS pos,
                    fr.loc AS location_id
-            FROM frames0),
+            FROM frames0)"""
+
+
+def oracle_hot_functions(k: int = 10) -> str:
+    """DuckDB mirror over the same parquet bytes: frame position via an
+    indexed-lambda struct unnest (lateral range(len(col)) is not
+    supported), identical once-per-sample total and leaf-only self
+    sums. DuckDB lambda index is 1-based — pos 1 is the leaf."""
+    return f"""{_oracle_frames_cte()},
         per_sf AS (
             SELECT f.sample_id, l.function_id,
                    any_value(f.value) AS value,
@@ -114,21 +121,7 @@ def oracle_hot_functions_by_name(k: int = 10) -> str:
     pprof round trip preserves (per-blob ids are local; names are the
     dictionary's cross-blob identity). Value-checks
     profilewire.encode→decode→hot_functions_from_frames."""
-    p = fixtures.ensure_profiles()
-    return f"""
-        WITH samples AS (SELECT * FROM read_parquet('{p["samples"]}')),
-        stacks AS (SELECT * FROM read_parquet('{p["stacks"]}')),
-        locations AS (SELECT * FROM read_parquet('{p["locations"]}')),
-        functions AS (SELECT * FROM read_parquet('{p["functions"]}')),
-        frames0 AS (
-            SELECT s.sample_id, s.value,
-                   unnest(list_transform(st.location_ids,
-                          (x, i) -> {{'loc': x, 'pos': i}})) AS fr
-            FROM samples s JOIN stacks st USING (stack_id)),
-        frames AS (
-            SELECT sample_id, value, fr.pos - 1 AS pos,
-                   fr.loc AS location_id
-            FROM frames0),
+    return f"""{_oracle_frames_cte()},
         per_sf AS (
             SELECT f.sample_id, fn.name,
                    any_value(f.value) AS value,

@@ -44,6 +44,7 @@ from opentelemetry_collector_spark.functions.protowire import (
     _fields,
     _len_delim,
     _read_varint,
+    _sext64,
     _varint,
     _varint_field,
 )
@@ -53,11 +54,15 @@ def _packed_u64(field: int, vals) -> bytes:
     return _len_delim(field, b"".join(_varint(int(v)) for v in vals))
 
 
-def _unpack_varints(buf: bytes) -> list[int]:
+def _unpack_varints(buf: bytes, signed: bool = False) -> list[int]:
+    """signed=True sign-extends each 64-bit varint — Sample.value is
+    int64 (negatives are legal: delta/contention profiles) and the
+    encoder emits two's complement, so an unsigned read would return
+    2^64+v (r5 review finding); location_ids stay uint64."""
     out, i = [], 0
     while i < len(buf):
         n, i = _read_varint(buf, i)
-        out.append(n)
+        out.append(_sext64(n) if signed else n)
     return out
 
 
@@ -120,7 +125,7 @@ def decode_profile(buf: bytes) -> list[tuple[list[str], int]]:
                 if f2 == 1:
                     locs = _unpack_varints(v2)
                 elif f2 == 2:
-                    value = _unpack_varints(v2)[0]
+                    value = _unpack_varints(v2, signed=True)[0]
             samples_raw.append((locs, value))
         elif f == 4:  # Location
             lid = fid = None

@@ -169,7 +169,7 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
             ln, i = _read_varint(buf, i)
             val = buf[i : i + ln]
             i += ln
-        else:  # wire 5 (fixed32) — not produced by this encoder
+        else:  # wire 5 (fixed32) — e.g. the r5 LogRecord flags field
             val = int.from_bytes(buf[i : i + 4], "little")
             i += 4
         yield field, wire, val
@@ -290,7 +290,16 @@ def _encode_batch(pdf: pd.DataFrame) -> list[bytes]:
     # are low-cardinality memos; ids are per-row hex→bytes; observed ==
     # ts reuses the fixed64 buffer under tag 11. Columns are optional —
     # legacy callers emit byte-identical subset records.
-    has_corr = "trace_id" in pdf.columns
+    corr_cols = ("trace_id", "span_id", "flags", "event_name")
+    has_corr = all(c in pdf.columns for c in corr_cols)
+    if any(c in pdf.columns for c in corr_cols) and not has_corr:
+        # a partially-present set would KeyError inside the executor
+        # mid-batch (r5 review finding) — fail loud at the boundary
+        missing = [c for c in corr_cols if c not in pdf.columns]
+        raise ValueError(
+            f"correlation columns incomplete: missing {missing} "
+            f"(supply all of {corr_cols} or none)"
+        )
     if has_corr:
         tids, sids = pdf["trace_id"], pdf["span_id"]
         flags_col, ev_col = pdf["flags"], pdf["event_name"]
@@ -378,32 +387,17 @@ def encode_records(df: DataFrame, with_correlation: bool = True) -> DataFrame:
     marshal is _encode_batch (numpy timestamps + memoized fields).
 
     with_correlation (r5): tool turns carry the log↔trace correlation
-    fields — trace_id/span_id via the SAME md5 derivation as
-    signals.spans_from_turns (so a log record joins its span), flags =
-    1 (W3C sampled), event_name = role:tool, observed_time = ts. All
-    derived Catalyst-side (JVM md5), not in Python."""
-    from pyspark.sql import functions as F
-
+    fields via signals.with_log_correlation — ONE shared derivation
+    with the span queries and the JSON envelope, so a log record
+    always joins its span; flags = 1 (W3C sampled), event_name =
+    role[:tool] (the tool column is optional), observed_time = ts.
+    All derived Catalyst-side (JVM md5), not in Python."""
     if with_correlation and "trace_id" not in df.columns:
-        is_tool = F.col("role") == "tool"
-        df = (
-            df.withColumn("trace_id", F.when(is_tool, F.md5(F.col("conv_id"))))
-            .withColumn(
-                "span_id",
-                F.when(
-                    is_tool,
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))),
-                        1,
-                        16,
-                    ),
-                ),
-            )
-            .withColumn("flags", F.when(is_tool, F.lit(1)).otherwise(F.lit(0)))
-            .withColumn(
-                "event_name", F.concat_ws(":", F.col("role"), F.col("tool"))
-            )
+        from opentelemetry_collector_spark.functions.signals import (
+            with_log_correlation,
         )
+
+        df = with_log_correlation(df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

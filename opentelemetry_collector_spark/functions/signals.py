@@ -28,6 +28,41 @@ from pyspark.sql import functions as F
 DEFAULT_BOUNDS = (10, 100, 500, 1000, 5000)
 
 
+def trace_id_expr() -> Column:
+    """THE TraceID derivation (md5(conv_id) → 32 hex = 16 bytes) —
+    shared by spans, the log envelope and the log wire codec so the
+    log↔trace join can never drift (r5 review finding: three
+    hand-copies)."""
+    return F.md5(F.col("conv_id"))
+
+
+def span_id_expr() -> Column:
+    """THE SpanID derivation (first 16 hex of md5(conv:turn) = 8
+    bytes)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))), 1, 16
+    )
+
+
+def with_log_correlation(df: DataFrame) -> DataFrame:
+    """Add the log↔trace correlation columns to a parsed frame: tool
+    turns carry trace_id/span_id (the SAME derivation spans use) and
+    flags=1 (W3C sampled); event_name = role[:tool] (tool column
+    optional — degrades to role alone)."""
+    is_tool = F.col("role") == "tool"
+    ev = (
+        F.concat_ws(":", F.col("role"), F.col("tool"))
+        if "tool" in df.columns
+        else F.col("role")
+    )
+    return (
+        df.withColumn("trace_id", F.when(is_tool, trace_id_expr()))
+        .withColumn("span_id", F.when(is_tool, span_id_expr()))
+        .withColumn("flags", F.when(is_tool, F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("event_name", ev)
+    )
+
+
 # ----------------------------------------------------- temporality
 
 def delta_to_cumulative(
@@ -135,10 +170,8 @@ def spans_from_turns(parsed: DataFrame) -> DataFrame:
     the conversation, kind mirrors SpanKind (client for tool calls).
     """
     spans = parsed.filter(F.col("role") == "tool").select(
-        F.md5(F.col("conv_id")).alias("trace_id"),
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))), 1, 16
-        ).alias("span_id"),
+        trace_id_expr().alias("trace_id"),
+        span_id_expr().alias("span_id"),
         F.col("conv_id"),
         F.col("turn_idx"),
         # NB: concat (not concat_ws) — concat_ws silently skips NULL
@@ -198,10 +231,8 @@ def rich_spans_from_turns(parsed: DataFrame) -> DataFrame:
         + (F.coalesce(F.col("latency_ms"), F.lit(0)) * F.lit(1_000_000)).cast("long")
     )
     spans = tool_turns.select(
-        F.md5(F.col("conv_id")).alias("trace_id"),
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))), 1, 16
-        ).alias("span_id"),
+        trace_id_expr().alias("trace_id"),
+        span_id_expr().alias("span_id"),
         F.col("conv_id"),
         F.col("turn_idx"),
         F.concat(

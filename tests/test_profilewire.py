@@ -53,3 +53,13 @@ def test_spark_roundtrip_hot_list_matches_direct(spark):
     ] == [
         (r["name"], r["n_samples"], r["self_ns"], r["total_ns"]) for r in direct
     ]
+
+
+def test_negative_sample_value_roundtrips():
+    """Sample.value is int64 (delta/contention profiles carry
+    negatives) — decode must sign-extend the packed varint or -5 reads
+    as 2^64-5 (r5 review finding, confirmed by execution)."""
+    blob = PW.encode_profile(
+        samples=[([0], -5)], locations={0: (0, 1)}, functions={0: ("f", "g")}
+    )
+    assert PW.decode_profile(blob) == [(["f"], -5)]

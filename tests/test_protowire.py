@@ -5,6 +5,8 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from opentelemetry_collector_spark.functions import protowire as W
 
 
@@ -210,3 +212,39 @@ def test_batch_encoder_correlation_matches_scalar():
             event_name=row["event_name"],
         )
         assert got[i] == want, f"row {i}"
+
+
+def test_partial_correlation_columns_fail_loud():
+    """A frame carrying trace_id but not span_id/flags/event_name must
+    raise at the batch boundary, not KeyError mid-executor (r5 review
+    finding, confirmed)."""
+    import pandas as pd
+    import pytest
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"], "turn_idx": [0],
+            "ts": pd.to_datetime(["2024-01-01"]),
+            "severity_number": [9], "level": ["INFO"], "text": ["x"],
+            "role": ["tool"], "svc": ["a"], "trace_id": ["ab" * 16],
+        }
+    )
+    with pytest.raises(ValueError, match="correlation columns incomplete"):
+        W._encode_batch(pdf)
+
+
+def test_encode_records_without_tool_column(spark):
+    """The documented minimal input contract (no tool column) must
+    still work — event_name degrades to the role alone (r5 review
+    finding: the derivation referenced a column outside the
+    contract)."""
+    from opentelemetry_collector_spark.functions import pdata
+
+    df = spark.createDataFrame(
+        [("c1", 0, "tool", "body", "2024-01-01 00:00:00", "INFO", "api")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts string, level string, svc string",
+    ).withColumn("severity_number", pdata.severity_number(F.col("level")))
+    rows = W.decode_records(W.encode_records(df)).collect()
+    assert rows[0]["event_name"] == "tool"
+    assert rows[0]["trace_id"] is not None and rows[0]["flags"] == 1
