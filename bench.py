@@ -87,6 +87,8 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "metrics_sum_otlp",
         "metrics_exp_otlp",
         "metrics_summary_otlp",
+        "logs_anyvalue_otlp",
+        "profile_pprof_roundtrip",
         # r4: corpus-shaping family
         "docs_quality",
         "sample_mix",
