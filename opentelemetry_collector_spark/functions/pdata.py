@@ -1187,9 +1187,19 @@ def flatten_attrs_anyvalue_from_otlp(
         F.explode("d.scopeLogs").alias("s"),
     )
     recs = sl.select("conv_id", F.explode("s.logRecords").alias("r"))
-    get = lambda k: F.try_element_at(  # noqa: E731
-        F.filter(F.col("r.attributes"), lambda a: a["key"] == F.lit(k)), F.lit(1)
-    )["value"]
+    # ONE pass over the attribute list into a map, then O(1) lookups —
+    # per-key F.filter scans cost 7 array traversals per record
+    # (measured ~40% of the query wall at 600k records)
+    recs = recs.withColumn(
+        "_m",
+        F.map_from_entries(
+            F.transform(
+                F.col("r.attributes"),
+                lambda a: F.struct(a["key"].alias("key"), a["value"].alias("value")),
+            )
+        ),
+    )
+    get = lambda k: F.try_element_at(F.col("_m"), F.lit(k))  # noqa: E731
     return recs.select(
         "conv_id",
         F.col("r.turnIdx").alias("turn_idx"),
