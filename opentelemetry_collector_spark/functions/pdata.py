@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opentelemetry_collector_spark.functions.signals import (
+    span_id_expr,
+    trace_id_expr,
+)
+
 # text → SeverityNumber (first slot of each band)
 SEVERITY_NUMBER = {
     "TRACE": 1,
@@ -70,18 +75,6 @@ def _cmp(*key_fns):
         return expr.otherwise(0).cast("int")
 
     return comparator
-
-
-def _signals_trace_id() -> Column:
-    from opentelemetry_collector_spark.functions.signals import trace_id_expr
-
-    return trace_id_expr()
-
-
-def _signals_span_id() -> Column:
-    from opentelemetry_collector_spark.functions.signals import span_id_expr
-
-    return span_id_expr()
 
 
 def log_record(df_cols: dict[str, Column]) -> Column:
@@ -136,8 +129,8 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
             # envelope, the wire codec and the span queries cannot
             # drift (r5 review finding). NULL elsewhere → key omitted.
             "flags": F.when(F.col("role") == "tool", F.lit(1)),
-            "trace_id": F.when(F.col("role") == "tool", _signals_trace_id()),
-            "span_id": F.when(F.col("role") == "tool", _signals_span_id()),
+            "trace_id": F.when(F.col("role") == "tool", trace_id_expr()),
+            "span_id": F.when(F.col("role") == "tool", span_id_expr()),
         }
     )
     with_rec = parsed.select(
@@ -257,6 +250,13 @@ SPANS_OTLP_SCHEMA = (
     "status:struct<message:string,code:string>>>>>>"
 )
 _FLAT_ATTRS_DDL = "array<struct<key:string,value:string>>"
+_FLAT_EVENTS_DDL = (
+    f"array<struct<ts_ns:bigint,name:string,attrs:{_FLAT_ATTRS_DDL}>>"
+)
+_FLAT_LINKS_DDL = (
+    "array<struct<trace_id:string,span_id:string,trace_state:string,"
+    f"attrs:{_FLAT_ATTRS_DDL}>>"
+)
 
 
 def _attrs_to_json_form(attrs: Column) -> Column:
@@ -304,15 +304,8 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
         ("trace_state", "string"),
         ("status_message", "string"),
         ("attrs", _FLAT_ATTRS_DDL),
-        (
-            "events",
-            f"array<struct<ts_ns:bigint,name:string,attrs:{_FLAT_ATTRS_DDL}>>",
-        ),
-        (
-            "links",
-            "array<struct<trace_id:string,span_id:string,trace_state:string,"
-            f"attrs:{_FLAT_ATTRS_DDL}>>",
-        ),
+        ("events", _FLAT_EVENTS_DDL),
+        ("links", _FLAT_LINKS_DDL),
     ):
         if c not in spans.columns:
             spans = spans.withColumn(c, F.lit(None).cast(ddl))
@@ -403,13 +396,6 @@ def flatten_spans_from_otlp(
         F.explode("d.scopeSpans").alias("s"),
     )
     sp = sc.select("conv_id", F.explode("s.spans").alias("p"))
-    empty_events = (
-        f"array<struct<ts_ns:bigint,name:string,attrs:{_FLAT_ATTRS_DDL}>>"
-    )
-    empty_links = (
-        "array<struct<trace_id:string,span_id:string,trace_state:string,"
-        f"attrs:{_FLAT_ATTRS_DDL}>>"
-    )
     return sp.select(
         "conv_id",
         F.col("p.traceId").alias("trace_id"),
@@ -431,7 +417,7 @@ def flatten_spans_from_otlp(
                     _attrs_from_json_form(e["attributes"]).alias("attrs"),
                 ),
             ),
-            F.array().cast(empty_events),
+            F.array().cast(_FLAT_EVENTS_DDL),
         ).alias("events"),
         F.coalesce(
             F.transform(
@@ -443,7 +429,7 @@ def flatten_spans_from_otlp(
                     _attrs_from_json_form(ln["attributes"]).alias("attrs"),
                 ),
             ),
-            F.array().cast(empty_links),
+            F.array().cast(_FLAT_LINKS_DDL),
         ).alias("links"),
         F.col("p.status.message").alias("status_message"),
     )

@@ -43,27 +43,10 @@ from pyspark.sql import functions as F
 from opentelemetry_collector_spark.functions.protowire import (
     _fields,
     _len_delim,
-    _read_varint,
-    _sext64,
-    _varint,
+    _packed_varints as _packed_u64,
+    _unpack_varints,
     _varint_field,
 )
-
-
-def _packed_u64(field: int, vals) -> bytes:
-    return _len_delim(field, b"".join(_varint(int(v)) for v in vals))
-
-
-def _unpack_varints(buf: bytes, signed: bool = False) -> list[int]:
-    """signed=True sign-extends each 64-bit varint — Sample.value is
-    int64 (negatives are legal: delta/contention profiles) and the
-    encoder emits two's complement, so an unsigned read would return
-    2^64+v (r5 review finding); location_ids stay uint64."""
-    out, i = [], 0
-    while i < len(buf):
-        n, i = _read_varint(buf, i)
-        out.append(_sext64(n) if signed else n)
-    return out
 
 
 def encode_profile(

@@ -154,6 +154,23 @@ def _sext64(n: int) -> int:
     return n - (1 << 64) if n >= (1 << 63) else n
 
 
+def _packed_varints(field: int, vals) -> bytes:
+    """Packed repeated varints (uint64 or two's-complement int64 —
+    _varint masks). Shared by the metric and pprof codecs."""
+    return _len_delim(field, b"".join(_varint(int(v)) for v in vals))
+
+
+def _unpack_varints(buf: bytes, signed: bool = False) -> list[int]:
+    """Inverse; signed=True sign-extends each 64-bit value (int64
+    fields — e.g. pprof Sample.value — encode negatives as two's
+    complement, and an unsigned read would return 2^64+v)."""
+    out, i = [], 0
+    while i < len(buf):
+        n, i = _read_varint(buf, i)
+        out.append(_sext64(n) if signed else n)
+    return out
+
+
 def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
     i = 0
     while i < len(buf):

@@ -50,8 +50,9 @@ from opentelemetry_collector_spark.functions.protowire import (
     _fields,
     _fixed64,
     _len_delim,
-    _read_varint,
+    _packed_varints,
     _tag,
+    _unpack_varints,
     _varint,
     _varint_field,
 )
@@ -92,10 +93,6 @@ def _sint_field(field: int, n: int) -> bytes:
     return _tag(field, 0) + _varint(_zigzag(int(n)))
 
 
-def _packed_varints(field: int, vals: list[int]) -> bytes:
-    return _len_delim(field, b"".join(_varint(int(v)) for v in vals))
-
-
 def _packed_fixed64(field: int, vals: list[int]) -> bytes:
     return _len_delim(
         field,
@@ -107,14 +104,6 @@ def _packed_fixed64(field: int, vals: list[int]) -> bytes:
 
 def _packed_doubles(field: int, vals: list[float]) -> bytes:
     return _len_delim(field, b"".join(struct.pack("<d", float(v)) for v in vals))
-
-
-def _unpack_varints(buf: bytes) -> list[int]:
-    out, i = [], 0
-    while i < len(buf):
-        n, i = _read_varint(buf, i)  # the ONE varint reader (protowire)
-        out.append(n)
-    return out
 
 
 def _unpack_fixed64(buf: bytes) -> list[int]:
