@@ -967,6 +967,24 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, oracle-gated (r5): real AVI decode →
+    one row per 100 ms frame with the frame's RGB-byte digest. The
+    oracle unnests the generation-time per-frame digests, so a green
+    row proves the decoded frames are byte-identical to the source —
+    per frame, not just in aggregate."""
+    from opentelemetry_collector_spark.operators import multimodal as mm
+
+    media = spark.read.parquet(fixtures.ensure_media()).drop(
+        "payload_sha256", "audio_sample_sum", "video_pixel_sum",
+        "video_n_frames", "video_frame_sha256",
+    )
+    frames = mm.sample_frames(media, every_ms=100)
+    return frames.select(
+        "media_id", "frame_ms", F.sha2(F.col("frame"), 256).alias("frame_sha256")
+    )
+
+
 def _q_metrics_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.functions import signals
 
@@ -1224,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "embedding_dedup": _q_embedding_dedup,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "stage_metrics": _q_stage_metrics,
         "metrics_cumulative": _q_metrics_cumulative,
         "metrics_delta": _q_metrics_delta,
@@ -1591,6 +1610,17 @@ def oracle_sql() -> dict[str, str]:
                    video_n_frames AS n_frames,
                    video_pixel_sum AS pixel_sum
             FROM read_parquet('{fixtures.ensure_media()}')""",
+        "media_frames": f"""
+            WITH v AS (
+                SELECT media_id,
+                       unnest(list_transform(video_frame_sha256,
+                              (x, i) -> {{'d': x, 'i': i}})) AS fr
+                FROM read_parquet('{fixtures.ensure_media()}')
+                WHERE media_type = 'video/avi')
+            SELECT media_id,
+                   cast((fr.i - 1) * 100 AS int) AS frame_ms,
+                   fr.d AS frame_sha256
+            FROM v""",
         "docs_clean_pipeline": _docs_clean_oracle(),
         "profile_hot_functions": profiles_oracle.oracle_hot_functions(10),
         "profile_pprof_roundtrip": profiles_oracle.oracle_hot_functions_by_name(10),

@@ -240,7 +240,7 @@ def ensure_versioned_tool_dim() -> str:
 # otherwise serve stale bytes from a prior round's fixtures/ dir (r3
 # switched media image payloads from hash chains to real PNGs — an old
 # cache would silently exercise the stub path forever)
-MEDIA_GEN_VERSION = 4
+MEDIA_GEN_VERSION = 5
 PROFILES_GEN_VERSION = 1
 
 
@@ -270,22 +270,27 @@ def ensure_media(n: int = 96, seed: int = SEED) -> str:
         # any encoding — the Spark side recomputes it from the DECODED
         # wav stream, so oracle parity is a true codec check (not the
         # decoder checking itself)
-        sample_sums, pixel_sums, frame_counts = [], [], []
+        sample_sums, pixel_sums, frame_counts, frame_digests = [], [], [], []
         for i, mt, _payload, meta in rows:
-            ssum = psum = nfr = None
+            ssum = psum = nfr = fds = None
             if mt == "audio/wav":
                 ns = meta["sample_rate"] * meta["duration_ms"] // 1000
                 ssum = int(_wav_samples(i, seed, ns).sum(dtype="int64"))
             elif mt == "video/avi":
                 nfr = meta["duration_ms"] * AVI_FPS // 1000
-                psum = int(
-                    _avi_frames(
-                        i, seed, nfr, meta["height"], meta["width"]
-                    ).sum(dtype="int64")
-                )
+                frames = _avi_frames(i, seed, nfr, meta["height"], meta["width"])
+                psum = int(frames.sum(dtype="int64"))
+                # per-frame RGB-byte digests: frame sampling's oracle
+                # ground truth (the Spark side re-derives them from the
+                # DECODED frames — a true codec check per frame)
+                fds = [
+                    hashlib.sha256(frames[f].tobytes()).hexdigest()
+                    for f in range(nfr)
+                ]
             sample_sums.append(ssum)
             pixel_sums.append(psum)
             frame_counts.append(nfr)
+            frame_digests.append(fds)
         meta_type = pa.struct(
             [
                 ("width", pa.int32()),
@@ -308,6 +313,9 @@ def ensure_media(n: int = 96, seed: int = SEED) -> str:
                 "audio_sample_sum": pa.array(sample_sums, pa.int64()),
                 "video_pixel_sum": pa.array(pixel_sums, pa.int64()),
                 "video_n_frames": pa.array(frame_counts, pa.int32()),
+                "video_frame_sha256": pa.array(
+                    frame_digests, pa.list_(pa.string())
+                ),
             }
         )
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -32,6 +32,7 @@ ARROW_OK = {
     # pprof blobs: per-profile applyInPandas marshal + mapInPandas
     # parse — export-boundary Python like the other wire codecs (r5)
     "profile_pprof_roundtrip",
+    "media_frames",  # AVI decode per frame — export-boundary Python
 }
 CARTESIAN_OK = {"embedding_neardup"}  # documented O(n²) baseline
 
