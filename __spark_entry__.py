@@ -959,12 +959,18 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opentelemetry_collector_spark.operators import multimodal as mm
 
     media = spark.read.parquet(fixtures.ensure_media()).drop(
-        "payload_sha256", "audio_sample_sum", "video_pixel_sum", "video_n_frames"
+        "payload_sha256", "audio_sample_sum", "video_pixel_sum",
+        "video_n_frames", "video_frame_sha256",
     )
     return mm.extract_features(media).select(
         "media_id", "media_type", "n_bytes", "sha256",
         "decoded_duration_ms", "sample_sum", "n_frames", "pixel_sum",
     )
+
+
+from opentelemetry_collector_spark.operators.multimodal import AVI_FPS as _AVI_FPS
+
+_AVI_FRAME_MS = 1000 // _AVI_FPS
 
 
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,11 +981,18 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     per frame, not just in aggregate."""
     from opentelemetry_collector_spark.operators import multimodal as mm
 
-    media = spark.read.parquet(fixtures.ensure_media()).drop(
-        "payload_sha256", "audio_sample_sum", "video_pixel_sum",
-        "video_n_frames", "video_frame_sha256",
+    media = (
+        spark.read.parquet(fixtures.ensure_media())
+        .drop(
+            "payload_sha256", "audio_sample_sum", "video_pixel_sum",
+            "video_n_frames", "video_frame_sha256",
+        )
+        # the oracle's ground truth covers decodable AVI rows only —
+        # scope the Spark side identically so a future compressed-video
+        # fixture row (stub-degrade path) can't desync the gate
+        .filter(F.col("media_type") == "video/avi")
     )
-    frames = mm.sample_frames(media, every_ms=100)
+    frames = mm.sample_frames(media, every_ms=1000 // mm.AVI_FPS)
     return frames.select(
         "media_id", "frame_ms", F.sha2(F.col("frame"), 256).alias("frame_sha256")
     )
@@ -1618,7 +1631,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM read_parquet('{fixtures.ensure_media()}')
                 WHERE media_type = 'video/avi')
             SELECT media_id,
-                   cast((fr.i - 1) * 100 AS int) AS frame_ms,
+                   cast((fr.i - 1) * {_AVI_FRAME_MS} AS int) AS frame_ms,
                    fr.d AS frame_sha256
             FROM v""",
         "docs_clean_pipeline": _docs_clean_oracle(),

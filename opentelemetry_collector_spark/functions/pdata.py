@@ -1174,15 +1174,23 @@ def flatten_attrs_anyvalue_from_otlp(
     )
     recs = sl.select("conv_id", F.explode("s.logRecords").alias("r"))
     # ONE pass over the attribute list into a map, then O(1) lookups —
-    # per-key F.filter scans cost 7 array traversals per record
-    # (measured ~40% of the query wall at 600k records)
+    # per-key F.filter scans cost 7 array traversals per record. A
+    # first-match FOLD rather than map_from_entries: this is the
+    # generic OTLP/JSON inverse, and wild documents carry duplicate or
+    # null attribute keys — map_from_entries throws under the default
+    # EXCEPTION dedup policy where first-match resolves gracefully
+    # (r5 review finding).
+    empty_map = F.expr(f"CAST(map() AS map<string,{ANYVALUE_DDL}>)")
     recs = recs.withColumn(
         "_m",
-        F.map_from_entries(
-            F.transform(
-                F.col("r.attributes"),
-                lambda a: F.struct(a["key"].alias("key"), a["value"].alias("value")),
-            )
+        F.aggregate(
+            F.col("r.attributes"),
+            empty_map,
+            lambda acc, a: F.when(
+                a["key"].isNotNull()
+                & F.isnull(F.try_element_at(acc, a["key"])),
+                F.map_concat(acc, F.create_map(a["key"], a["value"])),
+            ).otherwise(acc),
         ),
     )
     get = lambda k: F.try_element_at(F.col("_m"), F.lit(k))  # noqa: E731

@@ -235,3 +235,21 @@ def test_anyvalue_envelope_presence_edges(spark):
     assert flat[1]["valid"] is None and flat[1]["req_b64"] is None
     assert flat[1]["tools_sig"] == ""  # present-but-empty, not NULL
     assert flat[1]["ctx_sig"] == "conv=c1;turn=1"
+
+
+def test_anyvalue_flatten_tolerates_duplicate_and_null_keys(spark):
+    """The generic OTLP/JSON inverse must resolve duplicate attribute
+    keys first-match and skip null keys — wild documents carry both;
+    map_from_entries would throw under the default EXCEPTION dedup
+    policy (r5 review finding)."""
+    doc = (
+        '{"resource":{"attributes":{"conv_id":"c1"}},'
+        '"scopeLogs":[{"scope":{"name":"otelcol-spark"},'
+        '"logRecords":[{"timeUnixNano":1,"turnIdx":0,"attributes":['
+        '{"key":"svc","value":{"stringValue":"first"}},'
+        '{"key":"svc","value":{"stringValue":"second"}},'
+        '{"value":{"stringValue":"keyless"}}]}]}]}'
+    )
+    nested = spark.createDataFrame([(doc,)], "otlp_json string")
+    row = pdata.flatten_attrs_anyvalue_from_otlp(nested).collect()[0]
+    assert row["svc"] == "first"  # first occurrence wins, no throw
