@@ -837,6 +837,20 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_components(docs, pairs)
 
 
+def _q_neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component labels via the two-phase star algorithm
+    (alternating large-star/small-star, Kiveris et al. SoCC'14):
+    O(log n) rounds vs propagation's O(diameter) — the variant to use
+    when near-dup clusters may chain deep. Same recursive-CTE oracle;
+    result identity with `neardup_components` is pinned in
+    tests/test_dedup.py."""
+    from opentelemetry_collector_spark.operators import dedup
+
+    docs = tables.read_table(spark, sf_dir, "documents")
+    pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5)
+    return dedup.neardup_components_star(docs, pairs)
+
+
 # component labels per (SparkContext, sf_dir): the label-propagation
 # stage runs per-round ACTIONS at construction time — pay them once per
 # session (the _bpe_merges_for convention), then every corpus_pipeline
@@ -1289,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "bpe_merges": _q_bpe_merges,
         "neardup_components": _q_neardup_components,
+        "neardup_components_star": _q_neardup_components_star,
         "corpus_pipeline": _q_corpus_pipeline,
         "bpe_segment": _q_bpe_segment,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -1569,6 +1584,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
         "neardup_components": dedup_oracle.oracle_neardup_components(
+            dedup_oracle.oracle_neardup_pairs_lsh(0.5)
+        ),
+        "neardup_components_star": dedup_oracle.oracle_neardup_components(
             dedup_oracle.oracle_neardup_pairs_lsh(0.5)
         ),
         "contamination_check": f"""WITH {_edge_docs_cte()},

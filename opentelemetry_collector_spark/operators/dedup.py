@@ -1446,9 +1446,17 @@ def neardup_components(
     (join + agg on the edge list), converging in O(component diameter)
     rounds (near-dup clusters are shallow; max_iters bounds
     pathological chains). One bounded action per round (the converged?
-    count), labels persisted per round with the previous cache dropped
-    after materialization. Scale: every round is edge-list-sized
-    joins/aggs — no global structure, shuffle keyed on node id.
+    count). Scale: every round is edge-list-sized joins/aggs — no
+    global structure, shuffle keyed on node id.
+
+    Each round's labels are eager-localCheckpoint'ed: the new-labels
+    plan references the previous round TWICE (neighbor join + carry
+    join), so without lineage truncation the logical plan doubles per
+    round and the driver OOMs building plan trees near max_iters
+    (observed at 20 rounds). Intermediate round blocks are reclaimed
+    by the ContextCleaner when dereferenced (the lsh_candidate_pairs
+    convention); on a real cluster set a reliable checkpoint dir if
+    executor loss during the handful of rounds is a concern.
     """
     ids = df.select(F.col(id_col).alias("id")).distinct()
     edges = (
@@ -1459,8 +1467,7 @@ def neardup_components(
         .distinct()
         .persist()
     )
-    labels = ids.withColumn("comp", F.col("id")).persist()
-    labels.count()
+    labels = ids.withColumn("comp", F.col("id")).localCheckpoint()
     converged = False
     rounds = 0
     try:
@@ -1471,6 +1478,8 @@ def neardup_components(
                 .agg(F.min("comp").alias("neigh_comp"))
                 .withColumnRenamed("u", "id")
             )
+            # eager localCheckpoint: materializes AND truncates lineage
+            # (see docstring — the plan doubles per round otherwise)
             new_labels = (
                 labels.join(neigh, "id", "left")
                 .select(
@@ -1479,7 +1488,7 @@ def neardup_components(
                         F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
                     ).alias("comp"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.withColumnRenamed("comp", "new_comp")
@@ -1487,7 +1496,6 @@ def neardup_components(
                 .filter(F.col("new_comp") != F.col("comp"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 converged = True
@@ -1511,6 +1519,121 @@ def neardup_components(
         return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
     finally:
         edges.unpersist()
+
+
+def neardup_components_star(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 30,
+    persist_handle: list | None = None,
+    stats_handle: dict | None = None,
+) -> DataFrame:
+    """Connected components via the two-phase star algorithm
+    (alternating large-star / small-star; Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): O(log n) rounds
+    regardless of component DIAMETER, where min-label propagation
+    (`neardup_components`) pays O(diameter) rounds.
+
+    Per round, over the current edge set E (kept oriented big→small
+    after the first half-step):
+
+      large-star  ∀u: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      small-star  ∀u over edges (u, v<u): m = min(Γ<(u)); emit (u, m)
+                  and (v, m) for the other small neighbors v ≠ m
+
+    Both halves are edge-list-sized groupBy+join+distinct — no global
+    structure, same shuffle-on-node-id scale shape as propagation.
+    The fixed point is a star forest: every non-min node holds exactly
+    the edge (node, component-min). Convergence is checked exactly
+    (edge-set equality via count + one-sided subtract), one bounded
+    action pair per round.
+
+    Each round ends in an eager localCheckpoint: `small` references
+    `large` three times and `large` the symmetric view twice, so the
+    un-truncated logical plan grows ~12× per round — exponential —
+    and the driver OOMs building plan trees by round ~6. Lineage
+    truncation per round is mandatory for ANY iterative edge-rewrite
+    on Spark; intermediate blocks are ContextCleaner-reclaimed.
+
+    Same output contract as `neardup_components` (result-identity
+    pinned in tests/test_dedup.py); use THIS variant when components
+    may be deep — a 64-node chain converges in ~6 rounds here vs 63
+    propagation rounds.
+    """
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    # orient big→small up front (drop self-edges defensively): both
+    # half-steps below preserve the u > v orientation
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
+        # ---- large-star over the symmetric view
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star over big→small edges (large's output
+        # already satisfies u > v: emitted (v, m) has m ≤ u < v)
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        with_min = large.join(smin, "u")
+        small = (
+            with_min.select("u", F.col("m").alias("v"))
+            .unionByName(
+                with_min.filter(F.col("v") != F.col("m")).select(
+                    F.col("v").alias("u"), F.col("m").alias("v")
+                )
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same_count = small.count() == edges.count()
+        if same_count and small.subtract(edges).count() == 0:
+            converged = True
+        edges = small
+        if converged:
+            break
+    if not converged:
+        raise RuntimeError(
+            f"neardup_components_star did not converge in {max_iters} "
+            "rounds (expected O(log n) — investigate the pair graph)"
+        )
+    if stats_handle is not None:
+        stats_handle["rounds"] = rounds
+    # star forest: non-min nodes carry exactly (id, component-min);
+    # min nodes and isolated docs label themselves
+    labels = (
+        ids.join(edges.withColumnRenamed("u", "id"), "id", "left")
+        .groupBy("id")
+        .agg(F.min("v").alias("mn"))
+        .select("id", F.coalesce("mn", "id").alias("comp"))
+    )
+    if persist_handle is not None:
+        labels = labels.persist()
+        persist_handle.append(labels)
+    return labels.select(
+        F.col("id").alias(id_col), F.col("comp").alias("component_id")
+    )
 
 
 def oracle_neardup_components(pairs_sql: str, table: str = "documents") -> str:

@@ -425,3 +425,64 @@ def test_neardup_components_transitive_closure(spark):
     assert comp[5] == comp[6] == 5
     for i in (4, 7, 8, 9):
         assert comp[i] == i
+
+
+def test_neardup_components_star_matches_propagation(spark):
+    """Two-phase star must agree with min-label propagation on a mixed
+    graph (chain + pair + isolates + a triangle joined to the chain)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (3, 10), (10, 11), (11, 3)],
+        "id_a long, id_b long",
+    )
+    want = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.neardup_components(docs, pairs).collect()
+    }
+    stats: dict = {}
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.neardup_components_star(
+            docs, pairs, stats_handle=stats
+        ).collect()
+    }
+    assert got == want
+    assert got[11] == 0 and got[4] == 4
+    assert stats["rounds"] >= 1
+
+
+def test_neardup_components_star_deep_chain(spark):
+    """A 64-node path (diameter 63) exceeds propagation's default
+    20-round bound but the star variant converges in O(log n) rounds —
+    the documented reason the variant exists."""
+    n = 64
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_components(docs, chain)
+    stats: dict = {}
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.neardup_components_star(
+            docs, chain, stats_handle=stats
+        ).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == n
+    assert stats["rounds"] <= 10  # ~log2(64) + alternation slack
+
+
+def test_neardup_components_star_nonconvergence_is_loud(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "doc_id long, text string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_components_star(docs, chain, max_iters=1)
