@@ -1203,6 +1203,28 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_oracle.lm_score(_docs_with_edges(spark, sf_dir))
 
 
+def _q_profile_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span CPU attribution via the pprofile LinkTable
+    (generated_link.go:51-70; sample.go:24 LinkIndex-0 = unlinked):
+    total ns + dominant leaf function per linked span."""
+    from opentelemetry_collector_spark.functions import profiles
+
+    t = profiles.read_profile_tables(spark)
+    return profiles.span_hotspots(
+        t["samples"], t["links"], t["stacks"], t["locations"], t["functions"]
+    )
+
+
+def _q_profile_attr_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyValueAndUnit rollup (generated_keyvalueandunit.go:53-71):
+    per attribute (key, unit) — incidences, distinct values, summed
+    int value in the declared unit."""
+    from opentelemetry_collector_spark.functions import profiles
+
+    t = profiles.read_profile_tables(spark)
+    return profiles.attr_units(t["samples"], t["attributes"])
+
+
 def _q_profile_hot_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profiles signal (pdata/pprofile): top-10 functions by self time
     over the dictionary-encoded samples/stacks/locations/functions star
@@ -1291,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
         "profile_hot_functions": _q_profile_hot_functions,
+        "profile_span_hotspots": _q_profile_span_hotspots,
+        "profile_attr_units": _q_profile_attr_units,
         "vocab_topk": _q_vocab_topk,
         "text_repetition": _q_text_repetition,
         "text_redact": _q_text_redact,
@@ -1654,6 +1678,8 @@ def oracle_sql() -> dict[str, str]:
             FROM v""",
         "docs_clean_pipeline": _docs_clean_oracle(),
         "profile_hot_functions": profiles_oracle.oracle_hot_functions(10),
+        "profile_span_hotspots": profiles_oracle.oracle_span_hotspots(),
+        "profile_attr_units": profiles_oracle.oracle_attr_units(),
         "profile_pprof_roundtrip": profiles_oracle.oracle_hot_functions_by_name(10),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),

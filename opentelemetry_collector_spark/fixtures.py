@@ -398,7 +398,14 @@ def ensure_profiles(
     d = profiles_dir()
     paths = {
         t: d / f"profile_{t}.parquet"
-        for t in ("functions", "locations", "stacks", "samples")
+        for t in (
+            "functions",
+            "locations",
+            "stacks",
+            "samples",
+            "links",
+            "attributes",
+        )
     }
     if all(p.exists() for p in paths.values()):
         return {t: str(p) for t, p in paths.items()}
@@ -443,6 +450,58 @@ def ensure_profiles(
     sample_stack = rng.randint(0, n_stacks, size=n_samples).astype(np.int32)
     values = (rng.pareto(2.0, size=n_samples) * 1e6 + 1e4).astype(np.int64)
     ts = BASE_TS_US + np.arange(n_samples, dtype=np.int64) * 10_000
+
+    # --- r5: the pprofile dictionary remainder — LinkTable
+    # (generated_link.go:51-70: Link.TraceID/SpanID) and AttributeTable
+    # (generated_keyvalueandunit.go:53-71: KeyValueAndUnit —
+    # key/value/unit); sample.go:24 treats LinkIndex 0 as "unlinked",
+    # so dictionary row 0 is the reserved empty entry in both tables.
+    # All new rng draws happen AFTER the original stream so the
+    # pre-existing tables' bytes are unchanged across regeneration.
+    n_links = 24
+    tr_bytes = rng.randint(0, 256, size=(n_links, 16)).astype(np.uint8)
+    sp_bytes = rng.randint(0, 256, size=(n_links, 8)).astype(np.uint8)
+    links = pa.table(
+        {
+            "link_id": np.arange(n_links + 1, dtype=np.int32),
+            "trace_id": pa.array(
+                [None] + [bytes(b).hex() for b in tr_bytes], pa.string()
+            ),
+            "span_id": pa.array(
+                [None] + [bytes(b).hex() for b in sp_bytes], pa.string()
+            ),
+        }
+    )
+    mem_vals = (4096 * (2 ** rng.randint(0, 12, size=4))).astype(np.int64)
+    gc_vals = rng.randint(1, 50, size=4).astype(np.int64)
+    attr_rows = (
+        [("", None, None, None)]
+        + [(f"thread.name", f"worker-{i}", None, None) for i in range(8)]
+        + [("memory.allocated", None, int(v), "bytes") for v in mem_vals]
+        + [("gc.pause", None, int(v), "ms") for v in gc_vals]
+    )
+    attrs_tbl = pa.table(
+        {
+            "attr_id": np.arange(len(attr_rows), dtype=np.int32),
+            "key": pa.array([r[0] for r in attr_rows], pa.string()),
+            "str_value": pa.array([r[1] for r in attr_rows], pa.string()),
+            "int_value": pa.array([r[2] for r in attr_rows], pa.int64()),
+            "unit": pa.array([r[3] for r in attr_rows], pa.string()),
+        }
+    )
+    link_draw = rng.randint(1, n_links + 1, size=n_samples).astype(np.int32)
+    link_id = np.where(rng.rand(n_samples) < 0.4, link_draw, 0).astype(np.int32)
+    thread_attr = rng.randint(1, 9, size=n_samples)
+    mem_attr = rng.randint(9, 13, size=n_samples)
+    mem_on = rng.rand(n_samples) < 0.5
+    gc_attr = rng.randint(13, 17, size=n_samples)
+    gc_on = rng.rand(n_samples) < 0.3
+    attr_ids = [
+        [int(thread_attr[i])]
+        + ([int(mem_attr[i])] if mem_on[i] else [])
+        + ([int(gc_attr[i])] if gc_on[i] else [])
+        for i in range(n_samples)
+    ]
     samples = pa.table(
         {
             "sample_id": np.arange(n_samples, dtype=np.int64),
@@ -450,6 +509,8 @@ def ensure_profiles(
             "stack_id": sample_stack,
             "value": values,
             "ts": ts.view("datetime64[us]"),
+            "link_id": link_id,
+            "attribute_ids": pa.array(attr_ids, type=pa.list_(pa.int32())),
         }
     )
     for name, tbl in (
@@ -457,6 +518,8 @@ def ensure_profiles(
         ("locations", locs),
         ("stacks", stacks),
         ("samples", samples),
+        ("links", links),
+        ("attributes", attrs_tbl),
     ):
         pq.write_table(tbl, paths[name], row_group_size=65536)
     return {t: str(p) for t, p in paths.items()}

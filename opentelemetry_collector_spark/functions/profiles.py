@@ -116,6 +116,146 @@ def oracle_hot_functions(k: int = 10) -> str:
         ORDER BY a.self_ns DESC, a.function_id LIMIT {k}"""
 
 
+def span_hotspots(
+    samples: DataFrame,
+    links: DataFrame,
+    stacks: DataFrame,
+    locations: DataFrame,
+    functions: DataFrame,
+) -> DataFrame:
+    """Per-span CPU attribution through the pprofile LinkTable
+    (generated_link.go:51-70: Link.TraceID/SpanID;
+    generated_sample.go:67 Sample.LinkIndex; sample.go:24: index 0 =
+    unlinked): for every linked span, total sampled ns, sample count,
+    and the dominant LEAF function (the pprof "self" owner) with its
+    self time.
+
+    Scale: samples is the only large input; links/stacks/locations/
+    functions are broadcast dims, the grouping key is (trace_id,
+    span_id) — one shuffle on span identity, window only over the
+    per-(span, function) aggregate (span-count-sized, not
+    sample-sized)."""
+    from pyspark.sql import Window
+
+    linked = samples.filter(F.col("link_id") > 0).join(
+        F.broadcast(links.filter(F.col("link_id") > 0)), "link_id"
+    )
+    per_span = linked.groupBy("trace_id", "span_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("value").alias("total_ns"),
+    )
+    leaf = (
+        linked.join(F.broadcast(stacks), "stack_id")
+        .select(
+            "trace_id",
+            "span_id",
+            "value",
+            F.element_at("location_ids", 1).alias("location_id"),
+        )
+        .join(
+            F.broadcast(locations.select("location_id", "function_id")),
+            "location_id",
+        )
+        .join(F.broadcast(functions.select("function_id", "name")), "function_id")
+    )
+    per_fn = leaf.groupBy("trace_id", "span_id", "name").agg(
+        F.sum("value").alias("fn_self_ns")
+    )
+    w = Window.partitionBy("trace_id", "span_id").orderBy(
+        F.col("fn_self_ns").desc(), "name"
+    )
+    top = (
+        per_fn.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "trace_id",
+            "span_id",
+            F.col("name").alias("top_leaf_fn"),
+            F.col("fn_self_ns").alias("top_leaf_self_ns"),
+        )
+    )
+    return per_span.join(top, ["trace_id", "span_id"]).select(
+        "trace_id", "span_id", "n_samples", "total_ns",
+        "top_leaf_fn", "top_leaf_self_ns",
+    )
+
+
+def attr_units(samples: DataFrame, attributes: DataFrame) -> DataFrame:
+    """Attribute incidence rollup through the pprofile AttributeTable
+    (generated_keyvalueandunit.go:53-71: KeyValueAndUnit — key, typed
+    value, UnitStrindex; generated_sample.go:62 Sample.AttributeIndices).
+    Per (key, unit): incidences, distinct values, and the summed int
+    value in the declared unit (NULL for string-valued keys).
+
+    Scale: explode fans out by attrs-per-sample (≤3), attribute
+    dictionary is broadcast, one shuffle on (key, unit)."""
+    inc = samples.select(
+        "sample_id", F.explode("attribute_ids").alias("attr_id")
+    ).join(F.broadcast(attributes), "attr_id")
+    return inc.groupBy("key", "unit").agg(
+        F.count(F.lit(1)).alias("n_incidences"),
+        F.countDistinct(
+            F.coalesce(F.col("str_value"), F.col("int_value").cast("string"))
+        ).alias("n_values"),
+        F.sum("int_value").alias("total_int"),
+    )
+
+
+def oracle_span_hotspots() -> str:
+    """DuckDB mirror over the same parquet bytes; list index [1] is the
+    leaf (leaf-first lists, 1-based in both engines)."""
+    p = fixtures.ensure_profiles()
+    return f"""        WITH samples AS (SELECT * FROM read_parquet('{p["samples"]}')),
+        links AS (SELECT * FROM read_parquet('{p["links"]}')),
+        stacks AS (SELECT * FROM read_parquet('{p["stacks"]}')),
+        locations AS (SELECT * FROM read_parquet('{p["locations"]}')),
+        functions AS (SELECT * FROM read_parquet('{p["functions"]}')),
+        linked AS (
+            SELECT s.*, l.trace_id, l.span_id
+            FROM samples s JOIN links l USING (link_id)
+            WHERE s.link_id > 0),
+        per_span AS (
+            SELECT trace_id, span_id,
+                   cast(count(*) AS bigint) AS n_samples,
+                   cast(sum(value) AS bigint) AS total_ns
+            FROM linked GROUP BY 1, 2),
+        leaf AS (
+            SELECT li.trace_id, li.span_id, li.value, fn.name
+            FROM linked li
+            JOIN stacks st USING (stack_id)
+            JOIN locations lo ON lo.location_id = st.location_ids[1]
+            JOIN functions fn USING (function_id)),
+        per_fn AS (
+            SELECT trace_id, span_id, name,
+                   cast(sum(value) AS bigint) AS fn_self_ns
+            FROM leaf GROUP BY 1, 2, 3),
+        top AS (
+            SELECT trace_id, span_id, name, fn_self_ns FROM per_fn
+            QUALIFY row_number() OVER (
+                PARTITION BY trace_id, span_id
+                ORDER BY fn_self_ns DESC, name) = 1)
+        SELECT p.trace_id, p.span_id, p.n_samples, p.total_ns,
+               t.name AS top_leaf_fn, t.fn_self_ns AS top_leaf_self_ns
+        FROM per_span p JOIN top t USING (trace_id, span_id)"""
+
+
+def oracle_attr_units() -> str:
+    p = fixtures.ensure_profiles()
+    return f"""        WITH samples AS (SELECT * FROM read_parquet('{p["samples"]}')),
+        attributes AS (SELECT * FROM read_parquet('{p["attributes"]}')),
+        inc AS (
+            SELECT s.sample_id, unnest(s.attribute_ids) AS attr_id
+            FROM samples s),
+        joined AS (SELECT i.*, a.key, a.str_value, a.int_value, a.unit
+                   FROM inc i JOIN attributes a USING (attr_id))
+        SELECT key, unit,
+               cast(count(*) AS bigint) AS n_incidences,
+               cast(count(DISTINCT coalesce(str_value,
+                    cast(int_value AS varchar))) AS bigint) AS n_values,
+               cast(sum(int_value) AS bigint) AS total_int
+        FROM joined GROUP BY 1, 2"""
+
+
 def oracle_hot_functions_by_name(k: int = 10) -> str:
     """oracle_hot_functions keyed by function NAME — the identity the
     pprof round trip preserves (per-blob ids are local; names are the

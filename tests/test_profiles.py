@@ -71,3 +71,78 @@ def test_fixture_deterministic(spark):
         .join(paths["locations"], "location_id", "left_anti")
     )
     assert ex.count() == 0
+
+
+def _link_tables(spark):
+    links = spark.createDataFrame(
+        [(0, None, None), (1, "aa" * 16, "bb" * 8), (2, "cc" * 16, "dd" * 8)],
+        "link_id int, trace_id string, span_id string",
+    )
+    # sample 0 unlinked (LinkIndex 0, sample.go:24); 1+2 → link 1; 3 → link 2
+    samples = spark.createDataFrame(
+        [
+            (0, 0, 0, 100, 0, [1]),
+            (1, 0, 0, 7, 1, [1, 9]),
+            (2, 0, 1, 5, 1, [2]),
+            (3, 0, 2, 40, 2, [1, 13]),
+        ],
+        "sample_id long, profile_id int, stack_id int, value long, "
+        "link_id int, attribute_ids array<int>",
+    )
+    return samples, links
+
+
+def test_span_hotspots_linkindex_zero_excluded(spark):
+    _, stacks, locations, functions = _mini_tables(spark)
+    samples, links = _link_tables(spark)
+    rows = {
+        (r["trace_id"], r["span_id"]): r
+        for r in profiles.span_hotspots(
+            samples, links, stacks, locations, functions
+        ).collect()
+    }
+    assert len(rows) == 2  # unlinked sample 0 (100ns) contributes nowhere
+    a = rows[("aa" * 16, "bb" * 8)]
+    # samples 1 (leaf leafy, 7) + 2 (leaf work, 5)
+    assert a["n_samples"] == 2 and a["total_ns"] == 12
+    assert a["top_leaf_fn"] == "leafy" and a["top_leaf_self_ns"] == 7
+    b = rows[("cc" * 16, "dd" * 8)]
+    assert b["n_samples"] == 1 and b["total_ns"] == 40
+    assert b["top_leaf_fn"] == "leafy"  # stack 2 leaf is location 2 → leafy
+
+
+def test_attr_units_rollup(spark):
+    samples, _ = _link_tables(spark)
+    attributes = spark.createDataFrame(
+        [
+            (0, "", None, None, None),
+            (1, "thread.name", "worker-1", None, None),
+            (2, "thread.name", "worker-2", None, None),
+            (9, "memory.allocated", None, 4096, "bytes"),
+            (13, "gc.pause", None, 3, "ms"),
+        ],
+        "attr_id int, key string, str_value string, int_value long, unit string",
+    )
+    rows = {
+        (r["key"], r["unit"]): r
+        for r in profiles.attr_units(samples, attributes).collect()
+    }
+    t = rows[("thread.name", None)]
+    assert t["n_incidences"] == 4 and t["n_values"] == 2 and t["total_int"] is None
+    m = rows[("memory.allocated", "bytes")]
+    assert m["n_incidences"] == 1 and m["total_int"] == 4096
+    g = rows[("gc.pause", "ms")]
+    assert g["n_incidences"] == 1 and g["total_int"] == 3
+
+
+def test_links_fixture_dictionary_zero_reserved(spark):
+    t = profiles.read_profile_tables(spark)
+    z = t["links"].filter(F.col("link_id") == 0).collect()
+    assert len(z) == 1 and z[0]["trace_id"] is None and z[0]["span_id"] is None
+    za = t["attributes"].filter(F.col("attr_id") == 0).collect()
+    assert len(za) == 1 and za[0]["key"] == ""
+    # sample attribute indices never reference the reserved empty row
+    bad = t["samples"].select(
+        F.explode("attribute_ids").alias("attr_id")
+    ).filter(F.col("attr_id") == 0)
+    assert bad.count() == 0
