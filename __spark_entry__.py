@@ -617,6 +617,24 @@ def _q_metrics_histogram_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdata.flatten_histogram_metrics_from_otlp(nested)
 
 
+def _q_metrics_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplars on histogram datapoints (r5;
+    pdata/pmetric/generated_exemplar.go, pdata/pmetric/json.go Exemplar
+    branch): each non-empty latency bucket carries the max-latency
+    measurement that landed in it, with the recording span's
+    traceId/spanId and a filtered conv_id attribute — the aligned
+    bucket reservoir shape OTel SDKs use. Round trip through the
+    OTLP/JSON document; the inverse re-derives each exemplar's bucket
+    from explicitBounds (exemplars don't carry one — codec proof, not
+    column smuggling)."""
+    from opentelemetry_collector_spark.functions import pdata, signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    dps = signals.histogram_datapoints_with_exemplars(parsed)
+    nested = pdata.nest_histogram_exemplars_to_otlp(dps, signals.DEFAULT_BOUNDS)
+    return pdata.flatten_histogram_exemplars_from_otlp(nested)
+
+
 def _q_metrics_sum_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sum branch of the pmetric OTLP/JSON envelope (r5 — the document
     form is uniform over all 5 metric types,
@@ -1304,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_roundtrip": _q_metrics_roundtrip,
         "metrics_otlp_json": _q_metrics_otlp_json,
         "metrics_histogram_otlp": _q_metrics_histogram_otlp,
+        "metrics_exemplars": _q_metrics_exemplars,
         "metrics_sum_otlp": _q_metrics_sum_otlp,
         "metrics_exp_otlp": _q_metrics_exp_otlp,
         "metrics_summary_otlp": _q_metrics_summary_otlp,
@@ -1566,6 +1585,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.svc, b.bucket_idx, b.bucket_count, s.count,
                    s.value_sum, s.value_min, s.value_max
             FROM b JOIN s ON b.svc IS NOT DISTINCT FROM s.svc""",
+        "metrics_exemplars": f"""{_parsed_cte()},
+            bucketed AS (SELECT svc,
+                   cast(CASE WHEN latency_ms <= 10 THEN 0
+                             WHEN latency_ms <= 100 THEN 1
+                             WHEN latency_ms <= 500 THEN 2
+                             WHEN latency_ms <= 1000 THEN 3
+                             WHEN latency_ms <= 5000 THEN 4
+                             ELSE 5 END AS int) AS bucket_idx,
+                   cast(latency_ms AS bigint) AS value,
+                   epoch_ns(ts) AS ts_ns,
+                   md5(conv_id) AS trace_id,
+                   substr(md5(conv_id || ':' || turn_idx), 1, 16) AS span_id,
+                   conv_id
+                  FROM parsed WHERE latency_ms IS NOT NULL),
+            ranked AS (SELECT *,
+                   row_number() OVER (PARTITION BY svc, bucket_idx
+                       ORDER BY value DESC, ts_ns DESC, trace_id DESC,
+                                span_id DESC, conv_id DESC) AS rn,
+                   cast(count(*) OVER (PARTITION BY svc, bucket_idx)
+                        AS bigint) AS bucket_count
+                  FROM bucketed)
+            SELECT svc, bucket_idx, bucket_count,
+                   value AS ex_value, ts_ns AS ex_ts_ns,
+                   trace_id AS ex_trace_id, span_id AS ex_span_id,
+                   conv_id AS ex_conv
+            FROM ranked WHERE rn = 1""",
         "metrics_sum_otlp": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
                    cast(sum(latency_ms) OVER (

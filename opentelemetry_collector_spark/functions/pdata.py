@@ -735,6 +735,132 @@ def flatten_histogram_metrics_from_otlp(
     )
 
 
+HIST_EXEMPLAR_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeMetrics:array<struct<scope:struct<name:string>,"
+    "metrics:array<struct<name:string,"
+    "histogram:struct<aggregationTemporality:string,"
+    "dataPoints:array<struct<count:bigint,bucketCounts:array<bigint>,"
+    "explicitBounds:array<bigint>,"
+    "exemplars:array<struct<timeUnixNano:bigint,asInt:bigint,"
+    "spanId:string,traceId:string,"
+    "filteredAttributes:map<string,string>>>>>>>>>>>"
+)
+
+
+def nest_histogram_exemplars_to_otlp(
+    dps: DataFrame,
+    bounds: tuple[int, ...],
+    metric_name: str = "turn_latency_ms",
+) -> DataFrame:
+    """histogram_datapoints_with_exemplars rows → one ResourceMetrics
+    document per service whose HistogramDataPoint carries the
+    exemplars list (pdata/pmetric/generated_exemplar.go;
+    pdata/pmetric/json.go Exemplar branch): protojson shape
+    {timeUnixNano, asInt, spanId, traceId, filteredAttributes} — one
+    exemplar per non-empty bucket, sorted for document determinism.
+    The exemplar deliberately does NOT carry its bucket index: OTLP
+    exemplars don't — the inverse re-derives it from explicitBounds,
+    which is what makes the round trip a real codec proof."""
+    n_buckets = len(bounds) + 1
+    per_svc = dps.groupBy("svc").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket_idx"), F.col("bucket_count")))
+        ).alias("_bc"),
+        F.sum("bucket_count").alias("_count"),
+        F.max("bucket_idx").alias("_maxb"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ex_ts_ns").alias("timeUnixNano"),
+                    F.col("ex_value").alias("asInt"),
+                    F.col("ex_span_id").alias("spanId"),
+                    F.col("ex_trace_id").alias("traceId"),
+                    F.create_map(F.lit("conv_id"), F.col("ex_conv")).alias(
+                        "filteredAttributes"
+                    ),
+                )
+            ),
+            # asInt alone is a total order here: bucket ranges are
+            # disjoint, so two exemplars of one service can't collide
+            _cmp(lambda e: e["asInt"]),
+        ).alias("_ex"),
+    )
+    guarded_count = F.when(
+        F.col("_maxb") <= n_buckets - 1, F.col("_count")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"bucket_idx exceeds bounds-derived vector ({n_buckets} slots): "
+                ),
+                F.col("_maxb").cast("string"),
+            )
+        )
+    )
+    full_counts = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")),
+    )
+    dp = F.struct(
+        guarded_count.cast("long").alias("count"),
+        full_counts.alias("bucketCounts"),
+        F.array(*[F.lit(int(b)).cast("long") for b in bounds]).alias(
+            "explicitBounds"
+        ),
+        F.col("_ex").alias("exemplars"),
+    )
+    return per_svc.select(
+        F.col("svc"),
+        _resource_envelope(
+            F.col("svc"),
+            F.array(
+                F.struct(
+                    F.lit(metric_name).alias("name"),
+                    F.struct(
+                        F.lit("AGGREGATION_TEMPORALITY_DELTA").alias(
+                            "aggregationTemporality"
+                        ),
+                        F.array(dp).alias("dataPoints"),
+                    ).alias("histogram"),
+                )
+            ),
+        ).alias("otlp_json"),
+    )
+
+
+def flatten_histogram_exemplars_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse: one row per exemplar, with its bucket re-derived from
+    the document's OWN explicitBounds (bucket = #bounds the value
+    exceeds — upper-inclusive, overflow last) and that bucket's count
+    read back out of bucketCounts."""
+    m = _explode_to_metrics(nested, HIST_EXEMPLAR_OTLP_SCHEMA, json_col)
+    dp = m.select(
+        F.col("_svc").alias("svc"), F.explode("m.histogram.dataPoints").alias("p")
+    )
+    ex = dp.select(
+        "svc",
+        F.col("p.bucketCounts").alias("_bc"),
+        F.col("p.explicitBounds").alias("_eb"),
+        F.explode("p.exemplars").alias("e"),
+    )
+    bucket_idx = F.size(
+        F.filter(F.col("_eb"), lambda b: F.col("e.asInt") > b)
+    ).cast("int")
+    return ex.select(
+        "svc",
+        bucket_idx.alias("bucket_idx"),
+        F.element_at(F.col("_bc"), bucket_idx + 1).alias("bucket_count"),
+        F.col("e.asInt").alias("ex_value"),
+        F.col("e.timeUnixNano").alias("ex_ts_ns"),
+        F.col("e.traceId").alias("ex_trace_id"),
+        F.col("e.spanId").alias("ex_span_id"),
+        F.col("e.filteredAttributes")["conv_id"].alias("ex_conv"),
+    )
+
+
 # ----------------------- Sum / ExponentialHistogram / Summary envelopes
 # (r5: the metrics OTLP/JSON document form is uniform over all 5 metric
 # types — pdata/pmetric/metric_type.go:10-16; gauge + histogram landed

@@ -122,6 +122,51 @@ def histogram_datapoints(
     )
 
 
+def histogram_datapoints_with_exemplars(
+    df: DataFrame,
+    value_col: str = "latency_ms",
+    series_keys: tuple[str, ...] = ("svc",),
+    bounds: tuple[int, ...] = DEFAULT_BOUNDS,
+) -> DataFrame:
+    """Sparse histogram rows where each non-empty bucket carries its
+    exemplar — the max-value measurement that landed in the bucket,
+    with the recording span's context (pdata/pmetric/generated_exemplar.go;
+    the aligned-bucket reservoir shape the OTel SDKs use). One
+    aggregation: the exemplar is a lexicographic struct-max over
+    (value, ts, trace_id, span_id, conv_id), so ties resolve
+    deterministically and identically to the oracle's ORDER BY ... DESC
+    window."""
+    v = F.col(value_col)
+    bucket = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        bucket = F.when(v <= bounds[i], F.lit(i)).otherwise(bucket)
+    ex = F.max(
+        F.struct(
+            v.cast("long").alias("value"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+            trace_id_expr().alias("trace_id"),
+            span_id_expr().alias("span_id"),
+            F.col("conv_id").alias("conv"),
+        )
+    ).alias("_ex")
+    return (
+        df.filter(v.isNotNull())
+        .withColumn("bucket_idx", bucket.cast("int"))
+        .groupBy(*series_keys, "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("bucket_count"), ex)
+        .select(
+            *series_keys,
+            "bucket_idx",
+            "bucket_count",
+            F.col("_ex.value").alias("ex_value"),
+            F.col("_ex.ts_ns").alias("ex_ts_ns"),
+            F.col("_ex.trace_id").alias("ex_trace_id"),
+            F.col("_ex.span_id").alias("ex_span_id"),
+            F.col("_ex.conv").alias("ex_conv"),
+        )
+    )
+
+
 def exp_histogram_datapoints(
     df: DataFrame,
     value_col: str = "latency_ms",

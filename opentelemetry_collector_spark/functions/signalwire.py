@@ -12,11 +12,14 @@ opentelemetry/proto/trace/v1/trace.proto):
 
     NumberDataPoint:       7 attributes, 2 start_time_unix_nano (f64),
                            3 time_unix_nano (f64), 4 as_double (f64),
-                           6 as_int (sfixed64)
+                           5 exemplars, 6 as_int (sfixed64)
     HistogramDataPoint:    9 attributes, 2 start, 3 time, 4 count (f64),
                            5 sum (double), 6 bucket_counts (packed f64),
                            7 explicit_bounds (packed double),
-                           11 min, 12 max (double)
+                           8 exemplars, 11 min, 12 max (double)
+    Exemplar:              7 filtered_attributes, 2 time (f64),
+                           3 as_double, 4 span_id (8 bytes),
+                           5 trace_id (16 bytes), 6 as_int (sfixed64)
     ExpHistogramDataPoint: 1 attributes, 2 start, 3 time, 4 count (f64),
                            6 scale (sint32), 7 zero_count (f64),
                            8 positive Buckets{1 offset sint32,
@@ -140,6 +143,56 @@ def _decode_attrs(bufs: list[bytes]) -> dict[str, str]:
     return out
 
 
+# ------------------------------------------------------------ Exemplar
+
+def encode_exemplar(
+    ts_ns: int,
+    as_int: int | None = None,
+    as_double: float | None = None,
+    span_id_hex: str | None = None,
+    trace_id_hex: str | None = None,
+    filtered_attrs: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Exemplar message (metrics.proto: 2 time fixed64, 3 as_double,
+    4 span_id bytes, 5 trace_id bytes, 6 as_int sfixed64,
+    7 filtered_attributes KeyValue) — the metric→trace correlation
+    record datapoints carry (pdata/pmetric/generated_exemplar.go)."""
+    out = bytearray()
+    out += _fixed64(2, ts_ns)
+    if as_double is not None:
+        out += _double_field(3, as_double)
+    if span_id_hex:
+        out += _len_delim(4, bytes.fromhex(span_id_hex))
+    if trace_id_hex:
+        out += _len_delim(5, bytes.fromhex(trace_id_hex))
+    if as_double is None and as_int is not None:
+        out += _fixed64(6, as_int)
+    for k, v in filtered_attrs or []:
+        out += _len_delim(7, _str_attr(k, v))
+    return bytes(out)
+
+
+def decode_exemplar(buf: bytes) -> dict:
+    rec: dict = {"ts_ns": 0, "as_int": None, "as_double": None,
+                 "span_id": None, "trace_id": None, "filtered_attributes": {}}
+    attr_bufs = []
+    for f, _w, val in _fields(buf):
+        if f == 2:
+            rec["ts_ns"] = val
+        elif f == 3:
+            rec["as_double"] = _decode_double(val)
+        elif f == 4:
+            rec["span_id"] = val.hex()
+        elif f == 5:
+            rec["trace_id"] = val.hex()
+        elif f == 6:
+            rec["as_int"] = val
+        elif f == 7:
+            attr_bufs.append(val)
+    rec["filtered_attributes"] = _decode_attrs(attr_bufs)
+    return rec
+
+
 # ----------------------------------------------------- NumberDataPoint
 
 def encode_number_point(
@@ -148,6 +201,7 @@ def encode_number_point(
     ts_ns: int,
     as_int: int | None = None,
     as_double: float | None = None,
+    exemplars: list[bytes] | None = None,
 ) -> bytes:
     out = bytearray()
     if start_ns:
@@ -157,6 +211,8 @@ def encode_number_point(
         out += _double_field(4, as_double)
     elif as_int is not None:
         out += _fixed64(6, as_int)  # as_int is sfixed64 on the wire
+    for ex in exemplars or []:  # field 5 repeated Exemplar
+        out += _len_delim(5, ex)
     for k, v in attrs:
         out += _len_delim(7, _str_attr(k, v))
     return bytes(out)
@@ -164,7 +220,7 @@ def encode_number_point(
 
 def decode_number_point(buf: bytes) -> dict:
     rec: dict = {"attributes": {}, "as_int": None, "as_double": None,
-                 "start_ns": 0, "ts_ns": 0}
+                 "start_ns": 0, "ts_ns": 0, "exemplars": []}
     attr_bufs = []
     for f, _w, val in _fields(buf):
         if f == 2:
@@ -173,6 +229,8 @@ def decode_number_point(buf: bytes) -> dict:
             rec["ts_ns"] = val
         elif f == 4:
             rec["as_double"] = _decode_double(val)
+        elif f == 5:
+            rec["exemplars"].append(decode_exemplar(val))
         elif f == 6:
             rec["as_int"] = val
         elif f == 7:
@@ -193,6 +251,7 @@ def encode_histogram_point(
     value_sum: float | None = None,
     value_min: float | None = None,
     value_max: float | None = None,
+    exemplars: list[bytes] | None = None,
 ) -> bytes:
     out = bytearray()
     if start_ns:
@@ -203,6 +262,8 @@ def encode_histogram_point(
         out += _double_field(5, value_sum)
     out += _packed_fixed64(6, bucket_counts)
     out += _packed_doubles(7, explicit_bounds)
+    for ex in exemplars or []:  # field 8 repeated Exemplar
+        out += _len_delim(8, ex)
     for k, v in attrs:
         out += _len_delim(9, _str_attr(k, v))
     if value_min is not None:
@@ -216,7 +277,7 @@ def decode_histogram_point(buf: bytes) -> dict:
     rec: dict = {
         "attributes": {}, "start_ns": 0, "ts_ns": 0, "count": 0,
         "sum": None, "min": None, "max": None,
-        "bucket_counts": [], "explicit_bounds": [],
+        "bucket_counts": [], "explicit_bounds": [], "exemplars": [],
     }
     attr_bufs = []
     for f, _w, val in _fields(buf):
@@ -232,6 +293,8 @@ def decode_histogram_point(buf: bytes) -> dict:
             rec["bucket_counts"] = _unpack_fixed64(val)
         elif f == 7:
             rec["explicit_bounds"] = _unpack_doubles(val)
+        elif f == 8:
+            rec["exemplars"].append(decode_exemplar(val))
         elif f == 9:
             attr_bufs.append(val)
         elif f == 11:

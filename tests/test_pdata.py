@@ -168,6 +168,59 @@ def test_histogram_envelope_guard_passes_in_range(spark):
     assert dp["bucketCounts"] == [1, 0, 3] and dp["count"] == 4
 
 
+def test_histogram_exemplar_envelope_roundtrip(spark, sf_dir):
+    """Exemplars ride the HistogramDataPoint document and the inverse
+    re-derives each exemplar's bucket from explicitBounds alone (OTLP
+    exemplars carry no bucket index — the round trip is a codec proof,
+    not column smuggling)."""
+    import json
+
+    from opentelemetry_collector_spark.functions import parse as parse_mod
+    from opentelemetry_collector_spark.functions import signals
+    from opentelemetry_collector_spark.sources import tables
+
+    parsed = parse_mod.with_parsed(
+        tables.read_transcripts(spark, sf_dir), "native"
+    )
+    dps = signals.histogram_datapoints_with_exemplars(parsed).cache()
+    nested = pdata.nest_histogram_exemplars_to_otlp(dps, signals.DEFAULT_BOUNDS)
+    doc = json.loads(nested.first()["otlp_json"])
+    dp = doc["scopeMetrics"][0]["metrics"][0]["histogram"]["dataPoints"][0]
+    exs = dp["exemplars"]
+    # protojson shape: each exemplar carries ids + filteredAttributes,
+    # never a bucket index
+    assert exs and all(
+        set(e) == {"timeUnixNano", "asInt", "spanId", "traceId",
+                   "filteredAttributes"}
+        for e in exs
+    )
+    assert [e["asInt"] for e in exs] == sorted(e["asInt"] for e in exs)
+    back = pdata.flatten_histogram_exemplars_from_otlp(nested)
+    cols = ["svc", "bucket_idx", "bucket_count", "ex_value", "ex_ts_ns",
+            "ex_trace_id", "ex_span_id", "ex_conv"]
+    assert back.select(cols).exceptAll(dps.select(cols)).count() == 0
+    assert dps.select(cols).exceptAll(back.select(cols)).count() == 0
+    dps.unpersist()
+
+
+def test_histogram_exemplar_envelope_overflow_guard_raises(spark):
+    """Same loud-guard contract as the plain histogram envelope: an
+    exemplar row whose bucket_idx exceeds the bounds-derived vector must
+    raise, not truncate (the guard is threaded through the retained
+    count expression so Catalyst cannot prune it)."""
+    import pytest
+
+    dps = spark.createDataFrame(
+        [("api", 9, 3, 50, 1, "ab" * 16, "cd" * 8, "c1")],
+        "svc string, bucket_idx int, bucket_count long, ex_value long,"
+        " ex_ts_ns long, ex_trace_id string, ex_span_id string,"
+        " ex_conv string",
+    )
+    nested = pdata.nest_histogram_exemplars_to_otlp(dps, bounds=(10, 100))
+    with pytest.raises(Exception, match="exceeds bounds-derived"):
+        nested.collect()
+
+
 def test_data_point_count_covers_all_five_branches(spark, sf_dir):
     """Metrics.DataPointCount must count sum/exponentialHistogram/
     summary documents too (r5 — the envelope is uniform over all 5

@@ -27,7 +27,7 @@ def test_number_point_golden_bytes():
     )
     assert W.decode_number_point(got) == {
         "attributes": {"svc": "api"}, "as_int": 7, "as_double": None,
-        "start_ns": 0, "ts_ns": 5,
+        "start_ns": 0, "ts_ns": 5, "exemplars": [],
     }
 
 
@@ -116,6 +116,61 @@ def test_span_parent_roundtrip():
     back = W.decode_span(got)
     assert back["parent_span_id"] == "ef" * 8
     assert back["end_ns"] - back["start_ns"] == 500_000_000
+
+
+def test_exemplar_golden_bytes():
+    """Exemplar message (metrics.proto: 2 time fixed64, 4 span_id bytes,
+    5 trace_id bytes, 6 as_int sfixed64, 7 filtered_attributes) — bytes
+    hand-derived from the public schema, independent of the encoder."""
+    got = W.encode_exemplar(
+        5, as_int=7, span_id_hex="cd" * 8, trace_id_hex="ab" * 16,
+        filtered_attrs=[("conv_id", "c1")],
+    )
+    assert got.hex() == (
+        "110500000000000000"          # 2: time fixed64 = 5
+        "2208" + "cd" * 8 +           # 4: span_id, 8 bytes
+        "2a10" + "ab" * 16 +          # 5: trace_id, 16 bytes
+        "310700000000000000"          # 6: as_int sfixed64 = 7
+        "3a0f0a07636f6e765f696412040a026331"  # 7: KeyValue{conv_id: c1}
+    )
+    assert W.decode_exemplar(got) == {
+        "ts_ns": 5, "as_int": 7, "as_double": None,
+        "span_id": "cd" * 8, "trace_id": "ab" * 16,
+        "filtered_attributes": {"conv_id": "c1"},
+    }
+
+
+def test_exemplar_presence_edges():
+    """Value oneof absent + no ids: decode keeps None (never 0/'')."""
+    back = W.decode_exemplar(W.encode_exemplar(1))
+    assert back["as_int"] is None and back["as_double"] is None
+    assert back["span_id"] is None and back["trace_id"] is None
+    gd = W.decode_exemplar(W.encode_exemplar(1, as_double=2.5))
+    assert gd["as_double"] == 2.5 and gd["as_int"] is None
+
+
+def test_datapoints_carry_exemplars():
+    """NumberDataPoint field 5 / HistogramDataPoint field 8 round-trip
+    the nested Exemplar messages."""
+    ex = W.encode_exemplar(9, as_int=42, trace_id_hex="ef" * 16)
+    np_back = W.decode_number_point(
+        W.encode_number_point(ATTRS, 0, 1, as_int=1, exemplars=[ex])
+    )
+    assert [e["as_int"] for e in np_back["exemplars"]] == [42]
+    assert np_back["exemplars"][0]["trace_id"] == "ef" * 16
+    h_back = W.decode_histogram_point(
+        W.encode_histogram_point(ATTRS, 0, 1, count=2, bucket_counts=[1, 1],
+                                 explicit_bounds=[10.0], exemplars=[ex, ex])
+    )
+    assert len(h_back["exemplars"]) == 2
+    assert h_back["exemplars"][1]["ts_ns"] == 9
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=100, deadline=None)
+def test_exemplar_int_roundtrip(v):
+    back = W.decode_exemplar(W.encode_exemplar(1, as_int=v))
+    assert back["as_int"] == v
 
 
 def test_number_point_presence_edges():
