@@ -89,6 +89,11 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "metrics_summary_otlp",
         "logs_anyvalue_otlp",
         "profile_pprof_roundtrip",
+        # r5: exemplars, pprofile links/attr-units, star components
+        "metrics_exemplars",
+        "profile_span_hotspots",
+        "profile_attr_units",
+        "neardup_components_star",
         # r4: corpus-shaping family
         "docs_quality",
         "sample_mix",

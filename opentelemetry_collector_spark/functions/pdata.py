@@ -628,6 +628,43 @@ def data_point_count(nested: DataFrame, json_col: str = "otlp_json") -> int:
 
 # ------------------------------------- histogram metrics in the envelope
 
+def _bucket_vector_exprs(bounds: tuple[int, ...]):
+    """Shared HistogramDataPoint machinery over the per-svc aggregate
+    columns ``_bc`` (bucket_idx→count map), ``_count``, ``_minb``,
+    ``_maxb``: returns (guarded count, complete bucketCounts vector,
+    explicitBounds literal array).
+
+    A bucket_idx outside [0, len(bounds)] would silently corrupt the
+    document — high indexes truncate the counts vector, negative ones
+    inflate count past sum(bucketCounts) while the row vanishes from
+    the vector — so both ends fail the job loud. The guard must live
+    INSIDE a retained output expression — a standalone assert column
+    gets pruned by Catalyst and never runs."""
+    n_buckets = len(bounds) + 1
+    guarded_count = F.when(
+        (F.col("_maxb") <= n_buckets - 1) & (F.col("_minb") >= 0),
+        F.col("_count"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bucket_idx outside bounds-derived vector "
+                    f"({n_buckets} slots): "
+                ),
+                F.col("_minb").cast("string"),
+                F.lit(".."),
+                F.col("_maxb").cast("string"),
+            )
+        )
+    ).cast("long")
+    full_counts = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")),
+    )
+    explicit_bounds = F.array(*[F.lit(int(b)).cast("long") for b in bounds])
+    return guarded_count, full_counts, explicit_bounds
+
+
 HIST_METRICS_OTLP_SCHEMA = (
     "struct<resource:struct<attributes:map<string,string>>,"
     "scopeMetrics:array<struct<scope:struct<name:string>,"
@@ -650,7 +687,6 @@ def nest_histogram_metrics_to_otlp(
     buckets — the wire form carries len(bounds)+1 slots), svc-level
     count/sum/min/max aggregated from the per-bucket rows, and the
     explicitBounds list (pdata/pmetric/json.go Histogram branch)."""
-    n_buckets = len(bounds) + 1
     per_svc = hist_dps.groupBy("svc").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket_idx"), F.col("bucket_count")))
@@ -660,36 +696,16 @@ def nest_histogram_metrics_to_otlp(
         F.min("value_min").alias("_min"),
         F.max("value_max").alias("_max"),
         F.max("bucket_idx").alias("_maxb"),
+        F.min("bucket_idx").alias("_minb"),
     )
-    # bounds shorter than the bucketing would silently TRUNCATE the
-    # counts vector (count != sum(bucketCounts)); fail the job loud.
-    # The guard must live INSIDE a retained output expression — a
-    # standalone assert column gets pruned by Catalyst and never runs.
-    guarded_count = F.when(
-        F.col("_maxb") <= n_buckets - 1, F.col("_count")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"bucket_idx exceeds bounds-derived vector ({n_buckets} slots): "
-                ),
-                F.col("_maxb").cast("string"),
-            )
-        )
-    )
-    full_counts = F.transform(
-        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-        lambda i: F.coalesce(F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")),
-    )
+    guarded_count, full_counts, explicit_bounds = _bucket_vector_exprs(bounds)
     dp = F.struct(
-        guarded_count.cast("long").alias("count"),
+        guarded_count.alias("count"),
         F.col("_sum").cast("long").alias("sum"),
         F.col("_min").cast("long").alias("min"),
         F.col("_max").cast("long").alias("max"),
         full_counts.alias("bucketCounts"),
-        F.array(*[F.lit(int(b)).cast("long") for b in bounds]).alias(
-            "explicitBounds"
-        ),
+        explicit_bounds.alias("explicitBounds"),
     )
     return per_svc.select(
         F.col("svc"),
@@ -762,13 +778,13 @@ def nest_histogram_exemplars_to_otlp(
     The exemplar deliberately does NOT carry its bucket index: OTLP
     exemplars don't — the inverse re-derives it from explicitBounds,
     which is what makes the round trip a real codec proof."""
-    n_buckets = len(bounds) + 1
     per_svc = dps.groupBy("svc").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("bucket_idx"), F.col("bucket_count")))
         ).alias("_bc"),
         F.sum("bucket_count").alias("_count"),
         F.max("bucket_idx").alias("_maxb"),
+        F.min("bucket_idx").alias("_minb"),
         F.array_sort(
             F.collect_list(
                 F.struct(
@@ -786,28 +802,11 @@ def nest_histogram_exemplars_to_otlp(
             _cmp(lambda e: e["asInt"]),
         ).alias("_ex"),
     )
-    guarded_count = F.when(
-        F.col("_maxb") <= n_buckets - 1, F.col("_count")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"bucket_idx exceeds bounds-derived vector ({n_buckets} slots): "
-                ),
-                F.col("_maxb").cast("string"),
-            )
-        )
-    )
-    full_counts = F.transform(
-        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-        lambda i: F.coalesce(F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")),
-    )
+    guarded_count, full_counts, explicit_bounds = _bucket_vector_exprs(bounds)
     dp = F.struct(
-        guarded_count.cast("long").alias("count"),
+        guarded_count.alias("count"),
         full_counts.alias("bucketCounts"),
-        F.array(*[F.lit(int(b)).cast("long") for b in bounds]).alias(
-            "explicitBounds"
-        ),
+        explicit_bounds.alias("explicitBounds"),
         F.col("_ex").alias("exemplars"),
     )
     return per_svc.select(
@@ -846,8 +845,17 @@ def flatten_histogram_exemplars_from_otlp(
         F.col("p.explicitBounds").alias("_eb"),
         F.explode("p.exemplars").alias("e"),
     )
-    bucket_idx = F.size(
-        F.filter(F.col("_eb"), lambda b: F.col("e.asInt") > b)
+    # asInt is the only value branch this envelope's schema carries; an
+    # exemplar parsing NULL there (e.g. an asDouble document) must fail
+    # loud — "value exceeds no bounds" would silently file it in bucket 0
+    bucket_idx = F.when(
+        F.col("e.asInt").isNotNull(),
+        F.size(F.filter(F.col("_eb"), lambda b: F.col("e.asInt") > b)),
+    ).otherwise(
+        F.raise_error(F.lit(
+            "exemplar without asInt (asDouble exemplars are outside "
+            "this envelope's schema)"
+        ))
     ).cast("int")
     return ex.select(
         "svc",

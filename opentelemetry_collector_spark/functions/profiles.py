@@ -130,36 +130,61 @@ def span_hotspots(
     and the dominant LEAF function (the pprof "self" owner) with its
     self time.
 
-    Scale: samples is the only large input; links/stacks/locations/
-    functions are broadcast dims, the grouping key is (trace_id,
-    span_id) — one shuffle on span identity, window only over the
-    per-(span, function) aggregate (span-count-sized, not
-    sample-sized)."""
+    Scale: samples is the only large input and is scanned ONCE — the
+    leaf resolution uses left joins against the broadcast dims with a
+    loud guard on dangling references (an inner join would silently
+    drop the sample from the totals), the one shuffle is the
+    (trace_id, span_id, name) aggregate, and the span totals are
+    derived from that aggregate rather than re-scanning samples;
+    the window runs only over the per-(span, function) rows
+    (span-count-sized, not sample-sized)."""
     from pyspark.sql import Window
 
     linked = samples.filter(F.col("link_id") > 0).join(
         F.broadcast(links.filter(F.col("link_id") > 0)), "link_id"
     )
-    per_span = linked.groupBy("trace_id", "span_id").agg(
-        F.count(F.lit(1)).alias("n_samples"),
-        F.sum("value").alias("total_ns"),
-    )
     leaf = (
-        linked.join(F.broadcast(stacks), "stack_id")
+        linked.join(F.broadcast(stacks), "stack_id", "left")
         .select(
             "trace_id",
             "span_id",
             "value",
+            "stack_id",
             F.element_at("location_ids", 1).alias("location_id"),
         )
         .join(
             F.broadcast(locations.select("location_id", "function_id")),
             "location_id",
+            "left",
         )
-        .join(F.broadcast(functions.select("function_id", "name")), "function_id")
+        .join(
+            F.broadcast(functions.select("function_id", "name")),
+            "function_id",
+            "left",
+        )
     )
-    per_fn = leaf.groupBy("trace_id", "span_id", "name").agg(
-        F.sum("value").alias("fn_self_ns")
+    # a sample whose stack/location/function id misses the dictionary
+    # must fail loud: dropping it would desynchronize total_ns from the
+    # leaf attribution below it
+    guarded_name = F.when(
+        F.col("name").isNotNull(), F.col("name")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("unresolvable leaf function for sample stack_id="),
+                F.col("stack_id").cast("string"),
+            )
+        )
+    )
+    per_fn = leaf.groupBy(
+        "trace_id", "span_id", guarded_name.alias("name")
+    ).agg(
+        F.sum("value").alias("fn_self_ns"),
+        F.count(F.lit(1)).alias("_fn_n"),
+    )
+    per_span = per_fn.groupBy("trace_id", "span_id").agg(
+        F.sum("_fn_n").alias("n_samples"),
+        F.sum("fn_self_ns").alias("total_ns"),
     )
     w = Window.partitionBy("trace_id", "span_id").orderBy(
         F.col("fn_self_ns").desc(), "name"

@@ -97,6 +97,18 @@ def cumulative_to_delta(
 
 # ------------------------------------------------------- histograms
 
+def _bucket_expr(v, bounds: tuple[int, ...]):
+    """Upper-inclusive explicit-bounds bucket index: bucket i holds
+    value <= bounds[i], overflow bucket last — the HistogramDataPoint
+    contract. ONE when-fold shared by every bucketing caller (and
+    mirrored literally in the oracle SQL) so the thresholds can never
+    drift between the plain and exemplar-carrying datapoint builders."""
+    bucket = F.lit(len(bounds))  # overflow
+    for i in reversed(range(len(bounds))):
+        bucket = F.when(v <= bounds[i], F.lit(i)).otherwise(bucket)
+    return bucket.cast("int")
+
+
 def histogram_datapoints(
     df: DataFrame,
     value_col: str = "latency_ms",
@@ -106,12 +118,9 @@ def histogram_datapoints(
     """Explicit-bounds histogram: bucket i = count(value ≤ bounds[i]),
     overflow bucket last — the HistogramDataPoint contract."""
     v = F.col(value_col)
-    bucket = F.lit(len(bounds))  # overflow
-    for i in reversed(range(len(bounds))):
-        bucket = F.when(v <= bounds[i], F.lit(i)).otherwise(bucket)
     return (
         df.filter(v.isNotNull())
-        .withColumn("bucket_idx", bucket.cast("int"))
+        .withColumn("bucket_idx", _bucket_expr(v, bounds))
         .groupBy(*series_keys, "bucket_idx")
         .agg(
             F.count(F.lit(1)).alias("bucket_count"),
@@ -137,9 +146,6 @@ def histogram_datapoints_with_exemplars(
     deterministically and identically to the oracle's ORDER BY ... DESC
     window."""
     v = F.col(value_col)
-    bucket = F.lit(len(bounds))
-    for i in reversed(range(len(bounds))):
-        bucket = F.when(v <= bounds[i], F.lit(i)).otherwise(bucket)
     ex = F.max(
         F.struct(
             v.cast("long").alias("value"),
@@ -151,7 +157,7 @@ def histogram_datapoints_with_exemplars(
     ).alias("_ex")
     return (
         df.filter(v.isNotNull())
-        .withColumn("bucket_idx", bucket.cast("int"))
+        .withColumn("bucket_idx", _bucket_expr(v, bounds))
         .groupBy(*series_keys, "bucket_idx")
         .agg(F.count(F.lit(1)).alias("bucket_count"), ex)
         .select(

@@ -1425,6 +1425,35 @@ def incremental_dedup_keep_ids_bucketed(
 
 # ------------------------------------------------- near-dup components
 
+def _free_local_checkpoint(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist the RDD behind an eager ``.localCheckpoint()`` frame.
+    ``DataFrame.unpersist()`` is a silent no-op on a checkpointed plan
+    (the blocks belong to an internal RDD, not the CacheManager); the
+    analyzed plan of such a frame is a LogicalRDD wrapping that RDD,
+    which CAN be unpersisted directly. Best-effort: if the internal
+    plan shape ever changes, fall back to the ContextCleaner (the
+    pre-r5 behavior) rather than failing the query over cleanup."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
+    except Exception:
+        return
+
+
+class LocalCheckpointHandle:
+    """persist_handle entry for a localCheckpoint-backed frame, so the
+    callers' ``for frame in handle: frame.unpersist()`` convention
+    frees checkpoint blocks deterministically instead of waiting on
+    JVM GC + ContextCleaner. After unpersist() the frame is UNUSABLE
+    (blocks gone, lineage truncated — reuse fails loudly), which is
+    the handle contract: unpersist only when done with the result."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        _free_local_checkpoint(self._df, blocking)
+
+
 def neardup_components(
     df: DataFrame,
     pairs: DataFrame,
@@ -1496,6 +1525,10 @@ def neardup_components(
                 .filter(F.col("new_comp") != F.col("comp"))
                 .count()
             )
+            # superseded round's checkpoint blocks: freed NOW (new_labels
+            # is eager-materialized), not whenever the ContextCleaner gets
+            # to them — repeated invocations must not accumulate storage
+            _free_local_checkpoint(labels)
             labels = new_labels
             if changed == 0:
                 converged = True
@@ -1513,8 +1546,11 @@ def neardup_components(
             # harness: rounds-to-convergence at two corpus scales
             stats_handle["rounds"] = rounds
         if persist_handle is not None:
-            persist_handle.append(labels)
-        # else: the returned cache is reclaimed by the ContextCleaner
+            # the final labels ARE a checkpoint — DataFrame.unpersist()
+            # would be a no-op, so hand the caller a handle that frees
+            # the checkpoint RDD itself
+            persist_handle.append(LocalCheckpointHandle(labels))
+        # else: the returned blocks are reclaimed by the ContextCleaner
         # when the frame is GC'd (the lsh_candidate_pairs convention)
         return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
     finally:
@@ -1573,6 +1609,10 @@ def neardup_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # carried across rounds: last round's small.count() IS this round's
+    # edge count — recounting the checkpointed edge set would add one
+    # wasted job per round to the O(log n) loop
+    edges_count = edges.count()
     converged = False
     rounds = 0
     for rounds in range(1, max_iters + 1):
@@ -1607,9 +1647,14 @@ def neardup_components_star(
             .distinct()
             .localCheckpoint()
         )
-        same_count = small.count() == edges.count()
-        if same_count and small.subtract(edges).count() == 0:
+        small_count = small.count()
+        if small_count == edges_count and small.subtract(edges).count() == 0:
             converged = True
+        # superseded edge set's checkpoint blocks: freed deterministically
+        # (small is eager-materialized and the convergence check above was
+        # the last read of the old edges)
+        _free_local_checkpoint(edges)
+        edges_count = small_count
         edges = small
         if converged:
             break
@@ -1629,7 +1674,13 @@ def neardup_components_star(
         .select("id", F.coalesce("mn", "id").alias("comp"))
     )
     if persist_handle is not None:
+        # labels' lineage reads the final edges checkpoint; materialize
+        # the cache BEFORE handing out the checkpoint-freeing handle so
+        # cleanup order (handle iteration) can never strand the cache
+        # against freed checkpoint blocks
         labels = labels.persist()
+        labels.count()
+        persist_handle.append(LocalCheckpointHandle(edges))
         persist_handle.append(labels)
     return labels.select(
         F.col("id").alias(id_col), F.col("comp").alias("component_id")

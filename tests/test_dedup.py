@@ -453,6 +453,40 @@ def test_neardup_components_star_matches_propagation(spark):
     assert stats["rounds"] >= 1
 
 
+def test_components_persist_handle_frees_checkpoints(spark):
+    """The persist_handle cleanup convention (`for f in handle:
+    f.unpersist()`) must deterministically free the localCheckpoint
+    blocks both variants are built on — DataFrame.unpersist() is a
+    silent no-op on a checkpointed plan, so the handle entries carry
+    a checkpoint-aware unpersist (r5 review: repeated invocations were
+    accumulating storage until the ContextCleaner happened to run)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    def rdd_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    for fn in (dedup.neardup_components, dedup.neardup_components_star):
+        before = rdd_ids()
+        handle: list = []
+        labels = fn(docs, pairs, persist_handle=handle)
+        rows = labels.collect()
+        assert len(rows) == 8
+        assert handle
+        for frame in handle:
+            frame.unpersist(True)
+        # set-based, not count-based: unrelated stale RDDs from earlier
+        # tests may get ContextCleaner-reclaimed while this test runs
+        leaked = rdd_ids() - before
+        assert not leaked, (
+            f"{fn.__name__} leaked persistent RDD ids {sorted(leaked)} "
+            "past the handle cleanup"
+        )
+
+
 def test_neardup_components_star_deep_chain(spark):
     """A 64-node path (diameter 63) exceeds propagation's default
     20-round bound but the star variant converges in O(log n) rounds —

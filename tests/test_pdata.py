@@ -150,7 +150,23 @@ def test_histogram_envelope_overflow_guard_raises(spark):
         " value_min long, value_max long",
     )
     nested = pdata.nest_histogram_metrics_to_otlp(dps, bounds=(10, 100))
-    with pytest.raises(Exception, match="exceeds bounds-derived"):
+    with pytest.raises(Exception, match="outside bounds-derived"):
+        nested.collect()
+
+
+def test_histogram_envelope_negative_bucket_idx_raises(spark):
+    """A NEGATIVE bucket_idx must also fail loud: it would inflate
+    count past sum(bucketCounts) while its row silently vanishes from
+    the vector (the r5 review's mirror of the overflow hole)."""
+    import pytest
+
+    dps = spark.createDataFrame(
+        [("api", -1, 3, 100, 1, 50), ("api", 0, 1, 5, 5, 5)],
+        "svc string, bucket_idx int, bucket_count long, value_sum long,"
+        " value_min long, value_max long",
+    )
+    nested = pdata.nest_histogram_metrics_to_otlp(dps, bounds=(10, 100))
+    with pytest.raises(Exception, match="outside bounds-derived"):
         nested.collect()
 
 
@@ -217,7 +233,7 @@ def test_histogram_exemplar_envelope_overflow_guard_raises(spark):
         " ex_conv string",
     )
     nested = pdata.nest_histogram_exemplars_to_otlp(dps, bounds=(10, 100))
-    with pytest.raises(Exception, match="exceeds bounds-derived"):
+    with pytest.raises(Exception, match="outside bounds-derived"):
         nested.collect()
 
 
