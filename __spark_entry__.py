@@ -541,6 +541,56 @@ def _q_otlp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_logs_scoped_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ScopeLogs surface of the logs envelope (r5;
+    pdata/plog/generated_resourcelogs.go:61-68 SchemaUrl,
+    pcommon/generated_instrumentationscope.go:44-90): schemaUrl at both
+    document levels and InstrumentationScope{name, version, attributes,
+    droppedAttributesCount} round-tripped through the OTLP/JSON
+    document. The scope attributes carry the role-scope's distinct
+    tool set (data-derived — the round trip proves the codec), with
+    presence-faithful omission for tool-less scopes."""
+    from opentelemetry_collector_spark.functions import pdata
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    return pdata.flatten_scopes_from_otlp(pdata.nest_to_otlp(parsed))
+
+
+def _q_resource_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity signal over resources (r5;
+    pdata/xpdata/entity/generated_entityref.go:46-100, entity_map.go):
+    resources = distinct (conv_id, svc) attribute maps; EntityRefs
+    declare 'service' identified by svc and 'conversation' identified
+    by conv_id (svc descriptive). Per entity instance: resource count.
+    NULL-svc resources emit no service entity (incomplete identity)
+    but still emit their conversation entity — the completeness rule
+    is the query's edge, not an accident."""
+    from opentelemetry_collector_spark.functions import entities, pdata
+
+    refs = (
+        entities.EntityRef("service", pdata.SCHEMA_URL, ("svc",)),
+        entities.EntityRef(
+            "conversation", pdata.SCHEMA_URL, ("conv_id",), ("svc",)
+        ),
+    )
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    resources = parsed.select("conv_id", "svc").distinct().select(
+        F.map_filter(
+            F.create_map(
+                F.lit("conv_id"), F.col("conv_id"), F.lit("svc"), F.col("svc")
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attributes")
+    )
+    em = entities.entity_map(resources, refs)
+    return em.groupBy(
+        "entity_type",
+        F.coalesce(
+            F.col("id_attrs")["svc"], F.col("id_attrs")["conv_id"]
+        ).alias("id_value"),
+    ).agg(F.count(F.lit(1)).alias("n_resources"))
+
+
 def _q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP/protobuf wire format (pdata/plog/encoding.go): parsed rows →
     LogRecord wire bytes → decoded fields. The oracle reads the same
@@ -1302,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attrs_typed": _q_attrs_typed,
         "severity_turns": _q_severity_turns,
         "otlp_roundtrip": _q_otlp_roundtrip,
+        "logs_scoped_otlp": _q_logs_scoped_otlp,
+        "resource_entities": _q_resource_entities,
         "proto_roundtrip": _q_proto_roundtrip,
         "forward_merge": _q_forward_merge,
         "pipeline_multi": _q_pipeline_multi,
@@ -1670,6 +1722,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN substr(md5(conv_id || ':' || turn_idx), 1, 16)
                         END AS span_id
             FROM parsed""",
+        "logs_scoped_otlp": f"""{_parsed_cte()}
+            SELECT conv_id,
+                   'https://opentelemetry.io/schemas/1.21.0'
+                       AS resource_schema_url,
+                   'https://opentelemetry.io/schemas/1.21.0'
+                       AS scope_schema_url,
+                   role,
+                   '1.0.0' AS scope_version,
+                   string_agg(DISTINCT tool, ',' ORDER BY tool)
+                       AS scope_tools,
+                   cast(0 AS int) AS dropped_attrs,
+                   cast(count(*) AS int) AS n_records
+            FROM parsed GROUP BY conv_id, role""",
+        "resource_entities": f"""{_parsed_cte()},
+            res AS (SELECT DISTINCT conv_id, svc FROM parsed)
+            SELECT 'service' AS entity_type, svc AS id_value,
+                   cast(count(*) AS bigint) AS n_resources
+            FROM res WHERE svc IS NOT NULL GROUP BY svc
+            UNION ALL
+            SELECT 'conversation', conv_id, cast(count(*) AS bigint)
+            FROM res GROUP BY conv_id""",
         "proto_roundtrip": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, text AS body,
                    coalesce(level, '') AS severity_text,

@@ -107,6 +107,14 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
     NULL level maps to severityText "" — intentionally matching proto3,
     where string fields have no null and "" is the zero value the
     reference emits for unset severity.
+
+    r5: the envelope carries the full ResourceLogs/ScopeLogs surface —
+    schemaUrl at both levels (generated_resourcelogs.go:61-68,
+    generated_scopelogs.go:61-68) and the complete InstrumentationScope
+    {name, version, attributes, droppedAttributesCount}
+    (pcommon/generated_instrumentationscope.go:44-90); the scope
+    attributes are data-derived (the role-scope's distinct tool set),
+    so the scope round trip proves the codec, not literal echoing.
     """
     rec = log_record(
         {
@@ -134,7 +142,7 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
         }
     )
     with_rec = parsed.select(
-        "conv_id", "role", "turn_idx", rec.alias("record")
+        "conv_id", "role", "turn_idx", "tool", rec.alias("record")
     )
     scopes = (
         with_rec.groupBy("conv_id", "role")
@@ -142,15 +150,34 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
             F.array_sort(
                 F.collect_list(F.struct(F.col("turn_idx"), F.col("record"))),
                 _cmp(lambda e: e["turn_idx"]),
-            ).alias("_recs")
+            ).alias("_recs"),
+            # collect_set skips NULLs — the non-tool turns of the scope
+            F.array_sort(F.collect_set("tool")).alias("_tools"),
         )
         .select(
             "conv_id",
             F.struct(
-                F.struct(F.col("role").alias("name")).alias("scope"),
+                F.struct(
+                    F.col("role").alias("name"),
+                    F.lit(SCOPE_VERSION).alias("version"),
+                    # presence-faithful: a scope with no tool turns omits
+                    # the key entirely (never "" — '' must stay distinct)
+                    F.map_filter(
+                        F.create_map(
+                            F.lit("tools"),
+                            F.when(
+                                F.size("_tools") > 0,
+                                F.concat_ws(",", F.col("_tools")),
+                            ),
+                        ),
+                        lambda k, v: v.isNotNull(),
+                    ).alias("attributes"),
+                    F.lit(0).alias("droppedAttributesCount"),
+                ).alias("scope"),
                 F.transform(F.col("_recs"), lambda r: r["record"]).alias(
                     "logRecords"
                 ),
+                F.lit(SCHEMA_URL).alias("schemaUrl"),
             ).alias("scopeLogs"),
         )
     )
@@ -171,15 +198,25 @@ def nest_to_otlp(parsed: DataFrame) -> DataFrame:
                         ).alias("attributes")
                     ).alias("resource"),
                     F.col("scopeLogs"),
+                    F.lit(SCHEMA_URL).alias("schemaUrl"),
                 )
             ).alias("otlp_json"),
         )
     )
 
 
+# the OTel semantic-conventions schema family the fixture pipeline
+# declares (ResourceLogs.schema_url / ScopeLogs.schema_url contract —
+# the URL is a version pin, not a fetched resource)
+SCHEMA_URL = "https://opentelemetry.io/schemas/1.21.0"
+SCOPE_VERSION = "1.0.0"
+
 OTLP_SCHEMA = (
     "struct<resource:struct<attributes:map<string,string>>,"
-    "scopeLogs:array<struct<scope:struct<name:string>,"
+    "schemaUrl:string,"
+    "scopeLogs:array<struct<schemaUrl:string,"
+    "scope:struct<name:string,version:string,"
+    "attributes:map<string,string>,droppedAttributesCount:int>,"
     "logRecords:array<struct<timeUnixNano:bigint,"
     "observedTimeUnixNano:bigint,severityNumber:int,severityText:string,"
     "body:string,attributes:map<string,string>,eventName:string,"
@@ -213,6 +250,31 @@ def flatten_from_otlp(nested: DataFrame, json_col: str = "otlp_json") -> DataFra
         F.col("r.flags").alias("flags"),
         F.col("r.traceId").alias("trace_id"),
         F.col("r.spanId").alias("span_id"),
+    )
+
+
+def flatten_scopes_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Scope-level inverse: one row per ScopeLogs with the full
+    InstrumentationScope surface (name/version/attributes/
+    droppedAttributesCount — pcommon/generated_instrumentationscope.go)
+    and both schemaUrl levels, read back out of the document."""
+    d = nested.select(F.from_json(F.col(json_col), OTLP_SCHEMA).alias("d"))
+    sl = d.select(
+        F.col("d.resource.attributes")["conv_id"].alias("conv_id"),
+        F.col("d.schemaUrl").alias("resource_schema_url"),
+        F.explode("d.scopeLogs").alias("s"),
+    )
+    return sl.select(
+        "conv_id",
+        "resource_schema_url",
+        F.col("s.schemaUrl").alias("scope_schema_url"),
+        F.col("s.scope.name").alias("role"),
+        F.col("s.scope.version").alias("scope_version"),
+        F.col("s.scope.attributes")["tools"].alias("scope_tools"),
+        F.col("s.scope.droppedAttributesCount").alias("dropped_attrs"),
+        F.size("s.logRecords").alias("n_records"),
     )
 
 
@@ -358,8 +420,12 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
         .select(
             "conv_id",
             F.struct(
-                F.struct(F.col("_tool").alias("name")).alias("scope"),
+                F.struct(
+                    F.col("_tool").alias("name"),
+                    F.lit(SCOPE_VERSION).alias("version"),
+                ).alias("scope"),
                 F.col("_spans").alias("spans"),
+                F.lit(SCHEMA_URL).alias("schemaUrl"),
             ).alias("scopeSpans"),
         )
     )
@@ -380,6 +446,7 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
                         )
                     ).alias("resource"),
                     F.col("scopeSpans"),
+                    F.lit(SCHEMA_URL).alias("schemaUrl"),
                 )
             ).alias("otlp_json"),
         )
@@ -459,9 +526,11 @@ METRICS_OTLP_SCHEMA = (
 
 
 def _resource_envelope(svc_col: Column, metrics_array: Column) -> Column:
-    """THE ResourceMetrics envelope wrapper (shared by the gauge and
-    histogram nests): resource attrs OMIT the svc key when NULL
-    (presence-faithful), one 'otelcol-spark' scope."""
+    """THE ResourceMetrics envelope wrapper (shared by every metric-type
+    nest): resource attrs OMIT the svc key when NULL
+    (presence-faithful), one 'otelcol-spark' scope (with version),
+    schemaUrl at both levels (generated_resourcemetrics.go /
+    generated_scopemetrics.go SchemaUrl)."""
     return F.to_json(
         F.struct(
             F.struct(
@@ -472,10 +541,15 @@ def _resource_envelope(svc_col: Column, metrics_array: Column) -> Column:
             ).alias("resource"),
             F.array(
                 F.struct(
-                    F.struct(F.lit("otelcol-spark").alias("name")).alias("scope"),
+                    F.struct(
+                        F.lit("otelcol-spark").alias("name"),
+                        F.lit(SCOPE_VERSION).alias("version"),
+                    ).alias("scope"),
                     metrics_array.alias("metrics"),
+                    F.lit(SCHEMA_URL).alias("schemaUrl"),
                 )
             ).alias("scopeMetrics"),
+            F.lit(SCHEMA_URL).alias("schemaUrl"),
         )
     )
 

@@ -95,6 +95,48 @@ def test_metrics_otlp_envelope_roundtrip_and_count(spark, sf_dir):
     assert points.filter("value IS NULL").count() > 0
 
 
+def test_scope_surface_and_schema_url_roundtrip(transcripts):
+    """r5: schemaUrl at both envelope levels and the full
+    InstrumentationScope {name, version, attributes,
+    droppedAttributesCount} survive the document round trip; the scope
+    attributes are DATA-derived (the role's distinct tool set), and a
+    tool-less scope omits the key rather than emitting ''."""
+    import json
+
+    parsed = _parsed(transcripts)
+    nested = pdata.nest_to_otlp(parsed).cache()
+    doc = json.loads(nested.first()["otlp_json"])
+    assert doc["schemaUrl"] == pdata.SCHEMA_URL
+    sl = doc["scopeLogs"][0]
+    assert sl["schemaUrl"] == pdata.SCHEMA_URL
+    assert set(sl["scope"]) >= {"name", "version", "droppedAttributesCount"}
+    assert sl["scope"]["version"] == pdata.SCOPE_VERSION
+    back = pdata.flatten_scopes_from_otlp(nested)
+    # scope_tools equals the per-(conv, role) distinct tool set; the
+    # presence edge: non-tool roles must come back NULL, not ''
+    want = parsed.groupBy("conv_id", "role").agg(
+        F.when(
+            F.size(F.array_sort(F.collect_set("tool"))) > 0,
+            F.concat_ws(",", F.array_sort(F.collect_set("tool"))),
+        ).alias("scope_tools"),
+        F.count(F.lit(1)).cast("int").alias("n_records"),
+    )
+    cols = ["conv_id", "role", "scope_tools", "n_records"]
+    assert back.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(back.select(cols)).count() == 0
+    nested.unpersist()
+    # presence edge (constructed — fixture turns always carry a tool):
+    # a tool-less scope must omit the attribute key, flattening to NULL
+    toolless = parsed.withColumn(
+        "tool",
+        F.when(F.col("role") == "system", F.lit(None)).otherwise(F.col("tool")),
+    )
+    back2 = pdata.flatten_scopes_from_otlp(pdata.nest_to_otlp(toolless))
+    sys_rows = back2.filter(F.col("role") == "system")
+    assert sys_rows.count() > 0
+    assert sys_rows.filter(F.col("scope_tools").isNotNull()).count() == 0
+
+
 def test_histogram_envelope_full_vector_and_sparse_inverse(spark, sf_dir):
     """The nested HistogramDataPoint must carry the COMPLETE
     bucketCounts vector (zeros included) and explicitBounds; the
