@@ -36,6 +36,14 @@ class EntityRef:
 
 
 def _refs_literal(refs: tuple[EntityRef, ...]) -> Column:
+    for r in refs:
+        if not r.id_keys:
+            # size(∅)==size(()) would be vacuously complete, emitting an
+            # identity-less entity for EVERY resource — reject up front
+            raise ValueError(
+                f"EntityRef {r.type!r} has no id_keys: an entity without "
+                "identifying attributes is not an entity"
+            )
     return F.array(
         *[
             F.struct(

@@ -140,8 +140,30 @@ def span_hotspots(
     (span-count-sized, not sample-sized)."""
     from pyspark.sql import Window
 
-    linked = samples.filter(F.col("link_id") > 0).join(
-        F.broadcast(links.filter(F.col("link_id") > 0)), "link_id"
+    # same loud-guard policy as the leaf dims below: a link_id absent
+    # from the LinkTable must not silently drop the sample from the
+    # span totals. BOTH id columns get the guard over a non-NULL
+    # sentinel: guarding the NULL directly is unsound — the final
+    # inner join infers isnotnull(trace_id)/isnotnull(span_id)
+    # constraints that Catalyst pushes below the guard projection,
+    # filtering the dangling row before it can raise (verified: the
+    # NULL-guard variant silently drops).
+    def _guarded_id(col_name: str):
+        filled = F.coalesce(F.col(col_name), F.lit("\x00missing"))
+        return F.when(filled != "\x00missing", filled).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unresolvable link_id in LinkTable: "),
+                    F.col("link_id").cast("string"),
+                )
+            )
+        )
+
+    linked = (
+        samples.filter(F.col("link_id") > 0)
+        .join(F.broadcast(links.filter(F.col("link_id") > 0)), "link_id", "left")
+        .withColumn("trace_id", _guarded_id("trace_id"))
+        .withColumn("span_id", _guarded_id("span_id"))
     )
     leaf = (
         linked.join(F.broadcast(stacks), "stack_id", "left")

@@ -1615,54 +1615,65 @@ def neardup_components_star(
     edges_count = edges.count()
     converged = False
     rounds = 0
-    for rounds in range(1, max_iters + 1):
-        # ---- large-star over the symmetric view
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        lmin = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", "u").alias("m"))
-        )
-        large = (
-            sym.join(lmin, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # ---- small-star over big→small edges (large's output
-        # already satisfies u > v: emitted (v, m) has m ≤ u < v)
-        smin = large.groupBy("u").agg(F.min("v").alias("m"))
-        with_min = large.join(smin, "u")
-        small = (
-            with_min.select("u", F.col("m").alias("v"))
-            .unionByName(
-                with_min.filter(F.col("v") != F.col("m")).select(
-                    F.col("v").alias("u"), F.col("m").alias("v")
-                )
+    small = None
+    try:
+        for rounds in range(1, max_iters + 1):
+            # ---- large-star over the symmetric view
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
-        )
-        small_count = small.count()
-        if small_count == edges_count and small.subtract(edges).count() == 0:
-            converged = True
-        # superseded edge set's checkpoint blocks: freed deterministically
-        # (small is eager-materialized and the convergence check above was
-        # the last read of the old edges)
+            lmin = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m"))
+            )
+            large = (
+                sym.join(lmin, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # ---- small-star over big→small edges (large's output
+            # already satisfies u > v: emitted (v, m) has m ≤ u < v)
+            smin = large.groupBy("u").agg(F.min("v").alias("m"))
+            with_min = large.join(smin, "u")
+            small = (
+                with_min.select("u", F.col("m").alias("v"))
+                .unionByName(
+                    with_min.filter(F.col("v") != F.col("m")).select(
+                        F.col("v").alias("u"), F.col("m").alias("v")
+                    )
+                )
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            small_count = small.count()
+            if small_count == edges_count and small.subtract(edges).count() == 0:
+                converged = True
+            # superseded edge set's checkpoint blocks: freed
+            # deterministically (small is eager-materialized and the
+            # convergence check above was the last read of the old edges)
+            _free_local_checkpoint(edges)
+            edges_count = small_count
+            edges = small
+            if converged:
+                break
+        if not converged:
+            raise RuntimeError(
+                f"neardup_components_star did not converge in {max_iters} "
+                "rounds (expected O(log n) — investigate the pair graph)"
+            )
+    except BaseException:
+        # error path (non-convergence, mid-round failure): the live edge
+        # checkpoints would otherwise stay pinned for the session —
+        # clearCache() cannot free checkpoint blocks, and bench-style
+        # continue-on-error callers never see a handle to clean
         _free_local_checkpoint(edges)
-        edges_count = small_count
-        edges = small
-        if converged:
-            break
-    if not converged:
-        raise RuntimeError(
-            f"neardup_components_star did not converge in {max_iters} "
-            "rounds (expected O(log n) — investigate the pair graph)"
-        )
+        if small is not None and small is not edges:
+            _free_local_checkpoint(small)
+        raise
     if stats_handle is not None:
         stats_handle["rounds"] = rounds
     # star forest: non-min nodes carry exactly (id, component-min);

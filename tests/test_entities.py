@@ -46,6 +46,17 @@ def test_entity_map_partitions_and_completeness(spark):
     assert all(r["entity_schema_url"] == "https://s/1" for r in rows)
 
 
+def test_empty_id_keys_rejected(spark):
+    """EntityRef() defaults id_keys to (); the completeness check would
+    be vacuously true for it (0 == 0), so entity_map must refuse."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no id_keys"):
+        entities.entity_map(
+            _resources(spark), (entities.EntityRef("service"),)
+        )
+
+
 def test_entity_map_keeps_non_attr_columns(spark):
     df = _resources(spark).withColumn("rid", F.monotonically_increasing_id())
     out = entities.entity_map(df, REFS)

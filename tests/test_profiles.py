@@ -111,6 +111,25 @@ def test_span_hotspots_linkindex_zero_excluded(spark):
     assert b["top_leaf_fn"] == "leafy"  # stack 2 leaf is location 2 → leafy
 
 
+def test_span_hotspots_dangling_link_is_loud(spark):
+    """A sample whose link_id misses the LinkTable must raise, not
+    silently vanish from the span totals — the same loud-guard policy
+    as the stack/location/function dims (r5 review)."""
+    import pytest
+
+    _, stacks, locations, functions = _mini_tables(spark)
+    samples, links = _link_tables(spark)
+    dangling = samples.union(
+        spark.createDataFrame(
+            [(9, 0, 0, 11, 7, [1])], samples.schema  # link 7 not in links
+        )
+    )
+    with pytest.raises(Exception, match="unresolvable link_id"):
+        profiles.span_hotspots(
+            dangling, links, stacks, locations, functions
+        ).collect()
+
+
 def test_attr_units_rollup(spark):
     samples, _ = _link_tables(spark)
     attributes = spark.createDataFrame(
