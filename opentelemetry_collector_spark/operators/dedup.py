@@ -1499,6 +1499,7 @@ def neardup_components(
     labels = ids.withColumn("comp", F.col("id")).localCheckpoint()
     converged = False
     rounds = 0
+    new_labels = None
     try:
         for rounds in range(1, max_iters + 1):
             neigh = (
@@ -1553,6 +1554,15 @@ def neardup_components(
         # else: the returned blocks are reclaimed by the ContextCleaner
         # when the frame is GC'd (the lsh_candidate_pairs convention)
         return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
+    except BaseException:
+        # error path (non-convergence, mid-round failure): free the live
+        # label checkpoints — clearCache() cannot, and continue-on-error
+        # callers never receive a handle to clean (mirrors the star
+        # variant's error path)
+        _free_local_checkpoint(labels)
+        if new_labels is not None and new_labels is not labels:
+            _free_local_checkpoint(new_labels)
+        raise
     finally:
         edges.unpersist()
 
