@@ -39,6 +39,9 @@ GENERATORS = (
     "dedup_incremental",
     # r5 (VERDICT r4 #6): the two previously-absent generators
     "neardup_components",
+    # r5 late: the O(log n) two-phase star variant — its ROUNDS at two
+    # scales are the evidence for the depth-independence claim
+    "neardup_components_star",
     "ann_ivf_probe",
 )
 
@@ -178,6 +181,14 @@ def build(
         if candidates_only:
             return pairs
         return dedup.neardup_components(docs, pairs, stats_handle=stats)
+    if name == "neardup_components_star":
+        # same edge list as propagation; what differs is the round
+        # structure — O(log n) star halves vs O(diameter) label hops
+        docs = _docs(spark, fx_dir)
+        pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5)
+        if candidates_only:
+            return pairs
+        return dedup.neardup_components_star(docs, pairs, stats_handle=stats)
     if name == "ann_ivf_probe":
         # candidates = vectors inside the probed cells (the probe's
         # scan volume — the quantity that must stay ~n·probes/cells);

@@ -66,6 +66,21 @@ def test_components_rounds_stay_diameter_bounded(report):
     assert g["x4"]["results"] == g["x4"]["n"]
 
 
+def test_star_rounds_stay_logarithmic_and_labels_match(report):
+    """The two-phase star variant's claim is round-count
+    depth-INDEPENDENCE (O(log n)): at both scales it must converge in
+    a handful of rounds, not grow with the corpus, and its label set
+    must cover every doc exactly like propagation's."""
+    g = report["generators"]["neardup_components_star"]
+    p = report["generators"]["neardup_components"]
+    for s in ("x1", "x4"):
+        assert 1 <= g[s]["rounds"] <= 8
+        assert g[s]["results"] == g[s]["n"]
+        # identical pair graph → identical candidate counts
+        assert g[s]["candidates"] == p[s]["candidates"]
+    assert g["x4"]["rounds"] <= g["x1"]["rounds"] + 2
+
+
 def test_ivf_probe_recall_holds_at_both_scales(report):
     """Candidate growth alone can't show the probe still finds the
     true neighbors — strong-neighbor (planted-twin) recall must hold
