@@ -142,28 +142,55 @@ def span_hotspots(
 
     # same loud-guard policy as the leaf dims below: a link_id absent
     # from the LinkTable must not silently drop the sample from the
-    # span totals. BOTH id columns get the guard over a non-NULL
-    # sentinel: guarding the NULL directly is unsound — the final
-    # inner join infers isnotnull(trace_id)/isnotnull(span_id)
+    # span totals. BOTH id columns get the guard, and every guard
+    # input is made non-NULL first (hit marker coalesced to false, id
+    # coalesced to a sentinel): guarding a NULL directly is unsound —
+    # the final inner join infers isnotnull(trace_id)/isnotnull(span_id)
     # constraints that Catalyst pushes below the guard projection,
     # filtering the dangling row before it can raise (verified: the
-    # NULL-guard variant silently drops).
+    # NULL-guard variant silently drops). The hit marker distinguishes
+    # a MISSING LinkTable row from a present row with a NULL id, so
+    # the error names the actual defect.
+    hit = F.coalesce(F.col("_link_hit"), F.lit(False))
+
     def _guarded_id(col_name: str):
         filled = F.coalesce(F.col(col_name), F.lit("\x00missing"))
-        return F.when(filled != "\x00missing", filled).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("unresolvable link_id in LinkTable: "),
-                    F.col("link_id").cast("string"),
-                )
+        return (
+            F.when(
+                ~hit,
+                F.raise_error(
+                    F.concat(
+                        F.lit("link_id missing from LinkTable: "),
+                        F.col("link_id").cast("string"),
+                    )
+                ),
             )
+            .when(
+                filled == "\x00missing",
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"LinkTable row has NULL {col_name}: link_id "),
+                        F.col("link_id").cast("string"),
+                    )
+                ),
+            )
+            .otherwise(filled)
         )
 
     linked = (
         samples.filter(F.col("link_id") > 0)
-        .join(F.broadcast(links.filter(F.col("link_id") > 0)), "link_id", "left")
+        .join(
+            F.broadcast(
+                links.filter(F.col("link_id") > 0).withColumn(
+                    "_link_hit", F.lit(True)
+                )
+            ),
+            "link_id",
+            "left",
+        )
         .withColumn("trace_id", _guarded_id("trace_id"))
         .withColumn("span_id", _guarded_id("span_id"))
+        .drop("_link_hit")
     )
     leaf = (
         linked.join(F.broadcast(stacks), "stack_id", "left")

@@ -1454,6 +1454,18 @@ class LocalCheckpointHandle:
         _free_local_checkpoint(self._df, blocking)
 
 
+def _free_checkpoints(*frames: DataFrame | None) -> None:
+    """Error-path cleanup shared by the iterative components variants:
+    free each distinct non-None checkpoint frame exactly once (loop
+    frames alias each other after reassignment — the identity dedup
+    prevents a double free)."""
+    seen: list[DataFrame] = []
+    for f in frames:
+        if f is not None and not any(f is s for s in seen):
+            seen.append(f)
+            _free_local_checkpoint(f)
+
+
 def neardup_components(
     df: DataFrame,
     pairs: DataFrame,
@@ -1559,9 +1571,7 @@ def neardup_components(
         # label checkpoints — clearCache() cannot, and continue-on-error
         # callers never receive a handle to clean (mirrors the star
         # variant's error path)
-        _free_local_checkpoint(labels)
-        if new_labels is not None and new_labels is not labels:
-            _free_local_checkpoint(new_labels)
+        _free_checkpoints(labels, new_labels)
         raise
     finally:
         edges.unpersist()
@@ -1619,14 +1629,14 @@ def neardup_components_star(
         .distinct()
         .localCheckpoint()
     )
-    # carried across rounds: last round's small.count() IS this round's
-    # edge count — recounting the checkpointed edge set would add one
-    # wasted job per round to the O(log n) loop
-    edges_count = edges.count()
     converged = False
     rounds = 0
     small = None
     try:
+        # carried across rounds: last round's small.count() IS this
+        # round's edge count — recounting the checkpointed edge set
+        # would add one wasted job per round to the O(log n) loop
+        edges_count = edges.count()
         for rounds in range(1, max_iters + 1):
             # ---- large-star over the symmetric view
             sym = edges.unionByName(
@@ -1675,37 +1685,41 @@ def neardup_components_star(
                 f"neardup_components_star did not converge in {max_iters} "
                 "rounds (expected O(log n) — investigate the pair graph)"
             )
+        if stats_handle is not None:
+            stats_handle["rounds"] = rounds
+        # star forest: non-min nodes carry exactly (id, component-min);
+        # min nodes and isolated docs label themselves
+        labels = (
+            ids.join(edges.withColumnRenamed("u", "id"), "id", "left")
+            .groupBy("id")
+            .agg(F.min("v").alias("mn"))
+            .select("id", F.coalesce("mn", "id").alias("comp"))
+        )
+        if persist_handle is not None:
+            # labels' lineage reads the final edges checkpoint;
+            # materialize the cache BEFORE handing out the
+            # checkpoint-freeing handle so cleanup order (handle
+            # iteration) can never strand the cache against freed
+            # checkpoint blocks
+            labels = labels.persist()
+            try:
+                labels.count()
+            except BaseException:
+                labels.unpersist()
+                raise
+            persist_handle.append(LocalCheckpointHandle(edges))
+            persist_handle.append(labels)
+        return labels.select(
+            F.col("id").alias(id_col), F.col("comp").alias("component_id")
+        )
     except BaseException:
-        # error path (non-convergence, mid-round failure): the live edge
-        # checkpoints would otherwise stay pinned for the session —
-        # clearCache() cannot free checkpoint blocks, and bench-style
-        # continue-on-error callers never see a handle to clean
-        _free_local_checkpoint(edges)
-        if small is not None and small is not edges:
-            _free_local_checkpoint(small)
+        # error path (non-convergence, mid-round failure, post-loop
+        # label build): the live edge checkpoints would otherwise stay
+        # pinned for the session — clearCache() cannot free checkpoint
+        # blocks, and bench-style continue-on-error callers never see a
+        # handle to clean
+        _free_checkpoints(edges, small)
         raise
-    if stats_handle is not None:
-        stats_handle["rounds"] = rounds
-    # star forest: non-min nodes carry exactly (id, component-min);
-    # min nodes and isolated docs label themselves
-    labels = (
-        ids.join(edges.withColumnRenamed("u", "id"), "id", "left")
-        .groupBy("id")
-        .agg(F.min("v").alias("mn"))
-        .select("id", F.coalesce("mn", "id").alias("comp"))
-    )
-    if persist_handle is not None:
-        # labels' lineage reads the final edges checkpoint; materialize
-        # the cache BEFORE handing out the checkpoint-freeing handle so
-        # cleanup order (handle iteration) can never strand the cache
-        # against freed checkpoint blocks
-        labels = labels.persist()
-        labels.count()
-        persist_handle.append(LocalCheckpointHandle(edges))
-        persist_handle.append(labels)
-    return labels.select(
-        F.col("id").alias(id_col), F.col("comp").alias("component_id")
-    )
 
 
 def oracle_neardup_components(pairs_sql: str, table: str = "documents") -> str:

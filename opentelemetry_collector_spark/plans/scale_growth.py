@@ -127,6 +127,7 @@ def ivf_probe_recall(
 def build(
     spark: SparkSession, fx_dir: str, name: str, candidates_only: bool,
     stats: dict | None = None,
+    handle: list | None = None,
 ) -> DataFrame:
     """The generator exactly as its registered query runs it (same
     thresholds / hamming budget / scaled bits), on the scale-growth
@@ -171,24 +172,26 @@ def build(
             store,
             candidates_only=candidates_only,
         )
-    if name == "neardup_components":
-        # candidates = the symmetric edge list the propagation joins
-        # on every round; full = the label frame. Rounds-to-converge
-        # land in `stats` (the O(diameter) claim needs the round count
-        # at both scales, not just wall time).
+    if name in ("neardup_components", "neardup_components_star"):
+        # ONE branch for both variants — the star gate asserts they see
+        # the identical pair graph, so the setup must be shared by
+        # construction. candidates = the symmetric edge list; full =
+        # the label frame; rounds-to-converge land in `stats` (the
+        # O(diameter) vs O(log n) claims need round counts at both
+        # scales, not just wall time). `handle` receives the label
+        # checkpoints: clearCache() between generators cannot free
+        # checkpoint blocks, so measure() cleans them explicitly or
+        # later generators absorb the storage pressure.
         docs = _docs(spark, fx_dir)
         pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5)
         if candidates_only:
             return pairs
-        return dedup.neardup_components(docs, pairs, stats_handle=stats)
-    if name == "neardup_components_star":
-        # same edge list as propagation; what differs is the round
-        # structure — O(log n) star halves vs O(diameter) label hops
-        docs = _docs(spark, fx_dir)
-        pairs = dedup.neardup_pairs_minhash(docs, threshold=0.5)
-        if candidates_only:
-            return pairs
-        return dedup.neardup_components_star(docs, pairs, stats_handle=stats)
+        fn = (
+            dedup.neardup_components
+            if name == "neardup_components"
+            else dedup.neardup_components_star
+        )
+        return fn(docs, pairs, stats_handle=stats, persist_handle=handle)
     if name == "ann_ivf_probe":
         # candidates = vectors inside the probed cells (the probe's
         # scan volume — the quantity that must stay ~n·probes/cells);
@@ -217,13 +220,19 @@ def measure(
         cand = build(spark, fx_dir, name, candidates_only=True).count()
         spark.catalog.clearCache()
         stats: dict = {}
+        handle: list = []
         t0 = time.perf_counter()
         res = (
-            build(spark, fx_dir, name, candidates_only=False, stats=stats)
+            build(
+                spark, fx_dir, name, candidates_only=False, stats=stats,
+                handle=handle,
+            )
             .agg(F.count(F.lit(1)))
             .collect()[0][0]
         )
         sec = time.perf_counter() - t0
+        for frame in handle:  # checkpoint blocks clearCache can't reach
+            frame.unpersist(True)
         spark.catalog.clearCache()
         out[name] = {
             "n": (

@@ -124,9 +124,34 @@ def test_span_hotspots_dangling_link_is_loud(spark):
             [(9, 0, 0, 11, 7, [1])], samples.schema  # link 7 not in links
         )
     )
-    with pytest.raises(Exception, match="unresolvable link_id"):
+    with pytest.raises(Exception, match="link_id missing from LinkTable"):
         profiles.span_hotspots(
             dangling, links, stacks, locations, functions
+        ).collect()
+
+
+def test_span_hotspots_null_id_link_row_is_loud_and_named(spark):
+    """A LinkTable row that EXISTS but carries a NULL trace_id must
+    raise with the malformed-row message, not the missing-row one
+    (r5 review: the sentinel-only guard misattributed this case and
+    sent operators chasing a nonexistent join bug)."""
+    import pytest
+
+    _, stacks, locations, functions = _mini_tables(spark)
+    samples, links = _link_tables(spark)
+    bad_links = links.union(
+        spark.createDataFrame(
+            [(7, None, "ee" * 8)], "link_id int, trace_id string, span_id string"
+        )
+    )
+    with_bad = samples.union(
+        spark.createDataFrame(
+            [(9, 0, 0, 11, 7, [1])], samples.schema
+        )
+    )
+    with pytest.raises(Exception, match="NULL trace_id: link_id 7"):
+        profiles.span_hotspots(
+            with_bad, bad_links, stacks, locations, functions
         ).collect()
 
 
