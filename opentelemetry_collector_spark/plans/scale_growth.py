@@ -175,8 +175,10 @@ def build(
     if name in ("neardup_components", "neardup_components_star"):
         # ONE branch for both variants — the star gate asserts they see
         # the identical pair graph, so the setup must be shared by
-        # construction. candidates = the symmetric edge list; full =
-        # the label frame; rounds-to-converge land in `stats` (the
+        # construction. candidates = the DIRECTED verified pair list
+        # (id_a < id_b — the variants symmetrize internally, doubling
+        # it); full = the label frame; rounds-to-converge land in
+        # `stats` (the
         # O(diameter) vs O(log n) claims need round counts at both
         # scales, not just wall time). `handle` receives the label
         # checkpoints: clearCache() between generators cannot free
@@ -222,18 +224,22 @@ def measure(
         stats: dict = {}
         handle: list = []
         t0 = time.perf_counter()
-        res = (
-            build(
-                spark, fx_dir, name, candidates_only=False, stats=stats,
-                handle=handle,
+        try:
+            res = (
+                build(
+                    spark, fx_dir, name, candidates_only=False, stats=stats,
+                    handle=handle,
+                )
+                .agg(F.count(F.lit(1)))
+                .collect()[0][0]
             )
-            .agg(F.count(F.lit(1)))
-            .collect()[0][0]
-        )
-        sec = time.perf_counter() - t0
-        for frame in handle:  # checkpoint blocks clearCache can't reach
-            frame.unpersist(True)
-        spark.catalog.clearCache()
+            sec = time.perf_counter() - t0
+        finally:
+            # exception-safe: a failed collect must still free the
+            # checkpoint blocks clearCache can't reach
+            for frame in handle:
+                frame.unpersist(True)
+            spark.catalog.clearCache()
         out[name] = {
             "n": (
                 n_vecs

@@ -53,7 +53,7 @@ def test_generators_find_planted_duplicates(report, name):
     is the edge-candidate count, not the result count."""
     g = report["generators"][name]
     if name.startswith("neardup_components"):
-        assert g["x4"]["candidates"] > 0, f"{name} found no edges at 4×"
+        assert g["x4"]["candidates"] > 0, f"{name} found no pairs at 4×"
     else:
         assert g["x4"]["results"] > 0, f"{name} found no duplicates at 4×"
 
