@@ -256,19 +256,58 @@ def run_scale_growth(base_docs: int = 5000, base_vecs: int = 2000) -> dict:
     return scale_growth.growth_report(spark, base_docs, base_vecs)
 
 
+# The driver keeps only a ~2,000-char TAIL of bench stdout; a full
+# 86-query map (~3.4 KB) truncates the HEAD of the line and the parse
+# fails (r4/r5 artifacts both came back `parsed: null`).  Stdout gets a
+# compact headline capped well under the window; the full per-query
+# detail always lands in BENCH_RESULT.json.
+_STDOUT_BUDGET = 1900
+# Headline queries worth carrying in the compact line, most important
+# first — trimmed from the end if the budget is ever threatened.
+_HEADLINE_KEYS = [
+    "pipeline_e2e", "pipeline_e2e_arrow", "pipeline_e2e_salted",
+    "parse_turns", "routed_rows", "batch_counts", "dedup_exact",
+    "neardup_minhash", "simhash_pairs", "ann_topk_bruteforce",
+    "corpus_pipeline", "dedup_incremental_bucketed", "spans_roundtrip",
+    "metrics_roundtrip", "proto_roundtrip", "events_hourly",
+]
+
+
+def _compact(res: dict) -> str:
+    """One JSON line guaranteed under the driver's capture window."""
+    slim = {k: v for k, v in res.items() if k not in ("queries", "rows_out")}
+    queries = res.get("queries")
+    if isinstance(queries, dict):
+        slim["n_queries"] = len(queries)
+        slim["detail"] = "BENCH_RESULT.json"
+        keep = [k for k in _HEADLINE_KEYS if k in queries]
+        while keep:
+            slim["queries"] = {k: queries[k] for k in keep}
+            line = json.dumps(slim)
+            if len(line) <= _STDOUT_BUDGET:
+                return line
+            keep.pop()
+        slim.pop("queries", None)
+    line = json.dumps(slim)
+    if len(line) > _STDOUT_BUDGET:
+        # scaling/scale-growth payloads are small; if one ever grows past
+        # the window, degrade to the bare metric rather than truncating
+        line = json.dumps({k: slim[k] for k in
+                           ("metric", "value", "unit", "sf", "cpus")
+                           if k in slim})
+    return line
+
+
 def _emit(res: dict) -> None:
-    """The driver parses bench stdout with a bounded capture window —
-    the JSON line must be the ONLY stdout content (r4's artifact came
-    back `parsed: null` from tail truncation). We also drop a copy in
-    BENCH_RESULT.json so a mangled pipe never loses the numbers."""
-    line = json.dumps(res)
+    """Full result → BENCH_RESULT.json; compact headline → stdout (the
+    ONLY stdout line — fd-1 is routed to stderr during the run)."""
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_RESULT.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(res) + "\n")
     except OSError:
         pass
-    print(line)
+    print(_compact(res))
 
 
 if __name__ == "__main__":

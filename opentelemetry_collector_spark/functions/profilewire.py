@@ -71,15 +71,28 @@ def encode_profile(
     vt = _varint_field(1, s_idx("cpu")) + _varint_field(2, s_idx("nanoseconds"))
     out = bytearray()
     out += _len_delim(1, vt)  # sample_type
+    # the caller may hand us GLOBAL dictionaries; the blob must only
+    # carry entries this profile's samples reach, or blob size scales
+    # with fleet dictionary size instead of profile content
+    used_lids: set[int] = set()
+    for loc_ids, _value in samples:
+        used_lids.update(loc_ids)
+    used_fids = {
+        locations[lid][0] for lid in used_lids if lid in locations
+    }
     for loc_ids, value in samples:
         out += _len_delim(
             2,
             _packed_u64(1, [i + 1 for i in loc_ids]) + _packed_u64(2, [value]),
         )
     for lid, (fid, line) in sorted(locations.items()):
+        if lid not in used_lids:
+            continue
         line_msg = _varint_field(1, fid + 1) + _varint_field(2, line)
         out += _len_delim(4, _varint_field(1, lid + 1) + _len_delim(4, line_msg))
     for fid, (name, filename) in sorted(functions.items()):
+        if fid not in used_fids:
+            continue
         out += _len_delim(
             5,
             _varint_field(1, fid + 1)
@@ -108,7 +121,11 @@ def decode_profile(buf: bytes) -> list[tuple[list[str], int]]:
                 if f2 == 1:
                     locs = _unpack_varints(v2)
                 elif f2 == 2:
-                    value = _unpack_varints(v2, signed=True)[0]
+                    # an empty packed value field is a corruption shape,
+                    # not an IndexError — keep the degrade-uniformly
+                    # (ValueError-or-default) caller contract
+                    vals = _unpack_varints(v2, signed=True)
+                    value = vals[0] if vals else 0
             samples_raw.append((locs, value))
         elif f == 4:  # Location
             lid = fid = None
@@ -147,10 +164,30 @@ PPROF_SAMPLE_SCHEMA = (
 )
 
 
+# Hard ceiling on dictionary-dim rows shipped via the task closure.
+# pprof dictionaries are per-profile-small by construction, but a
+# fleet-wide function/location table pointed at this encoder would
+# silently OOM the driver and bloat every task closure — fail LOUD past
+# the cap instead (a fleet-scale caller needs a join/broadcast reshape,
+# not a bigger closure).
+PPROF_DICT_MAX_ROWS = 262_144
+
+
 def encode_profiles(spark: SparkSession, tables: dict[str, DataFrame]) -> DataFrame:
     """samples fact grouped per profile_id → one pprof blob each. The
     dictionary dims are collected ONCE (bounded — see module
-    docstring) and ride the closure into every group."""
+    docstring) and ride the closure into every group; each dim is
+    size-guarded against PPROF_DICT_MAX_ROWS before the collect."""
+    for dim in ("stacks", "locations", "functions"):
+        n = tables[dim].limit(PPROF_DICT_MAX_ROWS + 1).count()
+        if n > PPROF_DICT_MAX_ROWS:
+            raise ValueError(
+                f"pprof dictionary dim '{dim}' exceeds "
+                f"PPROF_DICT_MAX_ROWS={PPROF_DICT_MAX_ROWS}: the "
+                "closure-shipped encoder is for per-profile-small "
+                "dictionaries; reshape fleet-scale tables via a "
+                "broadcast join before encoding"
+            )
     stacks = {
         r["stack_id"]: list(r["location_ids"])
         for r in tables["stacks"].collect()

@@ -356,8 +356,18 @@ def _encode_batch(pdf: pd.DataFrame) -> list[bytes]:
             body = tag5 + _varint(len(inner)) + inner
         if has_corr:
             t, sp = tids.iloc[i], sids.iloc[i]
-            tb = bytes.fromhex(t) if isinstance(t, str) else None
-            sb = bytes.fromhex(sp) if isinstance(sp, str) else None
+            # non-hex / odd-length ids must degrade per-row, not kill the
+            # whole Arrow batch: carry the raw utf-8 bytes through the
+            # generic length-delimited path (same contract as the span
+            # batch encoder's non-canonical-id branch)
+            try:
+                tb = bytes.fromhex(t) if isinstance(t, str) else None
+            except ValueError:
+                tb = t.encode("utf-8")
+            try:
+                sb = bytes.fromhex(sp) if isinstance(sp, str) else None
+            except ValueError:
+                sb = sp.encode("utf-8")
             tail = b"".join(
                 (
                     flag_field(flags_col.iloc[i]),

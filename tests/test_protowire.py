@@ -248,3 +248,39 @@ def test_encode_records_without_tool_column(spark):
     rows = W.decode_records(W.encode_records(df)).collect()
     assert rows[0]["event_name"] == "tool"
     assert rows[0]["trace_id"] is not None and rows[0]["flags"] == 1
+
+
+def test_batch_encoder_non_hex_ids_degrade_per_row():
+    """A non-hex or odd-length trace_id/span_id must not kill the whole
+    Arrow batch (r5 advice): the row degrades to a generic
+    length-delimited field carrying the raw utf-8 bytes, mirroring the
+    span batch encoder's non-canonical-id path; sibling rows are
+    untouched."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c1"],
+            "turn_idx": [0, 1, 2],
+            "ts": pd.to_datetime(["2024-01-01"] * 3),
+            "severity_number": [9, 9, 9],
+            "level": ["INFO"] * 3,
+            "text": ["a", "b", "c"],
+            "role": ["user"] * 3,
+            "svc": ["svc-a"] * 3,
+            "trace_id": ["not-hex-at-all", "abc", "ab" * 16],
+            "span_id": ["cd" * 8, "zz", "cd" * 8],
+            "flags": [0, 0, 0],
+            "event_name": ["user"] * 3,
+        }
+    )
+    got = W._encode_batch(pdf)  # must not raise
+    assert len(got) == 3
+    # the canonical row still decodes with its ids intact
+    rec = W.decode_log_record(got[2])
+    assert rec["trace_id"] == "ab" * 16 and rec["span_id"] == "cd" * 8
+    # degraded rows carry the raw bytes in the id fields
+    from opentelemetry_collector_spark.functions.protowire import _fields
+
+    f9 = {f: v for f, _w, v in _fields(got[0])}
+    assert f9[9] == b"not-hex-at-all"
