@@ -128,11 +128,17 @@ def _rich_spans_cte() -> str:
                       '{{latency_ms=' || latency_ms || '}}' END) AS events_sig,
                concat_ws('|',
                  CASE WHEN parent_span_id IS NOT NULL
-                      THEN parent_span_id || '#{{link.type=parent}}' END,
+                      THEN parent_span_id || '#' ||
+                           '~' || CASE WHEN parent_span_id = root_span_id
+                                       THEN 769 ELSE 257 END ||
+                           '{{link.type=parent}}' END,
                  CASE WHEN root_span_id <> span_id
-                      THEN root_span_id || '#{{link.type=root}}' END) AS links_sig,
+                      THEN root_span_id || '#~769{{link.type=root}}' END)
+                 AS links_sig,
                CASE WHEN level = 'ERROR' AND length(body) > 0
-                    THEN substr(body, 1, 48) END AS status_message
+                    THEN substr(body, 1, 48) END AS status_message,
+               cast(CASE WHEN parent_span_id IS NULL THEN 769
+                         ELSE 257 END AS INTEGER) AS flags
         FROM spans1)"""
 
 
@@ -1603,12 +1609,12 @@ def oracle_sql() -> dict[str, str]:
         "spans_roundtrip": f"""{_rich_spans_cte()}
             SELECT conv_id, turn_idx, trace_id, span_id, parent_span_id,
                    name, kind, status, start_ns, end_ns, trace_state,
-                   attrs_sig, events_sig, links_sig, status_message
+                   attrs_sig, events_sig, links_sig, status_message, flags
             FROM rich_spans""",
         "spans_otlp_json": f"""{_rich_spans_cte()}
             SELECT conv_id, trace_id, span_id, parent_span_id,
                    name, kind, status, start_ns, end_ns, trace_state,
-                   attrs_sig, events_sig, links_sig, status_message
+                   attrs_sig, events_sig, links_sig, status_message, flags
             FROM rich_spans""",
         "metrics_roundtrip": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,

@@ -308,8 +308,8 @@ SPANS_OTLP_SCHEMA = (
     "events:array<struct<timeUnixNano:bigint,name:string,"
     f"attributes:{_KVLIST_JSON_DDL}>>,"
     "links:array<struct<traceId:string,spanId:string,traceState:string,"
-    f"attributes:{_KVLIST_JSON_DDL}>>,"
-    "status:struct<message:string,code:string>>>>>>"
+    f"attributes:{_KVLIST_JSON_DDL},flags:int>>,"
+    "status:struct<message:string,code:string>,flags:int>>>>>"
 )
 _FLAT_ATTRS_DDL = "array<struct<key:string,value:string>>"
 _FLAT_EVENTS_DDL = (
@@ -317,7 +317,7 @@ _FLAT_EVENTS_DDL = (
 )
 _FLAT_LINKS_DDL = (
     "array<struct<trace_id:string,span_id:string,trace_state:string,"
-    f"attrs:{_FLAT_ATTRS_DDL}>>"
+    f"attrs:{_FLAT_ATTRS_DDL},flags:int>>"
 )
 
 
@@ -368,6 +368,7 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
         ("attrs", _FLAT_ATTRS_DDL),
         ("events", _FLAT_EVENTS_DDL),
         ("links", _FLAT_LINKS_DDL),
+        ("flags", "int"),
     ):
         if c not in spans.columns:
             spans = spans.withColumn(c, F.lit(None).cast(ddl))
@@ -401,6 +402,8 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
                     ln["span_id"].alias("spanId"),
                     ln["trace_state"].alias("traceState"),
                     _attrs_to_json_form(ln["attrs"]).alias("attributes"),
+                    # zero flags → key omitted (proto3 default, json.go)
+                    F.when(ln["flags"] != 0, ln["flags"]).alias("flags"),
                 ),
             ),
         ).alias("links"),
@@ -408,6 +411,7 @@ def nest_spans_to_otlp(spans: DataFrame) -> DataFrame:
             F.col("status_message").alias("message"),
             F.col("status").alias("code"),
         ).alias("status"),
+        F.when(F.col("flags") != 0, F.col("flags")).alias("flags"),
     )
     scopes = (
         spans.withColumn("_tool", F.split(F.col("name"), "/").getItem(0))
@@ -494,11 +498,14 @@ def flatten_spans_from_otlp(
                     ln["spanId"].alias("span_id"),
                     ln["traceState"].alias("trace_state"),
                     _attrs_from_json_form(ln["attributes"]).alias("attrs"),
+                    F.coalesce(ln["flags"], F.lit(0)).alias("flags"),
                 ),
             ),
             F.array().cast(_FLAT_LINKS_DDL),
         ).alias("links"),
         F.col("p.status.message").alias("status_message"),
+        # absent key = proto3 zero (mirror of the nest's omit-on-zero)
+        F.coalesce(F.col("p.flags"), F.lit(0)).alias("flags"),
     )
 
 

@@ -246,6 +246,12 @@ def spans_from_turns(parsed: DataFrame) -> DataFrame:
 
 SLOW_EVENT_THRESHOLD_MS = 8000
 
+# W3C flag words the span derivations emit (signalwire.SPAN_FLAGS_*):
+# every fixture span is sampled with a known is-remote bit; roots are
+# remote (context arrived from the client), children are local.
+CHILD_SPAN_FLAGS = 0x101  # sampled | has-is-remote         = 257
+ROOT_SPAN_FLAGS = 0x301   # sampled | has-is-remote | is-remote = 769
+
 
 def _kv(k: Column, v: Column) -> Column:
     return F.struct(k.alias("key"), v.alias("value"))
@@ -270,7 +276,10 @@ def rich_spans_from_turns(parsed: DataFrame) -> DataFrame:
     - ``links``: one to the parent span and one to the conversation's
       root span when they exist (turn ≥ 2 carries both — multi-link);
     - ``status_message``: first 48 body chars on ERROR spans with a
-      non-empty body, else NULL (Status.message is error context).
+      non-empty body, else NULL (Status.message is error context);
+    - ``flags`` (span and per-link; generated_span.go:90-97 W3C bits):
+      sampled|has-is-remote everywhere, plus is-remote on root
+      contexts — ROOT_SPAN_FLAGS (769) vs CHILD_SPAN_FLAGS (257).
 
     start_ns/end_ns are ns longs (end = start + latency_ms·10⁶) so the
     wire stage receives Catalyst-computed epochs.
@@ -340,12 +349,22 @@ def rich_spans_from_turns(parsed: DataFrame) -> DataFrame:
             e["ts_ns"].alias("ts_ns"), e["name"].alias("name"), e["attrs"].alias("attrs")
         ),
     )
+    # Link.Flags mirror the LINKED context's W3C bits
+    # (ptrace/generated_spanlink.go Flags, same mask semantics as
+    # Span.Flags): sampled + has-is-remote always; is-remote when the
+    # linked span is the trace root (the root context arrived from the
+    # remote client) — non-vacuous: parent links to the root get
+    # ROOT_SPAN_FLAGS, deeper parent links get CHILD_SPAN_FLAGS.
     link_candidates = F.array(
         F.struct(
             F.col("trace_id").alias("trace_id"),
             F.col("parent_span_id").alias("span_id"),
             F.lit(None).cast("string").alias("trace_state"),
             F.array(_kv(F.lit("link.type"), F.lit("parent"))).alias("attrs"),
+            F.when(
+                F.col("parent_span_id") == F.col("_root_span_id"),
+                F.lit(ROOT_SPAN_FLAGS),
+            ).otherwise(F.lit(CHILD_SPAN_FLAGS)).alias("flags"),
             F.col("parent_span_id").isNotNull().alias("_keep"),
         ),
         F.struct(
@@ -353,6 +372,7 @@ def rich_spans_from_turns(parsed: DataFrame) -> DataFrame:
             F.col("_root_span_id").alias("span_id"),
             F.lit(None).cast("string").alias("trace_state"),
             F.array(_kv(F.lit("link.type"), F.lit("root"))).alias("attrs"),
+            F.lit(ROOT_SPAN_FLAGS).alias("flags"),
             (F.col("_root_span_id") != F.col("span_id")).alias("_keep"),
         ),
     )
@@ -363,6 +383,7 @@ def rich_spans_from_turns(parsed: DataFrame) -> DataFrame:
             e["span_id"].alias("span_id"),
             e["trace_state"].alias("trace_state"),
             e["attrs"].alias("attrs"),
+            e["flags"].alias("flags"),
         ),
     )
     return spans.select(
@@ -387,6 +408,13 @@ def rich_spans_from_turns(parsed: DataFrame) -> DataFrame:
             (F.col("level") == "ERROR") & (F.length("_body") > 0),
             F.substring(F.col("_body"), 1, 48),
         ).alias("status_message"),
+        # Span.Flags (generated_span.go:90-97, W3C semantics in
+        # trace.proto SpanFlags): sampled + has-is-remote on every
+        # span; is-remote on roots (their context arrived from the
+        # remote client) — two distinct non-zero values in the fixture
+        F.when(
+            F.col("parent_span_id").isNull(), F.lit(ROOT_SPAN_FLAGS)
+        ).otherwise(F.lit(CHILD_SPAN_FLAGS)).alias("flags"),
     )
 
 
@@ -429,6 +457,7 @@ def span_content_signatures(df: DataFrame) -> DataFrame:
                     lambda ln: F.concat(
                         ln["span_id"], F.lit("#"),
                         F.coalesce(ln["trace_state"], F.lit("")),
+                        F.lit("~"), ln["flags"].cast("string"),
                         F.lit("{"), attr_sig(ln["attrs"]), F.lit("}"),
                     ),
                 ),

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 
 from opentelemetry_collector_spark.functions.protowire import (
     _fields,
+    _fixed32,
     _fixed64,
     _len_delim,
     _packed_varints,
@@ -59,6 +60,14 @@ from opentelemetry_collector_spark.functions.protowire import (
     _varint,
     _varint_field,
 )
+
+# W3C trace-context bit layout of Span.Flags / Link.Flags
+# (ptrace/generated_span.go:90-97; trace.proto SpanFlags enum):
+# low byte = W3C trace flags (bit 0 sampled), bit 8 = context
+# HAS_IS_REMOTE known, bit 9 = context IS_REMOTE.
+SPAN_FLAGS_SAMPLED = 0x1
+SPAN_FLAGS_HAS_IS_REMOTE = 0x100
+SPAN_FLAGS_IS_REMOTE = 0x200
 
 # ------------------------------------------------------------ primitives
 
@@ -458,12 +467,15 @@ def _encode_event(ev) -> bytes:
 
 
 def _encode_link(ln) -> bytes:
-    """Span.Link: 1 trace_id, 2 span_id, 3 trace_state, 4 attributes
-    (trace.proto Span.Link)."""
+    """Span.Link: 1 trace_id, 2 span_id, 3 trace_state, 4 attributes,
+    6 flags (fixed32 — generated_proto_spanlink.go tag 0x35;
+    zero omitted, proto3 default)."""
     if isinstance(ln, dict):
         t, s, st, attrs = ln["trace_id"], ln["span_id"], ln["trace_state"], ln["attrs"]
+        flags = ln.get("flags") or 0
     else:
-        t, s, st, attrs = ln
+        t, s, st, attrs = ln[0], ln[1], ln[2], ln[3]
+        flags = (ln[4] if len(ln) > 4 and ln[4] is not None else 0)
     out = bytearray()
     if t:
         out += _len_delim(1, bytes.fromhex(t))
@@ -472,6 +484,8 @@ def _encode_link(ln) -> bytes:
     if isinstance(st, str) and st:
         out += _len_delim(3, st.encode("utf-8"))
     out += _attrs_field(4, attrs)
+    if flags:
+        out += _fixed32(6, int(flags))
     return bytes(out)
 
 
@@ -501,11 +515,14 @@ def encode_span(
     events=None,
     links=None,
     status_message: str | None = None,
+    flags: int = 0,
 ) -> bytes:
-    """Full Span content surface (trace.proto fields 1-9,11,13,15;
-    pdata/ptrace/generated_span.go:53-199) in canonical ascending
-    field order. Legacy 8-arg calls emit byte-identical output to the
-    r4 subset codec (the extended fields are absent → omitted)."""
+    """Full Span content surface (trace.proto fields 1-9,11,13,15,16;
+    pdata/ptrace/generated_span.go:53-199 + :90-97 Flags — fixed32
+    field 16, W3C trace-flags byte + HAS/IS_REMOTE context bits, zero
+    omitted) in canonical ascending field order. Legacy 8-arg calls
+    emit byte-identical output to the r4 subset codec (the extended
+    fields are absent → omitted)."""
     out = bytearray()
     out += _len_delim(1, bytes.fromhex(trace_id_hex))
     out += _len_delim(2, bytes.fromhex(span_id_hex))
@@ -526,6 +543,8 @@ def encode_span(
     for ln in _aslist(links):
         out += _len_delim(13, _encode_link(ln))
     out += _status_field(status, status_message)
+    if flags:
+        out += _fixed32(16, int(flags))
     return bytes(out)
 
 
@@ -561,7 +580,8 @@ def _decode_event(buf: bytes) -> dict:
 
 
 def _decode_link(buf: bytes) -> dict:
-    ln = {"trace_id": "", "span_id": "", "trace_state": None, "attrs": []}
+    ln = {"trace_id": "", "span_id": "", "trace_state": None, "attrs": [],
+          "flags": 0}
     attr_bufs = []
     for f, _w, val in _fields(buf):
         if f == 1:
@@ -572,6 +592,8 @@ def _decode_link(buf: bytes) -> dict:
             ln["trace_state"] = val.decode("utf-8")
         elif f == 4:
             attr_bufs.append(val)
+        elif f == 6:
+            ln["flags"] = val
     ln["attrs"] = _decode_attr_list(attr_bufs)
     return ln
 
@@ -581,7 +603,7 @@ def decode_span(buf: bytes) -> dict:
         "trace_id": "", "span_id": "", "parent_span_id": None,
         "name": "", "kind": SPAN_KINDS[0], "start_ns": 0, "end_ns": 0,
         "status": STATUS_CODES[0], "trace_state": None, "attrs": [],
-        "events": [], "links": [], "status_message": None,
+        "events": [], "links": [], "status_message": None, "flags": 0,
     }
     attr_bufs: list[bytes] = []
     for f, _w, val in _fields(buf):
@@ -613,6 +635,8 @@ def decode_span(buf: bytes) -> dict:
                     rec["status_message"] = v2.decode("utf-8")
                 elif f2 == 3:
                     rec["status"] = STATUS_CODES[v2]
+        elif f == 16:
+            rec["flags"] = val
     rec["attrs"] = _decode_attr_list(attr_bufs)
     return rec
 
@@ -628,8 +652,8 @@ SPAN_ROUNDTRIP_SCHEMA = (
     f"attrs {_ATTRS_DDL}, "
     f"events array<struct<ts_ns:bigint,name:string,attrs:{_ATTRS_DDL}>>, "
     "links array<struct<trace_id:string,span_id:string,trace_state:string,"
-    f"attrs:{_ATTRS_DDL}>>, "
-    "status_message string"
+    f"attrs:{_ATTRS_DDL},flags:int>>, "
+    "status_message string, flags int"
 )
 
 
@@ -701,6 +725,25 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
         links_col = pdf["links"].to_numpy(dtype=object)
         smsg_col = pdf["status_message"].to_numpy(dtype=object)
         ts_memo: dict = {}
+    # Span.Flags (fixed32 field 16) — low-cardinality, memoized; the
+    # column may be absent for legacy subset callers (then flags=0 and
+    # the field is omitted everywhere)
+    has_flags = "flags" in pdf.columns
+    if has_flags:
+        flags_col = pdf["flags"].to_numpy(dtype=object)
+        flags_memo: dict = {}
+
+        def flags_field(i) -> bytes:
+            v = flags_col[i]
+            got = flags_memo.get(v)
+            if got is None:
+                n = int(v) if pd.notna(v) else 0
+                got = flags_memo[v] = _fixed32(16, n) if n else b""
+            return got
+    else:
+
+        def flags_field(i) -> bytes:
+            return b""
 
     def ext_segments(i) -> tuple[bytes, bytes, bytes, bytes, str | None]:
         if not has_ext:
@@ -752,7 +795,9 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
                             attrs=_aslist(attrs_col[i]) if has_ext else None,
                             events=_aslist(events_col[i]) if has_ext else None,
                             links=_aslist(links_col[i]) if has_ext else None,
-                            status_message=sm)
+                            status_message=sm,
+                            flags=int(flags_col[i])
+                            if has_flags and pd.notna(flags_col[i]) else 0)
             )
             continue
         parent = _SPAN_PARENT_TAG + pb if pb is not None else b""
@@ -770,6 +815,7 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
                     _SPAN_END_TAG, ebuf[i * 8 : i * 8 + 8],
                     ab, evb, lkb,
                     status_seg,
+                    flags_field(i),
                 )
             )
         )
@@ -818,6 +864,7 @@ def decode_spans(df: DataFrame) -> DataFrame:
                     "events": [r["events"] for r in rows],
                     "links": [r["links"] for r in rows],
                     "status_message": [r["status_message"] for r in rows],
+                    "flags": [r["flags"] for r in rows],
                 }
             )
 

@@ -461,9 +461,37 @@ def test_span_extended_golden_bytes():
     ]
     assert back["links"] == [
         {"trace_id": "22" * 16, "span_id": "33" * 8, "trace_state": "s",
-         "attrs": []}
+         "attrs": [], "flags": 0}
     ]
     assert back["status_message"] == "m"
+    assert back["flags"] == 0  # absent field 16 = proto3 zero
+
+
+def test_span_flags_golden_bytes():
+    """Span.Flags: fixed32 field 16 (generated_proto_span.go tag bytes
+    0x85 0x01), W3C sampled|has-is-remote|is-remote = 0x301; Link.Flags:
+    fixed32 field 6 (generated_proto_spanlink.go tag 0x35). Zero flags
+    omit the field (covered by the extended golden test above)."""
+    got = W.encode_span(
+        "00" * 16, "11" * 8, None, "", "SPAN_KIND_UNSPECIFIED",
+        1, 2, "STATUS_CODE_UNSET",
+        links=[("22" * 16, "33" * 8, None, [], 257)],
+        flags=0x301,
+    )
+    assert got.hex() == (
+        "0a10" + "00" * 16
+        + "1208" + "11" * 8
+        + "390100000000000000"
+        + "410200000000000000"
+        + "6a21"                      # 13: Link (33 bytes)
+        + "0a10" + "22" * 16
+        + "1208" + "33" * 8
+        + "3501010000"                #   6: flags fixed32 = 257
+        + "850101030000"              # 16: flags fixed32 = 0x301
+    )
+    back = W.decode_span(got)
+    assert back["flags"] == 0x301
+    assert back["links"][0]["flags"] == 257
 
 
 def test_span_extended_vectorized_matches_scalar():
@@ -483,15 +511,17 @@ def test_span_extended_vectorized_matches_scalar():
                       "attrs": [{"key": "latency_ms", "value": "9001"}]}],
              links=[{"trace_id": "ab" * 16, "span_id": "ef" * 8,
                      "trace_state": None,
-                     "attrs": [{"key": "link.type", "value": "parent"}]},
+                     "attrs": [{"key": "link.type", "value": "parent"}],
+                     "flags": 257},
                     {"trace_id": "ab" * 16, "span_id": "11" * 8,
                      "trace_state": "w=1",
-                     "attrs": [{"key": "link.type", "value": "root"}]}],
-             status_message="bad"),
+                     "attrs": [{"key": "link.type", "value": "root"}],
+                     "flags": 0}],
+             status_message="bad", flags=257),
         dict(trace_id="ab" * 16, span_id="cd" * 8, parent_span_id=None,
              name="n", kind="SPAN_KIND_CLIENT", status="STATUS_CODE_OK",
              start_ns=3, end_ns=4, trace_state=None, attrs=[], events=[],
-             links=[], status_message=None),
+             links=[], status_message=None, flags=0),
     ]
     pdf = pd.DataFrame(rows)
     got = W._encode_span_batch(pdf)
@@ -501,7 +531,7 @@ def test_span_extended_vectorized_matches_scalar():
             r["kind"], r["start_ns"], r["end_ns"], r["status"],
             trace_state=r["trace_state"], attrs=r["attrs"],
             events=r["events"], links=r["links"],
-            status_message=r["status_message"],
+            status_message=r["status_message"], flags=r["flags"],
         )
         assert got[i] == want, i
         back = W.decode_span(got[i])
