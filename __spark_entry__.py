@@ -656,6 +656,8 @@ def _q_metrics_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "svc",
         (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
         F.col("latency_ms").cast("long").alias("value"),
+    ).withColumn(
+        "flags", F.when(F.col("value").isNull(), F.lit(1)).otherwise(F.lit(0))
     )
     return pdata.flatten_metrics_from_otlp(pdata.nest_metrics_to_otlp(points))
 
@@ -713,15 +715,22 @@ def _q_metrics_sum_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ns", "conv_id", "turn_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-latency turns stay in the stream as GAP points: the running
+    # sum over an all-NULL series is NULL → value oneof omitted and
+    # flags = noRecordedValue (the staleness marker a cumulative
+    # consumer needs to distinguish "no sample" from "zero")
     points = (
-        parsed.filter(F.col("latency_ms").isNotNull())
-        .select(
+        parsed.select(
             "conv_id", "turn_idx", "svc",
             (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
             F.col("latency_ms").cast("long").alias("_v"),
         )
         .withColumn("_hr", F.expr("ts_ns div 3600000000000"))
         .withColumn("value", F.sum("_v").over(w))
+        .withColumn(
+            "flags",
+            F.when(F.col("_v").isNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
         .drop("_v", "_hr")
     )
     return pdata.flatten_sum_metrics_from_otlp(pdata.nest_sum_metrics_to_otlp(points))
@@ -803,11 +812,17 @@ def _q_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "svc",
         (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
         F.col("latency_ms").cast("long").alias("value"),
+    ).withColumn(
+        # DataPointFlags.noRecordedValue (number_data_point_flags.go):
+        # a point whose measurement is absent is a gap marker
+        "flags", F.when(F.col("value").isNull(), F.lit(1)).otherwise(F.lit(0))
     )
     decoded = signalwire.decode_number_points(signalwire.encode_number_points(points))
-    json_schema = "svc string, ts_ns long, value long"
+    json_schema = "svc string, ts_ns long, value long, flags int"
     return (
-        decoded.withColumn("otlp_json", F.to_json(F.struct("svc", "ts_ns", "value")))
+        decoded.withColumn(
+            "otlp_json", F.to_json(F.struct("svc", "ts_ns", "value", "flags"))
+        )
         .select("conv_id", "turn_idx", F.from_json("otlp_json", json_schema).alias("m"))
         .select("conv_id", "turn_idx", "m.*")
     )
@@ -1618,11 +1633,15 @@ def oracle_sql() -> dict[str, str]:
             FROM rich_spans""",
         "metrics_roundtrip": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
-                   cast(latency_ms AS bigint) AS value
+                   cast(latency_ms AS bigint) AS value,
+                   cast(CASE WHEN latency_ms IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS flags
             FROM parsed""",
         "metrics_otlp_json": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc, epoch_ns(ts) AS ts_ns,
-                   cast(latency_ms AS bigint) AS value
+                   cast(latency_ms AS bigint) AS value,
+                   cast(CASE WHEN latency_ms IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS flags
             FROM parsed""",
         "metrics_histogram_otlp": f"""{_parsed_cte()},
             b AS (SELECT svc,
@@ -1677,8 +1696,10 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS value,
                    'AGGREGATION_TEMPORALITY_CUMULATIVE' AS temporality,
-                   true AS is_monotonic
-            FROM parsed WHERE latency_ms IS NOT NULL""",
+                   true AS is_monotonic,
+                   cast(CASE WHEN latency_ms IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS flags
+            FROM parsed""",
         "metrics_exp_otlp": f"""{_parsed_cte()}
             SELECT svc,
                    cast(CASE WHEN latency_ms > 0

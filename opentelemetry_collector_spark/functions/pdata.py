@@ -528,7 +528,7 @@ METRICS_OTLP_SCHEMA = (
     "scopeMetrics:array<struct<scope:struct<name:string>,"
     "metrics:array<struct<name:string,"
     "gauge:struct<dataPoints:array<struct<timeUnixNano:bigint,"
-    "asInt:bigint,attributes:map<string,string>>>>>>>>>"
+    "asInt:bigint,attributes:map<string,string>,flags:int>>>>>>>>"
 )
 
 
@@ -586,6 +586,9 @@ def _nest_windowed_points(
     boundary into the adjacent document (r5 review finding — for the
     sum branch that would break cumulative-restart/document
     alignment)."""
+    flags_src = (
+        F.col("flags") if "flags" in points.columns else F.lit(None).cast("int")
+    )
     dp = F.struct(
         F.col("ts_ns").alias("timeUnixNano"),
         F.col("value").alias("asInt"),
@@ -596,6 +599,8 @@ def _nest_windowed_points(
             ),
             lambda k, v: v.isNotNull(),
         ).alias("attributes"),
+        # DataPointFlags (number_data_point_flags.go) — zero omitted
+        F.when(flags_src != 0, flags_src).alias("flags"),
     )
     # unique (conv, turn) orders datapoints deterministically
     by_dp = _cmp(
@@ -662,6 +667,7 @@ def flatten_metrics_from_otlp(
         F.col("_svc").alias("svc"),
         F.col("p.timeUnixNano").alias("ts_ns"),
         F.col("p.asInt").alias("value"),
+        F.coalesce(F.col("p.flags"), F.lit(0)).alias("flags"),
     )
 
 
@@ -962,7 +968,7 @@ SUM_METRICS_OTLP_SCHEMA = (
     "metrics:array<struct<name:string,"
     "sum:struct<aggregationTemporality:string,isMonotonic:boolean,"
     "dataPoints:array<struct<timeUnixNano:bigint,asInt:bigint,"
-    "attributes:map<string,string>>>>>>>>>"
+    "attributes:map<string,string>,flags:int>>>>>>>>"
 )
 
 
@@ -1013,6 +1019,7 @@ def flatten_sum_metrics_from_otlp(
         F.col("p.asInt").alias("value"),
         "temporality",
         "is_monotonic",
+        F.coalesce(F.col("p.flags"), F.lit(0)).alias("flags"),
     )
 
 

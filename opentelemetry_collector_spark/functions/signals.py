@@ -109,16 +109,41 @@ def _bucket_expr(v, bounds: tuple[int, ...]):
     return bucket.cast("int")
 
 
+def gap_series(
+    df: DataFrame,
+    value_col: str = "latency_ms",
+    series_keys: tuple[str, ...] = ("svc",),
+) -> DataFrame:
+    """Series (key groups) whose rows carry ZERO recorded values — the
+    groups a metrics producer marks with DataPointFlags.noRecordedValue
+    (pmetric/metric_data_point_flags.go) instead of dropping, so a
+    consumer can distinguish "no samples" from "series gone". One
+    map-side-combined agg over the series keys; the result cardinality
+    is bounded by the key space, never the row count."""
+    v = F.col(value_col)
+    return (
+        df.groupBy(*series_keys)
+        .agg(F.count(v).alias("_recorded"))
+        .filter(F.col("_recorded") == 0)
+        .drop("_recorded")
+    )
+
+
 def histogram_datapoints(
     df: DataFrame,
     value_col: str = "latency_ms",
     series_keys: tuple[str, ...] = ("svc",),
     bounds: tuple[int, ...] = DEFAULT_BOUNDS,
+    include_gap_series: bool = False,
 ) -> DataFrame:
     """Explicit-bounds histogram: bucket i = count(value ≤ bounds[i]),
-    overflow bucket last — the HistogramDataPoint contract."""
+    overflow bucket last — the HistogramDataPoint contract. With
+    include_gap_series, series with no recorded values survive as one
+    no-bucket row (NULL bucket_idx, zero count) that the envelope
+    marks noRecordedValue."""
     v = F.col(value_col)
-    return (
+    vtype = df.schema[value_col].dataType
+    out = (
         df.filter(v.isNotNull())
         .withColumn("bucket_idx", _bucket_expr(v, bounds))
         .groupBy(*series_keys, "bucket_idx")
@@ -129,6 +154,17 @@ def histogram_datapoints(
             F.max(v).alias("value_max"),
         )
     )
+    if include_gap_series:
+        gaps = gap_series(df, value_col, series_keys).select(
+            *series_keys,
+            F.lit(None).cast("int").alias("bucket_idx"),
+            F.lit(0).cast("long").alias("bucket_count"),
+            F.lit(None).cast("long").alias("value_sum"),
+            F.lit(None).cast(vtype).alias("value_min"),
+            F.lit(None).cast(vtype).alias("value_max"),
+        )
+        out = out.unionByName(gaps)
+    return out
 
 
 def histogram_datapoints_with_exemplars(
@@ -177,6 +213,7 @@ def exp_histogram_datapoints(
     df: DataFrame,
     value_col: str = "latency_ms",
     series_keys: tuple[str, ...] = ("svc",),
+    include_gap_series: bool = False,
 ) -> DataFrame:
     """Scale-0 exponential histogram, OTel bucket contract: buckets are
     lower-EXCLUSIVE / upper-INCLUSIVE, index = ceil(log2(v)) - 1 (the
@@ -185,12 +222,20 @@ def exp_histogram_datapoints(
     are the separate zerocount bucket."""
     v = F.col(value_col)
     idx = (F.ceil(F.log2(v)) - 1).cast("int")
-    return (
+    out = (
         df.filter(v.isNotNull())
         .withColumn("bucket_idx", F.when(v > 0, idx).otherwise(F.lit(None)))
         .groupBy(*series_keys, "bucket_idx")
         .agg(F.count(F.lit(1)).alias("bucket_count"))
     )
+    if include_gap_series:
+        gaps = gap_series(df, value_col, series_keys).select(
+            *series_keys,
+            F.lit(None).cast("int").alias("bucket_idx"),
+            F.lit(0).cast("long").alias("bucket_count"),
+        )
+        out = out.unionByName(gaps)
+    return out
 
 
 def summary_datapoints(
@@ -198,17 +243,26 @@ def summary_datapoints(
     value_col: str = "latency_ms",
     series_keys: tuple[str, ...] = ("svc",),
     quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    include_gap_series: bool = False,
 ) -> DataFrame:
-    """SummaryDataPoint: exact interpolated quantiles per series."""
+    """SummaryDataPoint: exact interpolated quantiles per series. With
+    include_gap_series, no-recorded-value series survive as one
+    zero-count row (NULL sum/quantiles) for the noRecordedValue path."""
     v = F.col(value_col)
     aggs = [F.count(F.lit(1)).alias("n"), F.sum(v).cast("long").alias("value_sum")]
-    for q in quantiles:
-        aggs.append(
-            F.round(F.expr(f"percentile({value_col}, {q})"), 4).alias(
-                f"q{str(q).replace('0.', '')}"
-            )
+    qnames = [f"q{str(q).replace('0.', '')}" for q in quantiles]
+    for q, qn in zip(quantiles, qnames):
+        aggs.append(F.round(F.expr(f"percentile({value_col}, {q})"), 4).alias(qn))
+    out = df.filter(v.isNotNull()).groupBy(*series_keys).agg(*aggs)
+    if include_gap_series:
+        gaps = gap_series(df, value_col, series_keys).select(
+            *series_keys,
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("value_sum"),
+            *[F.lit(None).cast("double").alias(qn) for qn in qnames],
         )
-    return df.filter(v.isNotNull()).groupBy(*series_keys).agg(*aggs)
+        out = out.unionByName(gaps)
+    return out
 
 
 # ----------------------------------------------------------- traces

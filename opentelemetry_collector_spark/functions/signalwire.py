@@ -211,6 +211,7 @@ def encode_number_point(
     as_int: int | None = None,
     as_double: float | None = None,
     exemplars: list[bytes] | None = None,
+    flags: int = 0,
 ) -> bytes:
     out = bytearray()
     if start_ns:
@@ -224,12 +225,14 @@ def encode_number_point(
         out += _len_delim(5, ex)
     for k, v in attrs:
         out += _len_delim(7, _str_attr(k, v))
+    if flags:  # field 8 varint (generated_proto_numberdatapoint.go 0x40)
+        out += _varint_field(8, flags)
     return bytes(out)
 
 
 def decode_number_point(buf: bytes) -> dict:
     rec: dict = {"attributes": {}, "as_int": None, "as_double": None,
-                 "start_ns": 0, "ts_ns": 0, "exemplars": []}
+                 "start_ns": 0, "ts_ns": 0, "exemplars": [], "flags": 0}
     attr_bufs = []
     for f, _w, val in _fields(buf):
         if f == 2:
@@ -244,6 +247,8 @@ def decode_number_point(buf: bytes) -> dict:
             rec["as_int"] = val
         elif f == 7:
             attr_bufs.append(val)
+        elif f == 8:
+            rec["flags"] = val
     rec["attributes"] = _decode_attrs(attr_bufs)
     return rec
 
@@ -261,6 +266,7 @@ def encode_histogram_point(
     value_min: float | None = None,
     value_max: float | None = None,
     exemplars: list[bytes] | None = None,
+    flags: int = 0,
 ) -> bytes:
     out = bytearray()
     if start_ns:
@@ -275,6 +281,8 @@ def encode_histogram_point(
         out += _len_delim(8, ex)
     for k, v in attrs:
         out += _len_delim(9, _str_attr(k, v))
+    if flags:  # field 10 varint (generated_proto_histogramdatapoint.go 0x50)
+        out += _varint_field(10, flags)
     if value_min is not None:
         out += _double_field(11, value_min)
     if value_max is not None:
@@ -287,6 +295,7 @@ def decode_histogram_point(buf: bytes) -> dict:
         "attributes": {}, "start_ns": 0, "ts_ns": 0, "count": 0,
         "sum": None, "min": None, "max": None,
         "bucket_counts": [], "explicit_bounds": [], "exemplars": [],
+        "flags": 0,
     }
     attr_bufs = []
     for f, _w, val in _fields(buf):
@@ -306,6 +315,8 @@ def decode_histogram_point(buf: bytes) -> dict:
             rec["exemplars"].append(decode_exemplar(val))
         elif f == 9:
             attr_bufs.append(val)
+        elif f == 10:
+            rec["flags"] = val
         elif f == 11:
             rec["min"] = _decode_double(val)
         elif f == 12:
@@ -325,6 +336,7 @@ def encode_exp_histogram_point(
     zero_count: int,
     positive_offset: int,
     positive_counts: list[int],
+    flags: int = 0,
 ) -> bytes:
     out = bytearray()
     for k, v in attrs:
@@ -337,6 +349,8 @@ def encode_exp_histogram_point(
     out += _fixed64(7, zero_count)
     buckets = _sint_field(1, positive_offset) + _packed_varints(2, positive_counts)
     out += _len_delim(8, buckets)
+    if flags:  # field 10 varint (generated_proto_exponentialhistogramdatapoint.go)
+        out += _varint_field(10, flags)
     return bytes(out)
 
 
@@ -344,7 +358,7 @@ def decode_exp_histogram_point(buf: bytes) -> dict:
     rec: dict = {
         "attributes": {}, "start_ns": 0, "ts_ns": 0, "count": 0,
         "scale": 0, "zero_count": 0, "positive_offset": 0,
-        "positive_counts": [],
+        "positive_counts": [], "flags": 0,
     }
     attr_bufs = []
     for f, w, val in _fields(buf):
@@ -366,6 +380,8 @@ def decode_exp_histogram_point(buf: bytes) -> dict:
                     rec["positive_offset"] = _unzigzag(v2)
                 elif f2 == 2:
                     rec["positive_counts"] = _unpack_varints(v2)
+        elif f == 10:
+            rec["flags"] = val
     rec["attributes"] = _decode_attrs(attr_bufs)
     return rec
 
@@ -379,6 +395,7 @@ def encode_summary_point(
     count: int,
     value_sum: float,
     quantiles: list[tuple[float, float]],
+    flags: int = 0,
 ) -> bytes:
     out = bytearray()
     if start_ns:
@@ -390,13 +407,15 @@ def encode_summary_point(
         out += _len_delim(6, _double_field(1, q) + _double_field(2, v))
     for k, v in attrs:
         out += _len_delim(7, _str_attr(k, v))
+    if flags:  # field 8 varint (generated_proto_summarydatapoint.go 0x40)
+        out += _varint_field(8, flags)
     return bytes(out)
 
 
 def decode_summary_point(buf: bytes) -> dict:
     rec: dict = {
         "attributes": {}, "start_ns": 0, "ts_ns": 0, "count": 0,
-        "sum": 0.0, "quantiles": [],
+        "sum": 0.0, "quantiles": [], "flags": 0,
     }
     attr_bufs = []
     for f, _w, val in _fields(buf):
@@ -418,6 +437,8 @@ def decode_summary_point(buf: bytes) -> dict:
             rec["quantiles"].append((q, v))
         elif f == 7:
             attr_bufs.append(val)
+        elif f == 8:
+            rec["flags"] = val
     rec["attributes"] = _decode_attrs(attr_bufs)
     return rec
 
@@ -873,7 +894,8 @@ def decode_spans(df: DataFrame) -> DataFrame:
 
 NUMBER_PROTO_SCHEMA = "conv_id string, turn_idx int, proto binary, proto_bytes long"
 NUMBER_ROUNDTRIP_SCHEMA = (
-    "conv_id string, turn_idx int, svc string, ts_ns long, value long"
+    "conv_id string, turn_idx int, svc string, ts_ns long, value long, "
+    "flags int"
 )
 
 
@@ -929,12 +951,31 @@ def _encode_number_batch(pdf: pd.DataFrame) -> list[bytes]:
             )
         return got
 
+    # DataPointFlags (field 8 varint) — optional column, memoized; the
+    # flagged rows are the rare gap points so the memo stays tiny
+    if "flags" in pdf.columns:
+        flags_np = pdf["flags"].to_numpy(dtype=object)
+        flags_memo: dict = {}
+
+        def flags_field(i) -> bytes:
+            v = flags_np[i]
+            got = flags_memo.get(v)
+            if got is None:
+                fn = int(v) if pd.notna(v) else 0
+                got = flags_memo[v] = _varint_field(8, fn) if fn else b""
+            return got
+    else:
+
+        def flags_field(i) -> bytes:
+            return b""
+
     out: list[bytes] = []
     for i, s in enumerate(pdf["svc"]):
         val = b"" if null_mask[i] else _NUM_VAL_TAG + vbuf[i * 8 : i * 8 + 8]
         out.append(
             b"".join(
-                (_NUM_TS_TAG, tsbuf[i * 8 : i * 8 + 8], val, svc_field(s))
+                (_NUM_TS_TAG, tsbuf[i * 8 : i * 8 + 8], val, svc_field(s),
+                 flags_field(i))
             )
         )
     return out
@@ -970,22 +1011,26 @@ def encode_number_points(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, NUMBER_PROTO_SCHEMA)
 
 
-def _decode_number_batch(protos) -> tuple[list, list, list]:
-    """(svc, ts_ns, value) per record. Fast path: records emitted by
-    _encode_number_batch have the fixed layout [ts tag+8][val tag+8]
-    [svc attr bytes] — parsed by slicing, with the low-cardinality svc
-    suffix memoized bytes→string; anything else falls back to the
-    generic wire parser (parity pinned by test)."""
+def _decode_number_batch(protos) -> tuple[list, list, list, list]:
+    """(svc, ts_ns, value, flags) per record. Fast path: records
+    emitted by _encode_number_batch have the fixed layout [ts tag+8]
+    [val tag+8][svc attr bytes][flags varint] — parsed by slicing,
+    with the low-cardinality suffix memoized bytes→(svc, flags);
+    anything else falls back to the generic wire parser (parity pinned
+    by test)."""
     # memo value: ("ok", svc) when the suffix is PURE field-7
     # attributes (the canonical layout this codec emits), else
     # ("foreign", None) → the row takes the generic parser. Without
     # the full-layout validation a legal protobuf with non-canonical
     # field order (e.g. attributes before as_int) would silently lose
     # its value field (r4 review finding).
-    suffix_memo: dict[bytes, tuple[str, str | None]] = {b"": ("ok", None)}
+    suffix_memo: dict[bytes, tuple[str, str | None, int]] = {
+        b"": ("ok", None, 0)
+    }
     svcs: list = []
     tss: list = []
     vals: list = []
+    flgs: list = []
     for p in protos:
         buf = bytes(p)
         fast = buf[:1] == _NUM_TS_TAG
@@ -1001,30 +1046,45 @@ def _decode_number_batch(protos) -> tuple[list, list, list]:
             if got is None:
                 try:
                     fields = list(_fields(rest))
-                    if all(fnum == 7 for fnum, _w, _v in fields):
-                        got = ("ok", _decode_attrs([v for _f, _w, v in fields]).get("svc"))
+                    # canonical layout: field-7 attrs, then at most ONE
+                    # trailing field-8 flags varint
+                    attr_fields = [x for x in fields if x[0] == 7]
+                    flag_fields = [x for x in fields if x[0] == 8]
+                    canonical = (
+                        len(attr_fields) + len(flag_fields) == len(fields)
+                        and len(flag_fields) <= 1
+                        and all(f == 7 for f, _w, _v in fields[: len(attr_fields)])
+                    )
+                    if canonical:
+                        got = (
+                            "ok",
+                            _decode_attrs([v for _f, _w, v in attr_fields]).get("svc"),
+                            int(flag_fields[0][2]) if flag_fields else 0,
+                        )
                     else:
-                        got = ("foreign", None)
+                        got = ("foreign", None, 0)
                 except Exception:  # noqa: BLE001 — malformed suffix: generic path decides
-                    got = ("foreign", None)
+                    got = ("foreign", None, 0)
                 suffix_memo[rest] = got
             if got[0] == "ok":
                 svcs.append(got[1])
                 tss.append(ts)
                 vals.append(val)
+                flgs.append(got[2])
                 continue
         # foreign record shape (or non-attr suffix): full wire parse
         rec = decode_number_point(buf)
         svcs.append(rec["attributes"].get("svc"))
         tss.append(rec["ts_ns"])
         vals.append(rec["as_int"])
-    return svcs, tss, vals
+        flgs.append(rec["flags"])
+    return svcs, tss, vals, flgs
 
 
 def decode_number_points(df: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            svcs, tss, vals = _decode_number_batch(pdf["proto"])
+            svcs, tss, vals, flgs = _decode_number_batch(pdf["proto"])
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
@@ -1032,6 +1092,7 @@ def decode_number_points(df: DataFrame) -> DataFrame:
                     "svc": svcs,
                     "ts_ns": tss,
                     "value": pd.array(vals, dtype="Int64"),
+                    "flags": flgs,
                 }
             )
 

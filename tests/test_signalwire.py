@@ -27,7 +27,7 @@ def test_number_point_golden_bytes():
     )
     assert W.decode_number_point(got) == {
         "attributes": {"svc": "api"}, "as_int": 7, "as_double": None,
-        "start_ns": 0, "ts_ns": 5, "exemplars": [],
+        "start_ns": 0, "ts_ns": 5, "exemplars": [], "flags": 0,
     }
 
 
@@ -274,13 +274,18 @@ def test_fast_decode_matches_generic_parser():
         W.encode_number_point([("svc", "auth")], 0, 1, as_int=-3),
         # foreign shape: start_time first → not the fast-path prefix
         W.encode_number_point([("svc", "x")], 4, 5, as_int=1),
+        # flagged gap point (no value, noRecordedValue) — fast path
+        W.encode_number_point([("svc", "api")], 0, 5, flags=1),
+        # flagged, no attrs — suffix is the bare flags varint
+        W.encode_number_point([], 0, 5, flags=1),
     ]
-    svcs, tss, vals = W._decode_number_batch(recs)
+    svcs, tss, vals, flgs = W._decode_number_batch(recs)
     for i, buf in enumerate(recs):
         rec = W.decode_number_point(buf)
         assert svcs[i] == rec["attributes"].get("svc"), i
         assert tss[i] == rec["ts_ns"], i
         assert vals[i] == rec["as_int"], i
+        assert flgs[i] == rec["flags"], i
 
 
 def test_fast_decode_rejects_noncanonical_layout():
@@ -300,7 +305,7 @@ def test_fast_decode_rejects_noncanonical_layout():
     )
     # [ts][as_int][ts2] — duplicate ts after the value
     dup_ts = _fixed64(3, 1) + _fixed64(6, 7) + _fixed64(3, 9)
-    svcs, tss, vals = W._decode_number_batch([weird, dup_ts])
+    svcs, tss, vals, _flgs = W._decode_number_batch([weird, dup_ts])
     assert (svcs[0], tss[0], vals[0]) == ("api", 5, 42)
     ref = W.decode_number_point(dup_ts)
     assert (tss[1], vals[1]) == (ref["ts_ns"], ref["as_int"])
@@ -562,3 +567,23 @@ def test_rich_spans_multi_event_multi_link_roundtrip(spark, sf_dir):
     ).first()
     assert counts["two_ev"] > 0 and counts["two_lk"] > 0
     assert counts["ts"] > 0 and counts["sm"] > 0
+
+
+def test_datapoint_flags_golden_bytes_all_branches():
+    """DataPointFlags (pmetric/metric_data_point_flags.go — bit 0 =
+    noRecordedValue): varint field 8 on Number/Summary (tag 0x40), 10
+    on Histogram/ExpHistogram (tag 0x50); zero omitted (pinned by the
+    flag-less golden tests above). Each branch round-trips flags=1."""
+    n = W.encode_number_point([], 0, 1, flags=1)
+    assert n.hex().endswith("4001") and W.decode_number_point(n)["flags"] == 1
+    h = W.encode_histogram_point([], 0, 1, count=0, bucket_counts=[],
+                                 explicit_bounds=[], flags=1)
+    assert h.hex().endswith("5001") and W.decode_histogram_point(h)["flags"] == 1
+    e = W.encode_exp_histogram_point([], 0, 1, count=0, scale=0,
+                                     zero_count=0, positive_offset=0,
+                                     positive_counts=[], flags=1)
+    assert e.hex().endswith("5001")
+    assert W.decode_exp_histogram_point(e)["flags"] == 1
+    s = W.encode_summary_point([], 0, 1, count=0, value_sum=0.0,
+                               quantiles=[], flags=1)
+    assert s.hex().endswith("4001") and W.decode_summary_point(s)["flags"] == 1
