@@ -666,11 +666,13 @@ def _q_metrics_histogram_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram branch of the pmetric OTLP/JSON envelope: per-svc
     HistogramDataPoints (complete bucketCounts vector, svc-level
     count/sum/min/max, explicitBounds) → documents → flattened back to
-    sparse per-bucket rows."""
+    sparse per-bucket rows. The all-NULL-latency series (quarantined
+    turns: svc NULL) survives as a noRecordedValue datapoint —
+    DataPointFlags bit 0 (pmetric/number_data_point_flags.go)."""
     from opentelemetry_collector_spark.functions import pdata, signals
 
     parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
-    dps = signals.histogram_datapoints(parsed)
+    dps = signals.histogram_datapoints(parsed, include_gap_series=True)
     nested = pdata.nest_histogram_metrics_to_otlp(dps, signals.DEFAULT_BOUNDS)
     return pdata.flatten_histogram_metrics_from_otlp(nested)
 
@@ -739,11 +741,12 @@ def _q_metrics_sum_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_metrics_exp_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExponentialHistogram branch of the envelope: scale-0 buckets →
     one document per svc (positive.offset + dense bucketCounts with
-    zero slots, zeroCount, count) → flattened back to sparse rows."""
+    zero slots, zeroCount, count) → flattened back to sparse rows.
+    Gap series → noRecordedValue datapoint (flags bit 0)."""
     from opentelemetry_collector_spark.functions import pdata, signals
 
     parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
-    dps = signals.exp_histogram_datapoints(parsed)
+    dps = signals.exp_histogram_datapoints(parsed, include_gap_series=True)
     return pdata.flatten_exp_histogram_metrics_from_otlp(
         pdata.nest_exp_histogram_metrics_to_otlp(dps)
     )
@@ -752,11 +755,12 @@ def _q_metrics_exp_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_metrics_summary_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary branch of the envelope: per-svc count/sum +
     quantileValues (0.5/0.9/0.99) → documents → flattened back,
-    quantiles matched by value not position."""
+    quantiles matched by value not position. Gap series →
+    noRecordedValue datapoint (count 0, sum/quantiles omitted)."""
     from opentelemetry_collector_spark.functions import pdata, signals
 
     parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
-    dps = signals.summary_datapoints(parsed)
+    dps = signals.summary_datapoints(parsed, include_gap_series=True)
     return pdata.flatten_summary_metrics_from_otlp(
         pdata.nest_summary_metrics_to_otlp(dps)
     )
@@ -1660,8 +1664,18 @@ def oracle_sql() -> dict[str, str]:
                    min(min_b) AS value_min, max(max_b) AS value_max
                   FROM b GROUP BY 1)
             SELECT b.svc, b.bucket_idx, b.bucket_count, s.count,
-                   s.value_sum, s.value_min, s.value_max
-            FROM b JOIN s ON b.svc IS NOT DISTINCT FROM s.svc""",
+                   s.value_sum, s.value_min, s.value_max,
+                   cast(0 AS int) AS flags
+            FROM b JOIN s ON b.svc IS NOT DISTINCT FROM s.svc
+            UNION ALL
+            SELECT svc, cast(NULL AS int) AS bucket_idx,
+                   cast(0 AS bigint) AS bucket_count,
+                   cast(0 AS bigint) AS count,
+                   cast(NULL AS bigint) AS value_sum,
+                   cast(NULL AS bigint) AS value_min,
+                   cast(NULL AS bigint) AS value_max,
+                   cast(1 AS int) AS flags
+            FROM parsed GROUP BY svc HAVING count(latency_ms) = 0""",
         "metrics_exemplars": f"""{_parsed_cte()},
             bucketed AS (SELECT svc,
                    cast(CASE WHEN latency_ms <= 10 THEN 0
@@ -1705,15 +1719,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(CASE WHEN latency_ms > 0
                         THEN ceil(log2(latency_ms)) - 1
                         END AS int) AS bucket_idx,
-                   cast(count(*) AS bigint) AS bucket_count
-            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1, 2""",
+                   cast(count(*) AS bigint) AS bucket_count,
+                   cast(0 AS int) AS flags
+            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1, 2
+            UNION ALL
+            SELECT svc, cast(NULL AS int) AS bucket_idx,
+                   cast(0 AS bigint) AS bucket_count,
+                   cast(1 AS int) AS flags
+            FROM parsed GROUP BY svc HAVING count(latency_ms) = 0""",
         "metrics_summary_otlp": f"""{_parsed_cte()}
             SELECT svc, cast(count(*) AS bigint) AS n,
                    cast(sum(latency_ms) AS bigint) AS value_sum,
                    round(quantile_cont(latency_ms, 0.5), 4) AS q5,
                    round(quantile_cont(latency_ms, 0.9), 4) AS q9,
-                   round(quantile_cont(latency_ms, 0.99), 4) AS q99
-            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1""",
+                   round(quantile_cont(latency_ms, 0.99), 4) AS q99,
+                   cast(0 AS int) AS flags
+            FROM parsed WHERE latency_ms IS NOT NULL GROUP BY 1
+            UNION ALL
+            SELECT svc, cast(0 AS bigint) AS n,
+                   cast(NULL AS bigint) AS value_sum,
+                   cast(NULL AS double) AS q5,
+                   cast(NULL AS double) AS q9,
+                   cast(NULL AS double) AS q99,
+                   cast(1 AS int) AS flags
+            FROM parsed GROUP BY svc HAVING count(latency_ms) = 0""",
         "logs_anyvalue_otlp": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, svc,
                    cast(latency_ms AS BIGINT) AS latency_ms,

@@ -728,8 +728,11 @@ def _bucket_vector_exprs(bounds: tuple[int, ...]):
     INSIDE a retained output expression — a standalone assert column
     gets pruned by Catalyst and never runs."""
     n_buckets = len(bounds) + 1
+    # NULL _maxb = a gap series (zero recorded values, noRecordedValue
+    # datapoint): no buckets to range-check, count is the genuine 0
     guarded_count = F.when(
-        (F.col("_maxb") <= n_buckets - 1) & (F.col("_minb") >= 0),
+        F.col("_maxb").isNull()
+        | ((F.col("_maxb") <= n_buckets - 1) & (F.col("_minb") >= 0)),
         F.col("_count"),
     ).otherwise(
         F.raise_error(
@@ -759,7 +762,7 @@ HIST_METRICS_OTLP_SCHEMA = (
     "histogram:struct<aggregationTemporality:string,"
     "dataPoints:array<struct<count:bigint,sum:bigint,min:bigint,"
     "max:bigint,bucketCounts:array<bigint>,"
-    "explicitBounds:array<bigint>>>>>>>>>"
+    "explicitBounds:array<bigint>,flags:int>>>>>>>>"
 )
 
 
@@ -775,8 +778,15 @@ def nest_histogram_metrics_to_otlp(
     count/sum/min/max aggregated from the per-bucket rows, and the
     explicitBounds list (pdata/pmetric/json.go Histogram branch)."""
     per_svc = hist_dps.groupBy("svc").agg(
+        # gap-series rows (NULL bucket_idx) can't be map keys —
+        # collect_list drops the NULLed-out entry wholesale
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("bucket_idx"), F.col("bucket_count")))
+            F.collect_list(
+                F.when(
+                    F.col("bucket_idx").isNotNull(),
+                    F.struct(F.col("bucket_idx"), F.col("bucket_count")),
+                )
+            )
         ).alias("_bc"),
         F.sum("bucket_count").alias("_count"),
         F.sum("value_sum").alias("_sum"),
@@ -793,6 +803,9 @@ def nest_histogram_metrics_to_otlp(
         F.col("_max").cast("long").alias("max"),
         full_counts.alias("bucketCounts"),
         explicit_bounds.alias("explicitBounds"),
+        # DataPointFlags.noRecordedValue (number_data_point_flags.go):
+        # a series with zero recorded values; omitted (NULL) otherwise
+        F.when(F.col("_count") == 0, F.lit(1)).alias("flags"),
     )
     return per_svc.select(
         F.col("svc"),
@@ -819,7 +832,10 @@ def flatten_histogram_metrics_from_otlp(
     """Inverse: documents → per (svc, bucket_idx) rows with the
     svc-level count/sum/min/max carried on every row (empty buckets —
     zero count — are dropped, matching histogram_datapoints' sparse
-    row form)."""
+    row form). A noRecordedValue datapoint (flags bit 0, all-zero
+    vector) survives as ONE row with NULL bucket_idx and zero counts —
+    dropping it would erase exactly the gap marker the flag exists to
+    carry (pmetric/number_data_point_flags.go)."""
     m = _explode_to_metrics(nested, HIST_METRICS_OTLP_SCHEMA, json_col)
     dp = m.select(
         F.col("_svc").alias("svc"), F.explode("m.histogram.dataPoints").alias("p")
@@ -830,12 +846,24 @@ def flatten_histogram_metrics_from_otlp(
         F.col("p.sum").alias("value_sum"),
         F.col("p.min").alias("value_min"),
         F.col("p.max").alias("value_max"),
+        F.coalesce(F.col("p.flags"), F.lit(0)).alias("flags"),
         F.posexplode(F.col("p.bucketCounts")).alias("bucket_idx", "bucket_count"),
     )
-    return rows.filter(F.col("bucket_count") > 0).select(
+    recorded = rows.filter(F.col("bucket_count") > 0).select(
         "svc", "bucket_idx", "bucket_count", "count",
-        "value_sum", "value_min", "value_max",
+        "value_sum", "value_min", "value_max", "flags",
     )
+    gaps = dp.filter(F.coalesce(F.col("p.flags"), F.lit(0)) == 1).select(
+        "svc",
+        F.lit(None).cast("int").alias("bucket_idx"),
+        F.lit(0).cast("long").alias("bucket_count"),
+        F.col("p.count").alias("count"),
+        F.col("p.sum").alias("value_sum"),
+        F.col("p.min").alias("value_min"),
+        F.col("p.max").alias("value_max"),
+        F.col("p.flags").alias("flags"),
+    )
+    return recorded.unionByName(gaps)
 
 
 HIST_EXEMPLAR_OTLP_SCHEMA = (
@@ -1029,7 +1057,8 @@ EXP_METRICS_OTLP_SCHEMA = (
     "metrics:array<struct<name:string,"
     "exponentialHistogram:struct<aggregationTemporality:string,"
     "dataPoints:array<struct<count:bigint,scale:int,zeroCount:bigint,"
-    "positive:struct<offset:int,bucketCounts:array<bigint>>>>>>>>>>"
+    "positive:struct<offset:int,bucketCounts:array<bigint>>,"
+    "flags:int>>>>>>>>"
 )
 
 
@@ -1080,6 +1109,9 @@ def nest_exp_histogram_metrics_to_otlp(
             F.coalesce(F.col("_lo"), F.lit(0)).alias("offset"),
             dense.alias("bucketCounts"),
         ).alias("positive"),
+        # noRecordedValue: zero recorded values in the series (a gap
+        # row contributes bucket_count 0, so _count stays 0)
+        F.when(F.col("_count") == 0, F.lit(1)).alias("flags"),
     )
     return per_svc.select(
         F.col("svc"),
@@ -1105,27 +1137,40 @@ def flatten_exp_histogram_metrics_from_otlp(
 ) -> DataFrame:
     """Inverse: documents → sparse (svc, bucket_idx, bucket_count)
     rows (zero slots dropped; zeroCount>0 restores the NULL-idx
-    row), matching exp_histogram_datapoints' form."""
+    row), matching exp_histogram_datapoints' form. A noRecordedValue
+    datapoint (flags bit 0) survives as one zero-count NULL-idx row —
+    distinguishable from a genuine zero bucket by bucket_count 0 +
+    flags 1."""
     m = _explode_to_metrics(nested, EXP_METRICS_OTLP_SCHEMA, json_col)
     dp = m.select(
         F.col("_svc").alias("svc"),
         F.explode("m.exponentialHistogram.dataPoints").alias("p"),
     )
+    flags = F.coalesce(F.col("p.flags"), F.lit(0))
     pos = dp.select(
         "svc",
         F.col("p.positive.offset").alias("_off"),
+        flags.alias("flags"),
         F.posexplode(F.col("p.positive.bucketCounts")).alias("_i", "bucket_count"),
     ).select(
         "svc",
         (F.col("_off") + F.col("_i")).cast("int").alias("bucket_idx"),
         F.col("bucket_count"),
+        F.col("flags"),
     ).filter(F.col("bucket_count") > 0)
     zero = dp.filter(F.col("p.zeroCount") > 0).select(
         "svc",
         F.lit(None).cast("int").alias("bucket_idx"),
         F.col("p.zeroCount").alias("bucket_count"),
+        flags.alias("flags"),
     )
-    return pos.unionByName(zero)
+    gaps = dp.filter(flags == 1).select(
+        "svc",
+        F.lit(None).cast("int").alias("bucket_idx"),
+        F.lit(0).cast("long").alias("bucket_count"),
+        flags.alias("flags"),
+    )
+    return pos.unionByName(zero).unionByName(gaps)
 
 
 SUMMARY_METRICS_OTLP_SCHEMA = (
@@ -1133,7 +1178,8 @@ SUMMARY_METRICS_OTLP_SCHEMA = (
     "scopeMetrics:array<struct<scope:struct<name:string>,"
     "metrics:array<struct<name:string,"
     "summary:struct<dataPoints:array<struct<count:bigint,sum:bigint,"
-    "quantileValues:array<struct<quantile:double,value:double>>>>>>>>>>"
+    "quantileValues:array<struct<quantile:double,value:double>>,"
+    "flags:int>>>>>>>>"
 )
 
 SUMMARY_QUANTILES = (0.5, 0.9, 0.99)
@@ -1161,6 +1207,9 @@ def nest_summary_metrics_to_otlp(
         F.col("n").cast("long").alias("count"),
         F.col("value_sum").cast("long").alias("sum"),
         qv.alias("quantileValues"),
+        # noRecordedValue for the zero-observation series; NULL sum and
+        # NULL quantile values are omitted by the JSON writer alongside
+        F.when(F.col("n") == 0, F.lit(1)).alias("flags"),
     )
     return summary_dps.select(
         F.col("svc"),
@@ -1190,6 +1239,7 @@ def flatten_summary_metrics_from_otlp(
     cols = [
         F.col("p.count").alias("n"),
         F.col("p.sum").alias("value_sum"),
+        F.coalesce(F.col("p.flags"), F.lit(0)).alias("flags"),
     ]
     for q in quantiles:
         cols.append(

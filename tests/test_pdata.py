@@ -364,3 +364,64 @@ def test_anyvalue_flatten_tolerates_duplicate_and_null_keys(spark):
     nested = spark.createDataFrame([(doc,)], "otlp_json string")
     row = pdata.flatten_attrs_anyvalue_from_otlp(nested).collect()[0]
     assert row["svc"] == "first"  # first occurrence wins, no throw
+
+
+def test_gap_series_norecordedvalue_all_three_aggregate_branches(spark):
+    """DataPointFlags.noRecordedValue through the aggregate envelopes
+    (pmetric/number_data_point_flags.go bit 0): a series with ZERO
+    recorded values must survive nest→flatten as a flags=1 datapoint —
+    count 0, value oneofs omitted — not vanish. The recorded series on
+    the same frame must come back flags=0."""
+    import json
+
+    from opentelemetry_collector_spark.functions import signals
+
+    rows = [
+        ("c1", 0, "2025-01-01 00:00:00", "api", 7),
+        ("c1", 1, "2025-01-01 00:00:01", "api", 120),
+        # the gap series: every row NULL
+        ("c2", 0, "2025-01-01 00:00:02", None, None),
+        ("c2", 1, "2025-01-01 00:00:03", None, None),
+    ]
+    parsed = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, ts string, svc string, latency_ms long",
+    )
+
+    # histogram
+    dps = signals.histogram_datapoints(parsed, include_gap_series=True)
+    nested = pdata.nest_histogram_metrics_to_otlp(dps, bounds=(10, 100))
+    docs = {}
+    for r in nested.collect():
+        d = json.loads(r["otlp_json"])
+        dp = d["scopeMetrics"][0]["metrics"][0]["histogram"]["dataPoints"][0]
+        docs[r["svc"]] = dp
+    assert docs[None]["flags"] == 1 and docs[None]["count"] == 0
+    assert docs[None]["bucketCounts"] == [0, 0, 0]
+    assert "sum" not in docs[None] and "min" not in docs[None]
+    assert "flags" not in docs["api"] and docs["api"]["count"] == 2
+    back = pdata.flatten_histogram_metrics_from_otlp(nested).collect()
+    gap = [r for r in back if r["flags"] == 1]
+    assert len(gap) == 1 and gap[0]["svc"] is None
+    assert gap[0]["bucket_idx"] is None and gap[0]["bucket_count"] == 0
+    assert all(r["svc"] == "api" for r in back if r["flags"] == 0)
+
+    # exponential histogram
+    edps = signals.exp_histogram_datapoints(parsed, include_gap_series=True)
+    enested = pdata.nest_exp_histogram_metrics_to_otlp(edps)
+    eback = pdata.flatten_exp_histogram_metrics_from_otlp(enested).collect()
+    egap = [r for r in eback if r["flags"] == 1]
+    assert len(egap) == 1 and egap[0]["svc"] is None
+    assert egap[0]["bucket_count"] == 0 and egap[0]["bucket_idx"] is None
+    assert sum(r["bucket_count"] for r in eback if r["flags"] == 0) == 2
+
+    # summary
+    sdps = signals.summary_datapoints(parsed, include_gap_series=True)
+    snested = pdata.nest_summary_metrics_to_otlp(sdps)
+    sback = pdata.flatten_summary_metrics_from_otlp(snested).collect()
+    sgap = [r for r in sback if r["flags"] == 1]
+    assert len(sgap) == 1 and sgap[0]["svc"] is None
+    assert sgap[0]["n"] == 0 and sgap[0]["value_sum"] is None
+    assert sgap[0]["q5"] is None
+    rec = [r for r in sback if r["flags"] == 0]
+    assert len(rec) == 1 and rec[0]["n"] == 2 and rec[0]["value_sum"] == 127
