@@ -26,6 +26,9 @@ from opentelemetry_collector_spark.operators import (
     route as route_mod,
 )
 from opentelemetry_collector_spark.functions import profiles as profiles_oracle
+from opentelemetry_collector_spark.functions import (
+    profiles_otlp as profiles_otlp_oracle,
+)
 from opentelemetry_collector_spark.functions import text as text_oracle
 from opentelemetry_collector_spark.operators import dedup as dedup_oracle
 from opentelemetry_collector_spark.operators import corpus as corpus_oracle
@@ -891,8 +894,8 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING on Spark: k rounds of vocab-table pair
     counting + argmax (functions/bpe.bpe_train — one corpus pass, then
     vocab-sized iterations). Iterative argmax is not SQL-expressible,
-    so this query is rows-only at the driver gate; its values are
-    pinned against the pure-Python reference in tests/test_bpe.py."""
+    so the oracle is a literal VALUES table from the pinned pure-Python
+    reference (_bpe_merges_oracle) — value-checked since r6."""
     from opentelemetry_collector_spark.functions import bpe
 
     docs = tables.read_table(spark, sf_dir, "documents")
@@ -1330,6 +1333,51 @@ def _q_profile_hot_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_mapping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MappingTable rollup (r6; generated_mapping.go:53-100,
+    generated_location.go MappingIndex): per-binary self/total CPU,
+    with the reserved unknown-mapping row (id 0) aggregating
+    unattributed frames."""
+    from opentelemetry_collector_spark.functions import profiles
+
+    t = profiles.read_profile_tables(spark)
+    return profiles.mapping_rollup(
+        t["samples"], t["stacks"], t["locations"], t["mappings"]
+    )
+
+
+def _q_profiles_otlp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiles OTLP/JSON envelope (r6; pdata/pprofile/json.go +
+    encoding.go): samples → one ResourceProfiles document per
+    profile_id (Profile header + dictionary-encoded Sample slice with
+    timestampsUnixNano / attributeIndices / linkIndex presence) →
+    flattened back to per-occurrence rows. Closes the envelope matrix:
+    all four signals now have the OTLP document form."""
+    from opentelemetry_collector_spark.functions import profiles, profiles_otlp
+
+    t = profiles.read_profile_tables(spark)
+    return profiles_otlp.flatten_profiles_from_otlp(
+        profiles_otlp.nest_profiles_to_otlp(t["samples"])
+    )
+
+
+def _q_profiles_dictionary_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProfilesDictionary OTLP/JSON document
+    (generated_profilesdictionary.go:52-85: string/function/location/
+    stack/link/attribute/mapping tables, reserved index-0 rows) →
+    symbolized per-location inverse: function name/filename and mapping
+    filename/memoryStart resolved back through the string table."""
+    from opentelemetry_collector_spark.functions import profiles, profiles_otlp
+
+    t = profiles.read_profile_tables(spark)
+    return profiles_otlp.flatten_dictionary_locations(
+        profiles_otlp.nest_dictionary_to_otlp(
+            t["functions"], t["locations"], t["stacks"],
+            t["links"], t["attributes"], t["mappings"],
+        )
+    )
+
+
 def _q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Obsreport counters derived from the routed frame
     (receiver/receiverhelper/obsreport.go:181-201 name scheme)."""
@@ -1411,6 +1459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_hot_functions": _q_profile_hot_functions,
         "profile_span_hotspots": _q_profile_span_hotspots,
         "profile_attr_units": _q_profile_attr_units,
+        "profile_mapping_rollup": _q_profile_mapping_rollup,
+        "profiles_otlp_json": _q_profiles_otlp_json,
+        "profiles_dictionary_otlp": _q_profiles_dictionary_otlp,
         "vocab_topk": _q_vocab_topk,
         "text_repetition": _q_text_repetition,
         "text_redact": _q_text_redact,
@@ -1444,6 +1495,25 @@ def _bpe_segment_oracle() -> str:
         SELECT doc_id, len({toks})::BIGINT AS n_bpe_tokens,
                array_to_string({toks}, ' ') AS tokens_str
         FROM documents"""
+
+
+def _bpe_merges_oracle() -> str:
+    """bpe_merges value-check (r6 — previously the gate's only
+    rows-only row): the iterative argmax itself is not SQL-expressible,
+    so the oracle is a literal VALUES table built at query-build time
+    from the PINNED pure-Python reference (functions/bpe.reference_bpe,
+    test-pinned equal to the Spark training path in tests/test_bpe.py).
+    The gate then hash-checks Spark's distributed training against the
+    reference's merges — same standard as every other query."""
+    merges = _bpe_merges_for(ORACLE_SF_DIR)
+    rows = ",\n               ".join(
+        f"({i}, '{l.replace(chr(39), chr(39) * 2)}', "
+        f"'{r.replace(chr(39), chr(39) * 2)}')"
+        for i, (l, r) in enumerate(merges)
+    )
+    return f"""
+        SELECT cast(rank AS int) AS rank, "left", "right"
+        FROM (VALUES {rows}) AS t(rank, "left", "right")"""
 
 
 def _parsedcte_sev() -> str:
@@ -1760,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": corpus_oracle.oracle_pack_sequences(),
         "corpus_pipeline": _corpus_pipeline_oracle(),
         "bpe_segment": _bpe_segment_oracle(),
+        "bpe_merges": _bpe_merges_oracle(),
         "neardup_components": dedup_oracle.oracle_neardup_components(
             dedup_oracle.oracle_neardup_pairs_lsh(0.5)
         ),
@@ -1855,6 +1926,11 @@ def oracle_sql() -> dict[str, str]:
         "profile_span_hotspots": profiles_oracle.oracle_span_hotspots(),
         "profile_attr_units": profiles_oracle.oracle_attr_units(),
         "profile_pprof_roundtrip": profiles_oracle.oracle_hot_functions_by_name(10),
+        "profile_mapping_rollup": profiles_oracle.oracle_mapping_rollup(),
+        "profiles_otlp_json": profiles_otlp_oracle.oracle_profiles_otlp(),
+        "profiles_dictionary_otlp": (
+            profiles_otlp_oracle.oracle_dictionary_locations()
+        ),
         "dedup_exact": dedup_oracle.oracle_exact_dedup("documents"),
         "dedup_normalized": dedup_oracle.oracle_normalized_dedup("documents"),
         "minhash_signatures": f"""

@@ -241,7 +241,7 @@ def ensure_versioned_tool_dim() -> str:
 # switched media image payloads from hash chains to real PNGs — an old
 # cache would silently exercise the stub path forever)
 MEDIA_GEN_VERSION = 5
-PROFILES_GEN_VERSION = 1
+PROFILES_GEN_VERSION = 2  # v2: + mappings table, locations.mapping_id
 
 
 def media_path() -> Path:
@@ -405,6 +405,7 @@ def ensure_profiles(
             "samples",
             "links",
             "attributes",
+            "mappings",
         )
     }
     if all(p.exists() for p in paths.values()):
@@ -513,6 +514,39 @@ def ensure_profiles(
             "attribute_ids": pa.array(attr_ids, type=pa.list_(pa.int32())),
         }
     )
+
+    # --- r6: MappingTable (generated_mapping.go:53-100 — the binary /
+    # build-id frame attribution a symbolization consumer needs).
+    # mapping_id 0 is the reserved "unknown mapping" row, mirroring the
+    # LinkTable convention (dictionary_helpers.go index-0 contract).
+    # New rng draws come AFTER every pre-existing stream so columns
+    # generated above keep byte-identical values across regeneration.
+    n_mappings = 6
+    mem_start = (0x400000 + np.arange(n_mappings, dtype=np.int64) * 0x1000000)
+    mem_len = (rng.randint(64, 4096, size=n_mappings).astype(np.int64)) * 4096
+    mappings = pa.table(
+        {
+            "mapping_id": np.arange(n_mappings + 1, dtype=np.int32),
+            "filename": pa.array(
+                [None] + [f"/usr/lib/libsvc{i}.so" for i in range(n_mappings)],
+                pa.string(),
+            ),
+            "memory_start": pa.array([0] + mem_start.tolist(), pa.int64()),
+            "memory_limit": pa.array(
+                [0] + (mem_start + mem_len).tolist(), pa.int64()
+            ),
+            "file_offset": pa.array(
+                [0] + (rng.randint(0, 64, size=n_mappings) * 4096).tolist(),
+                pa.int64(),
+            ),
+        }
+    )
+    # ~1/8 of locations keep the reserved unknown mapping (id 0) so the
+    # omit-on-zero presence edge in the envelope is non-vacuous
+    loc_mapping = rng.randint(0, n_mappings + 1, size=n_locations).astype(np.int32)
+    loc_mapping = np.where(rng.rand(n_locations) < 0.125, 0, loc_mapping)
+    locs = locs.append_column("mapping_id", pa.array(loc_mapping, pa.int32()))
+
     for name, tbl in (
         ("functions", funcs),
         ("locations", locs),
@@ -520,6 +554,7 @@ def ensure_profiles(
         ("samples", samples),
         ("links", links),
         ("attributes", attrs_tbl),
+        ("mappings", mappings),
     ):
         pq.write_table(tbl, paths[name], row_group_size=65536)
     return {t: str(p) for t, p in paths.items()}

@@ -349,3 +349,73 @@ def oracle_hot_functions_by_name(k: int = 10) -> str:
                cast(sum(value) AS bigint) AS total_ns
         FROM per_sf GROUP BY 1
         ORDER BY self_ns DESC, name LIMIT {k}"""
+
+
+def mapping_rollup(
+    samples: DataFrame,
+    stacks: DataFrame,
+    locations: DataFrame,
+    mappings: DataFrame,
+) -> DataFrame:
+    """Per-binary hotspot attribution through the pprofile MappingTable
+    (generated_mapping.go:53-100 — memory range + filename;
+    generated_location.go MappingIndex): per mapping,
+      - self_ns:  Σ sample.value where the mapping owns the LEAF frame
+      - total_ns: Σ sample.value where the mapping appears anywhere in
+        the stack (once per sample)
+      - n_samples: samples touching the mapping
+    mapping_id 0 is the reserved "unknown mapping" row — it aggregates
+    the unattributed frames rather than vanishing (the symbolization-
+    coverage number a profiling consumer reads first).
+
+    Scale: same star shape as hot_functions — samples is the only big
+    table, dims broadcast, one shuffle keyed by mapping_id."""
+    frames = (
+        samples.join(F.broadcast(stacks), "stack_id")
+        .select(
+            "sample_id",
+            "value",
+            F.posexplode("location_ids").alias("pos", "location_id"),
+        )
+        .join(
+            F.broadcast(locations.select("location_id", "mapping_id")),
+            "location_id",
+        )
+    )
+    per_sm = frames.groupBy("sample_id", "mapping_id").agg(
+        F.first("value").alias("value"),
+        F.max((F.col("pos") == 0).cast("int")).alias("is_leaf"),
+    )
+    agg = per_sm.groupBy("mapping_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum(F.col("value") * F.col("is_leaf")).cast("long").alias("self_ns"),
+        F.sum("value").cast("long").alias("total_ns"),
+    )
+    return agg.join(
+        F.broadcast(mappings.select("mapping_id", "filename", "memory_start")),
+        "mapping_id",
+    ).select(
+        "mapping_id", "filename", "memory_start",
+        "n_samples", "self_ns", "total_ns",
+    )
+
+
+def oracle_mapping_rollup() -> str:
+    p = fixtures.ensure_profiles()
+    return f"""{_oracle_frames_cte()},
+        mappings AS (SELECT * FROM read_parquet('{p["mappings"]}')),
+        per_sm AS (
+            SELECT f.sample_id, l.mapping_id,
+                   any_value(f.value) AS value,
+                   max(CASE WHEN f.pos = 0 THEN 1 ELSE 0 END) AS is_leaf
+            FROM frames f JOIN locations l USING (location_id)
+            GROUP BY 1, 2),
+        agg AS (
+            SELECT mapping_id,
+                   cast(count(*) AS bigint) AS n_samples,
+                   cast(sum(value * is_leaf) AS bigint) AS self_ns,
+                   cast(sum(value) AS bigint) AS total_ns
+            FROM per_sm GROUP BY 1)
+        SELECT a.mapping_id, m.filename, m.memory_start,
+               a.n_samples, a.self_ns, a.total_ns
+        FROM agg a JOIN mappings m USING (mapping_id)"""

@@ -1,0 +1,477 @@
+"""OTLP/JSON envelope for the profiles signal — the 4th signal's
+document form, closing the envelope matrix (logs/spans/metrics had it
+from r4/r5).
+
+Reference: pdata/pprofile/json.go + encoding.go (Marshal/Unmarshal of
+the OTLP ProfilesData form), generated_profiles.go:49-55 (Profiles =
+ResourceProfilesSlice + ProfilesDictionary),
+generated_profilesdictionary.go:52-85 (the seven dictionary tables),
+generated_proto_profile.go / generated_proto_sample.go /
+generated_proto_mapping.go / generated_proto_valuetype.go (protojson
+field names: profileId/timeUnixNano/durationNano/sampleType/periodType/
+period/samples; stackIndex/values/timestampsUnixNano/linkIndex/
+attributeIndices; memoryStart/memoryLimit/fileOffset/filenameStrindex;
+typeStrindex/unitStrindex), dictionary_helpers.go (index 0 of every
+table is the reserved zero entry).
+
+Spark-first shape — the reference marshals ONE ProfilesData document
+(resourceProfiles array + ONE dictionary). Here that splits into two
+linearly-scaling pieces instead of one driver-side monolith:
+
+- ``nest_profiles_to_otlp``: one ResourceProfiles document per
+  profile_id. Samples stay dictionary-encoded (stackIndex, linkIndex,
+  attributeIndices) exactly like the wire form — documents are narrow,
+  profile-local, built by one groupBy(profile_id), no dictionary
+  content inside (the pprof-blob dictionary-embedding mistake from the
+  r5 advice is structurally impossible in this form).
+- ``nest_dictionary_to_otlp``: ONE dictionary document built from the
+  dim tables with single-row collect aggregates. Legal at scale
+  because dictionary dims are bounded by construction (same argument
+  as profilewire.PPROF_DICT_MAX_ROWS); the bound is enforced LOUDLY
+  inside a retained expression — a silent truncation would corrupt
+  every index in the payload.
+
+Reserved index 0: the fixture's links / attributes / mappings tables
+already carry the reserved row 0; functions / locations / stacks are
+dense 0-based reals, so the envelope SHIFTS those indices +1 and emits
+the reserved empty entry at slot 0; the flatten shifts back. linkIndex
+and mappingIndex use proto3 omit-on-zero (0 = the reserved "unlinked" /
+"unknown mapping" entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# stringTable prelude: reserved "" at 0 (dictionary_helpers.go), then
+# the fixed signal-type strings so sampleType/periodType strindexes are
+# compile-time literals in both nest and flatten.
+STRING_PRELUDE = ("", "samples", "count", "cpu", "nanoseconds")
+IDX_CPU = STRING_PRELUDE.index("cpu")
+IDX_NANOS = STRING_PRELUDE.index("nanoseconds")
+PERIOD_NS = 10_000_000  # fixture sampling period (10 ms cadence)
+
+# loud dictionary bound — mirrors profilewire.PPROF_DICT_MAX_ROWS: a
+# fleet-scale dictionary must fail the job, not silently OOM/overrun
+DICT_MAX_ROWS = 1_000_000
+
+PROFILES_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:array<struct<key:string,"
+    "value:struct<stringValue:string>>>>,"
+    "scopeProfiles:array<struct<scope:struct<name:string>,"
+    "profiles:array<struct<profileId:string,timeUnixNano:bigint,"
+    "durationNano:bigint,"
+    "sampleType:struct<typeStrindex:int,unitStrindex:int>,"
+    "periodType:struct<typeStrindex:int,unitStrindex:int>,period:bigint,"
+    "samples:array<struct<stackIndex:int,values:array<bigint>,"
+    "timestampsUnixNano:array<bigint>,linkIndex:int,"
+    "attributeIndices:array<int>>>>>>>>"
+)
+
+DICTIONARY_OTLP_SCHEMA = (
+    "struct<stringTable:array<string>,"
+    "functionTable:array<struct<nameStrindex:int,filenameStrindex:int>>,"
+    "locationTable:array<struct<mappingIndex:int,"
+    "lines:array<struct<functionIndex:int,line:bigint>>>>,"
+    "stackTable:array<struct<locationIndices:array<int>>>,"
+    "linkTable:array<struct<traceId:string,spanId:string>>,"
+    "attributeTable:array<struct<keyStrindex:int,"
+    "value:struct<stringValue:string,intValue:string>,unitStrindex:int>>,"
+    "mappingTable:array<struct<memoryStart:bigint,memoryLimit:bigint,"
+    "fileOffset:bigint,filenameStrindex:int>>>"
+)
+
+
+def _ts_ns():
+    return F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+
+
+def nest_profiles_to_otlp(samples: DataFrame) -> DataFrame:
+    """samples star fact → one ResourceProfiles OTLP/JSON document per
+    profile_id: Profile carries profileId (16-byte hex), timeUnixNano /
+    durationNano from the sample span, sampleType/periodType ValueType
+    refs into the dictionary string table, and the Sample slice with
+    per-occurrence timestampsUnixNano + attributeIndices
+    (generated_proto_sample.go fields 1-6). stackIndex is +1-shifted
+    (slot 0 = reserved empty stack); linkIndex 0 (unlinked) and empty
+    attributeIndices use proto3 omit."""
+    ts_ns = _ts_ns()
+    sample_struct = F.struct(
+        (F.col("stack_id") + 1).cast("int").alias("stackIndex"),
+        F.array(F.col("value")).alias("values"),
+        F.array(ts_ns).alias("timestampsUnixNano"),
+        F.when(F.col("link_id") != 0, F.col("link_id")).alias("linkIndex"),
+        F.when(F.size("attribute_ids") > 0, F.col("attribute_ids")).alias(
+            "attributeIndices"
+        ),
+    )
+    per_profile = (
+        samples.withColumn("_tns", ts_ns)
+        .groupBy("profile_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("sample_id").alias("k"), sample_struct.alias("s"))
+                )
+            ).alias("_ss"),
+            F.min("_tns").alias("_t0"),
+            F.max("_tns").alias("_t1"),
+        )
+    )
+    vt = F.struct(
+        F.lit(IDX_CPU).alias("typeStrindex"), F.lit(IDX_NANOS).alias("unitStrindex")
+    )
+    profile = F.struct(
+        F.md5(F.concat(F.lit("prof-"), F.col("profile_id").cast("string"))).alias(
+            "profileId"
+        ),
+        F.col("_t0").alias("timeUnixNano"),
+        (F.col("_t1") - F.col("_t0")).alias("durationNano"),
+        vt.alias("sampleType"),
+        vt.alias("periodType"),
+        F.lit(PERIOD_NS).alias("period"),
+        F.transform(F.col("_ss"), lambda x: x["s"]).alias("samples"),
+    )
+    doc = F.struct(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit("service.name").alias("key"),
+                    F.struct(F.lit("profiler").alias("stringValue")).alias("value"),
+                )
+            ).alias("attributes")
+        ).alias("resource"),
+        F.array(
+            F.struct(
+                F.struct(F.lit("spark-graft-profiler").alias("name")).alias("scope"),
+                F.array(profile).alias("profiles"),
+            )
+        ).alias("scopeProfiles"),
+    )
+    return per_profile.select("profile_id", F.to_json(doc).alias("otlp_json"))
+
+
+def flatten_profiles_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse: documents → one row per sample occurrence with the
+    profile header carried on every row. stackIndex -1-unshifted back
+    to the star's stack_id; absent linkIndex ⇒ the reserved 0 (proto3
+    zero); attributeIndices joined back to a ','-signature (nested
+    lists don't hash portably across the gate's engines)."""
+    p = F.col("_p")
+    rows = (
+        nested.select(
+            F.from_json(F.col(json_col), PROFILES_OTLP_SCHEMA).alias("d")
+        )
+        .select(
+            F.col("d.resource.attributes")[0]["value"]["stringValue"].alias("_res"),
+            F.explode("d.scopeProfiles").alias("sp"),
+        )
+        .select("_res", F.explode("sp.profiles").alias("_p"))
+        .select(
+            "_res",
+            p["profileId"].alias("profile_uid"),
+            p["timeUnixNano"].alias("time_ns"),
+            p["durationNano"].alias("duration_ns"),
+            p["period"].alias("period_ns"),
+            p["sampleType"]["typeStrindex"].alias("sample_type_idx"),
+            p["sampleType"]["unitStrindex"].alias("sample_unit_idx"),
+            F.explode(p["samples"]).alias("s"),
+        )
+    )
+    s = F.col("s")
+    return rows.select(
+        "profile_uid",
+        "time_ns",
+        "duration_ns",
+        "period_ns",
+        "sample_type_idx",
+        "sample_unit_idx",
+        (s["stackIndex"] - 1).cast("int").alias("stack_id"),
+        s["values"][0].alias("value"),
+        s["timestampsUnixNano"][0].alias("ts_ns"),
+        F.coalesce(s["linkIndex"], F.lit(0)).cast("int").alias("link_id"),
+        F.coalesce(
+            F.concat_ws(
+                ",", F.transform(s["attributeIndices"], lambda x: x.cast("string"))
+            ),
+            F.lit(""),
+        ).alias("attr_sig"),
+    )
+
+
+def _strindex_join(df: DataFrame, st: DataFrame, col: str, out: str) -> DataFrame:
+    """LEFT-join a dim string column to its stringTable index. NULL
+    strings stay NULL (omitted field)."""
+    lookup = F.broadcast(
+        st.select(F.col("s").alias(col), F.col("strindex").alias(out))
+    )
+    return df.join(lookup, on=col, how="left")
+
+
+def string_table(
+    functions: DataFrame, attributes: DataFrame, mappings: DataFrame
+) -> DataFrame:
+    """The dictionary stringTable: the fixed prelude (reserved "" at 0
+    + signal-type strings) followed by every distinct dim string in
+    lexical order — deterministic, engine-independent. Returns
+    (strindex int, s string). The dims are bounded dictionaries, so the
+    single-partition row_number window is bounded too."""
+    spark = functions.sparkSession
+    tail = (
+        functions.select(F.col("name").alias("s"))
+        .unionByName(functions.select(F.col("filename").alias("s")))
+        .unionByName(attributes.select(F.col("key").alias("s")))
+        .unionByName(attributes.select(F.col("unit").alias("s")))
+        .unionByName(mappings.select(F.col("filename").alias("s")))
+        .filter(F.col("s").isNotNull() & ~F.col("s").isin(*STRING_PRELUDE))
+        .distinct()
+        .select(
+            F.col("s"),
+            (
+                F.row_number().over(Window.orderBy("s"))
+                + len(STRING_PRELUDE)
+                - 1
+            ).cast("int").alias("strindex"),
+        )
+    )
+    prelude = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(STRING_PRELUDE)], "s string, strindex int"
+    )
+    return prelude.unionByName(tail)
+
+
+def _guarded(arr, name: str):
+    """The loud dictionary bound, threaded through the RETAINED output
+    expression (a standalone assert column gets pruned by Catalyst)."""
+    return F.when(F.size(arr) <= DICT_MAX_ROWS, arr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"profiles dictionary table '{name}' exceeds "),
+                F.lit(str(DICT_MAX_ROWS)),
+                F.lit(" rows: "),
+                F.size(arr).cast("string"),
+            )
+        )
+    )
+
+
+def _entries(df: DataFrame, id_col: str, entry, reserved=None) -> DataFrame:
+    """One-row frame: the table's entry array sorted by id, with an
+    optional reserved slot-0 entry prepended (for the dense 0-based
+    dims whose ids get +1-shifted)."""
+    sorted_entries = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("k"), entry.alias("e")))
+        ),
+        lambda x: x["e"],
+    )
+    agg = df.groupBy().agg(sorted_entries.alias("_t"))
+    if reserved is not None:
+        agg = agg.select(F.concat(F.array(reserved), F.col("_t")).alias("_t"))
+    return agg
+
+
+def nest_dictionary_to_otlp(
+    functions: DataFrame,
+    locations: DataFrame,
+    stacks: DataFrame,
+    links: DataFrame,
+    attributes: DataFrame,
+    mappings: DataFrame,
+) -> DataFrame:
+    """dim tables → ONE ProfilesDictionary OTLP/JSON document
+    (generated_profilesdictionary.go:52-85). functions/locations/stacks
+    get the reserved empty slot 0 prepended (their star ids are dense
+    0-based); links/attributes/mappings already carry the reserved row.
+    All intra-dictionary refs are strindex/functionIndex/mappingIndex
+    ints, +1-shifted where the target table was shifted."""
+    st = string_table(functions, attributes, mappings)
+
+    fn = _strindex_join(functions, st, "name", "_name_idx")
+    fn = _strindex_join(fn, st, "filename", "_file_idx")
+    fn_entry = F.struct(
+        F.col("_name_idx").alias("nameStrindex"),
+        F.col("_file_idx").alias("filenameStrindex"),
+    )
+    fn_reserved = F.struct(
+        F.lit(None).cast("int").alias("nameStrindex"),
+        F.lit(None).cast("int").alias("filenameStrindex"),
+    )
+    fn_tbl = _entries(fn, "function_id", fn_entry, fn_reserved)
+
+    loc_entry = F.struct(
+        # mappingIndex 0 = reserved "unknown mapping" → proto3 omit
+        F.when(F.col("mapping_id") != 0, F.col("mapping_id")).alias("mappingIndex"),
+        F.array(
+            F.struct(
+                (F.col("function_id") + 1).cast("int").alias("functionIndex"),
+                F.col("line").cast("long").alias("line"),
+            )
+        ).alias("lines"),
+    )
+    loc_reserved = F.struct(
+        F.lit(None).cast("int").alias("mappingIndex"),
+        F.lit(None)
+        .cast("array<struct<functionIndex:int,line:bigint>>")
+        .alias("lines"),
+    )
+    loc_tbl = _entries(locations, "location_id", loc_entry, loc_reserved)
+
+    stack_entry = F.struct(
+        F.transform(F.col("location_ids"), lambda x: (x + 1).cast("int")).alias(
+            "locationIndices"
+        )
+    )
+    stack_reserved = F.struct(
+        F.lit(None).cast("array<int>").alias("locationIndices")
+    )
+    stack_tbl = _entries(stacks, "stack_id", stack_entry, stack_reserved)
+
+    link_entry = F.struct(
+        F.col("trace_id").alias("traceId"), F.col("span_id").alias("spanId")
+    )
+    link_tbl = _entries(links, "link_id", link_entry)
+
+    at = _strindex_join(attributes, st, "key", "_key_idx")
+    at = _strindex_join(
+        at.withColumnRenamed("unit", "_unit"), st, "_unit", "_unit_idx"
+    )
+    attr_entry = F.struct(
+        F.when(F.col("_key_idx") != 0, F.col("_key_idx")).alias("keyStrindex"),
+        F.struct(
+            F.col("str_value").alias("stringValue"),
+            # protojson int64-as-string (pcommon AnyValue contract)
+            F.col("int_value").cast("string").alias("intValue"),
+        ).alias("value"),
+        F.col("_unit_idx").alias("unitStrindex"),
+    )
+    attr_tbl = _entries(at, "attr_id", attr_entry)
+
+    mp = _strindex_join(mappings, st, "filename", "_file_idx")
+    map_entry = F.struct(
+        F.when(F.col("memory_start") != 0, F.col("memory_start")).alias(
+            "memoryStart"
+        ),
+        F.when(F.col("memory_limit") != 0, F.col("memory_limit")).alias(
+            "memoryLimit"
+        ),
+        F.when(F.col("file_offset") != 0, F.col("file_offset")).alias("fileOffset"),
+        F.col("_file_idx").alias("filenameStrindex"),
+    )
+    map_tbl = _entries(mp, "mapping_id", map_entry)
+
+    str_tbl = (
+        st.groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("strindex").alias("k"), F.col("s")))
+                ),
+                lambda x: x["s"],
+            ).alias("_t")
+        )
+    )
+
+    # one-row × one-row crossJoins — the documented broadcast-single-row
+    # composition pattern (each side is exactly one row by construction)
+    out = (
+        str_tbl.select(F.col("_t").alias("_strings"))
+        .crossJoin(fn_tbl.select(F.col("_t").alias("_fns")))
+        .crossJoin(loc_tbl.select(F.col("_t").alias("_locs")))
+        .crossJoin(stack_tbl.select(F.col("_t").alias("_stacks")))
+        .crossJoin(link_tbl.select(F.col("_t").alias("_links")))
+        .crossJoin(attr_tbl.select(F.col("_t").alias("_attrs")))
+        .crossJoin(map_tbl.select(F.col("_t").alias("_maps")))
+    )
+    doc = F.struct(
+        _guarded(F.col("_strings"), "stringTable").alias("stringTable"),
+        _guarded(F.col("_fns"), "functionTable").alias("functionTable"),
+        _guarded(F.col("_locs"), "locationTable").alias("locationTable"),
+        _guarded(F.col("_stacks"), "stackTable").alias("stackTable"),
+        _guarded(F.col("_links"), "linkTable").alias("linkTable"),
+        _guarded(F.col("_attrs"), "attributeTable").alias("attributeTable"),
+        _guarded(F.col("_maps"), "mappingTable").alias("mappingTable"),
+    )
+    return out.select(F.to_json(doc).alias("otlp_json"))
+
+
+def flatten_dictionary_locations(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse over the location axis: the dictionary document → one
+    symbolized row per real location — function name/filename resolved
+    through stringTable, mapping filename/memoryStart through
+    mappingTable (0/absent mappingIndex ⇒ the reserved unknown row:
+    NULL filename, 0 start). Slot 0 (reserved) is skipped; indices
+    -1-unshift back to star ids."""
+    d = nested.select(
+        F.from_json(F.col(json_col), DICTIONARY_OTLP_SCHEMA).alias("d")
+    ).select("d.*")
+    locs = d.select(
+        "stringTable",
+        "functionTable",
+        "mappingTable",
+        F.posexplode("locationTable").alias("_slot", "_loc"),
+    ).filter(F.col("_slot") > 0)
+    fn = F.col("functionTable")[F.col("_loc")["lines"][0]["functionIndex"]]
+    mp = F.col("mappingTable")[F.coalesce(F.col("_loc")["mappingIndex"], F.lit(0))]
+    return locs.select(
+        (F.col("_slot") - 1).cast("int").alias("location_id"),
+        (F.col("_loc")["lines"][0]["functionIndex"] - 1)
+        .cast("int")
+        .alias("function_id"),
+        F.col("_loc")["lines"][0]["line"].cast("int").alias("line"),
+        F.col("stringTable")[fn["nameStrindex"]].alias("name"),
+        F.col("stringTable")[fn["filenameStrindex"]].alias("filename"),
+        F.coalesce(F.col("_loc")["mappingIndex"], F.lit(0))
+        .cast("int")
+        .alias("mapping_id"),
+        # the reserved unknown-mapping row has NO filename (NULL, not "")
+        F.when(
+            mp["filenameStrindex"].isNotNull(),
+            F.col("stringTable")[mp["filenameStrindex"]],
+        ).alias("mapping_filename"),
+        F.coalesce(mp["memoryStart"], F.lit(0)).alias("memory_start"),
+    )
+
+
+def oracle_profiles_otlp() -> str:
+    """DuckDB mirror for the profiles-envelope round trip, straight
+    off the same parquet bytes: the envelope must preserve every
+    per-occurrence field plus the per-profile header derived from the
+    sample span."""
+    from opentelemetry_collector_spark import fixtures
+
+    p = fixtures.ensure_profiles()
+    return f"""        WITH samples AS (SELECT * FROM read_parquet('{p["samples"]}')),
+        prof AS (SELECT profile_id, min(epoch_ns(ts)) AS t0,
+                        max(epoch_ns(ts)) AS t1
+                 FROM samples GROUP BY 1)
+        SELECT md5('prof-' || s.profile_id) AS profile_uid,
+               p.t0 AS time_ns, p.t1 - p.t0 AS duration_ns,
+               cast({PERIOD_NS} AS bigint) AS period_ns,
+               cast({IDX_CPU} AS int) AS sample_type_idx,
+               cast({IDX_NANOS} AS int) AS sample_unit_idx,
+               s.stack_id, s.value, epoch_ns(s.ts) AS ts_ns, s.link_id,
+               array_to_string(s.attribute_ids, ',') AS attr_sig
+        FROM samples s JOIN prof p USING (profile_id)"""
+
+
+def oracle_dictionary_locations() -> str:
+    """DuckDB mirror for the dictionary-document inverse: the
+    symbolized location view joined straight from the star tables."""
+    from opentelemetry_collector_spark import fixtures
+
+    p = fixtures.ensure_profiles()
+    return f"""        WITH locations AS (SELECT * FROM read_parquet('{p["locations"]}')),
+        functions AS (SELECT * FROM read_parquet('{p["functions"]}')),
+        mappings AS (SELECT * FROM read_parquet('{p["mappings"]}'))
+        SELECT l.location_id, l.function_id, l.line, f.name, f.filename,
+               l.mapping_id, m.filename AS mapping_filename,
+               m.memory_start
+        FROM locations l
+        JOIN functions f USING (function_id)
+        JOIN mappings m USING (mapping_id)"""

@@ -190,3 +190,123 @@ def test_links_fixture_dictionary_zero_reserved(spark):
         F.explode("attribute_ids").alias("attr_id")
     ).filter(F.col("attr_id") == 0)
     assert bad.count() == 0
+
+
+# ------------------------------------------------- OTLP/JSON envelope (r6)
+
+
+def test_profiles_otlp_envelope_presence_edges(spark):
+    """Sample-level proto3 presence (generated_proto_sample.go):
+    linkIndex 0 (= the reserved unlinked entry, sample.go:24) and an
+    EMPTY attributeIndices are ABSENT from the document; both come back
+    as their zero forms (link_id 0, '' signature). stackIndex rides
+    +1-shifted around the reserved slot 0."""
+    import json
+
+    from opentelemetry_collector_spark.functions import profiles_otlp
+
+    rows = [
+        (0, 7, 3, 100, "2025-01-01 00:00:00", 2, [1, 4]),
+        (1, 7, 5, 200, "2025-01-01 00:00:01", 0, []),
+    ]
+    samples = spark.createDataFrame(
+        rows,
+        "sample_id long, profile_id int, stack_id int, value long, "
+        "ts string, link_id int, attribute_ids array<int>",
+    )
+    nested = profiles_otlp.nest_profiles_to_otlp(samples)
+    doc = json.loads(nested.first()["otlp_json"])
+    prof = doc["scopeProfiles"][0]["profiles"][0]
+    s0, s1 = prof["samples"]
+    assert s0["stackIndex"] == 4 and s0["linkIndex"] == 2
+    assert s0["attributeIndices"] == [1, 4]
+    assert "linkIndex" not in s1 and "attributeIndices" not in s1
+    assert s1["stackIndex"] == 6
+    assert prof["durationNano"] == 1_000_000_000
+    assert len(prof["profileId"]) == 32  # 16-byte id, hex
+    back = {
+        r["stack_id"]: r
+        for r in profiles_otlp.flatten_profiles_from_otlp(nested).collect()
+    }
+    assert back[3]["link_id"] == 2 and back[3]["attr_sig"] == "1,4"
+    assert back[5]["link_id"] == 0 and back[5]["attr_sig"] == ""
+    assert back[3]["value"] == 100 and back[5]["value"] == 200
+
+
+def test_profiles_dictionary_document_shape_and_reserved_rows(spark):
+    """The dictionary document (generated_profilesdictionary.go:52-85):
+    slot 0 of every table is the reserved zero entry
+    (dictionary_helpers.go); stringTable[0] is ''; all cross-table refs
+    resolve — every functionIndex/locationIndex/strindex lands inside
+    its table."""
+    import json
+
+    from opentelemetry_collector_spark.functions import profiles, profiles_otlp
+
+    t = profiles.read_profile_tables(spark)
+    nested = profiles_otlp.nest_dictionary_to_otlp(
+        t["functions"], t["locations"], t["stacks"],
+        t["links"], t["attributes"], t["mappings"],
+    )
+    d = json.loads(nested.first()["otlp_json"])
+    n_fn = t["functions"].count()
+    assert len(d["functionTable"]) == n_fn + 1  # reserved slot 0
+    assert d["functionTable"][0] == {}
+    assert d["locationTable"][0] == {} and d["stackTable"][0] == {}
+    assert d["stringTable"][0] == ""
+    assert d["stringTable"][1:5] == ["samples", "count", "cpu", "nanoseconds"]
+    # linkTable/attributeTable/mappingTable carry the fixture's own
+    # reserved rows (no extra slot prepended)
+    assert len(d["linkTable"]) == t["links"].count()
+    assert "traceId" not in d["linkTable"][0]
+    assert len(d["mappingTable"]) == t["mappings"].count()
+    # every ref resolves
+    n_str = len(d["stringTable"])
+    for fn in d["functionTable"][1:]:
+        assert 0 < fn["nameStrindex"] < n_str
+        assert 0 < fn["filenameStrindex"] < n_str
+    n_loc = len(d["locationTable"])
+    for st in d["stackTable"][1:]:
+        for li in st["locationIndices"]:
+            assert 0 < li < n_loc
+    for loc in d["locationTable"][1:]:
+        assert 0 < loc["lines"][0]["functionIndex"] <= n_fn
+        assert loc.get("mappingIndex", 0) < len(d["mappingTable"])
+    # strings referenced from the attribute table resolve too
+    for a in d["attributeTable"][1:]:
+        assert 0 < a["keyStrindex"] < n_str
+
+
+def test_profiles_dictionary_loud_bound(spark, monkeypatch):
+    """A dictionary table past DICT_MAX_ROWS must fail the job loud
+    (silent truncation corrupts every index in the payload)."""
+    import pytest
+
+    from opentelemetry_collector_spark.functions import profiles, profiles_otlp
+
+    t = profiles.read_profile_tables(spark)
+    monkeypatch.setattr(profiles_otlp, "DICT_MAX_ROWS", 3)
+    nested = profiles_otlp.nest_dictionary_to_otlp(
+        t["functions"], t["locations"], t["stacks"],
+        t["links"], t["attributes"], t["mappings"],
+    )
+    with pytest.raises(Exception, match="exceeds"):
+        nested.collect()
+
+
+def test_mapping_rollup_reserved_row_aggregates_unknown_frames(spark):
+    """mapping_rollup keeps the reserved unknown-mapping row (id 0) as
+    the symbolization-coverage bucket, and total_ns counts a mapping
+    once per sample even when several frames share it."""
+    from opentelemetry_collector_spark.functions import profiles
+
+    t = profiles.read_profile_tables(spark)
+    out = profiles.mapping_rollup(
+        t["samples"], t["stacks"], t["locations"], t["mappings"]
+    ).collect()
+    by_id = {r["mapping_id"]: r for r in out}
+    assert 0 in by_id and by_id[0]["filename"] is None
+    assert by_id[0]["n_samples"] > 0
+    total_value = t["samples"].groupBy().sum("value").first()[0]
+    for r in out:
+        assert r["self_ns"] <= r["total_ns"] <= total_value
