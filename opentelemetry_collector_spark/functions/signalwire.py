@@ -766,6 +766,102 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
         def flags_field(i) -> bytes:
             return b""
 
+    if has_ext:
+        # r6 vectorization pass (the r5 content expansion cost +25% on
+        # spans_roundtrip): span attrs are low-cardinality value sets →
+        # memoize the COMPLETE field-9 bytes by (k, v) tuple; links get
+        # constant 2-byte tag+length prefixes for the canonical 16/8-
+        # byte ids plus a memoized (trace_state, flags) suffix — field
+        # order 1,2,3,4,6 makes the suffix row-invariant. Non-canonical
+        # ids or non-empty link attrs fall back to the scalar encoder
+        # (parity pinned by test_signalwire).
+        attrs_memo: dict = {}
+        link_suffix_memo: dict = {}
+        ev_name_memo: dict = {}
+
+    def span_attrs_field(i) -> bytes:
+        lst = _aslist(attrs_col[i])
+        key = tuple(
+            (a["key"], a["value"]) if isinstance(a, dict) else (a[0], a[1])
+            for a in lst
+        )
+        got = attrs_memo.get(key)
+        if got is None:
+            got = attrs_memo[key] = _attrs_field(9, lst)
+        return got
+
+    def encode_links_fast(lst) -> bytes:
+        parts = []
+        for ln in lst:
+            if isinstance(ln, dict):
+                t, s, st = ln["trace_id"], ln["span_id"], ln["trace_state"]
+                attrs, fl = ln["attrs"], (ln.get("flags") or 0)
+            else:
+                t, s, st, attrs = ln[0], ln[1], ln[2], ln[3]
+                fl = ln[4] if len(ln) > 4 and ln[4] is not None else 0
+            try:
+                tb = bytes.fromhex(t) if isinstance(t, str) and t else b""
+                sb = bytes.fromhex(s) if isinstance(s, str) and s else b""
+                canonical = (not tb or len(tb) == 16) and (
+                    not sb or len(sb) == 8
+                )
+            except ValueError:
+                canonical = False
+            if not canonical:
+                parts.append(_len_delim(13, _encode_link(ln)))
+                continue
+            # link attrs are low-cardinality label sets (link.type=
+            # parent/root here) — memoized with trace_state+flags as
+            # ONE suffix (fields 3,4,6 are all row-position-invariant
+            # after the ids)
+            lst_a = _aslist(attrs)
+            sk = (
+                st,
+                tuple(
+                    (a["key"], a["value"]) if isinstance(a, dict) else (a[0], a[1])
+                    for a in lst_a
+                ),
+                fl,
+            )
+            suf = link_suffix_memo.get(sk)
+            if suf is None:
+                b = (
+                    _len_delim(3, st.encode("utf-8"))
+                    if isinstance(st, str) and st
+                    else b""
+                )
+                b += _attrs_field(4, lst_a)
+                if fl:
+                    b += _fixed32(6, int(fl))
+                suf = link_suffix_memo[sk] = b
+            payload = (
+                (b"\x0a\x10" + tb if tb else b"")
+                + (b"\x12\x08" + sb if sb else b"")
+                + suf
+            )
+            parts.append(_len_delim(13, payload))
+        return b"".join(parts)
+
+    def encode_events_fast(lst) -> bytes:
+        parts = []
+        for ev in lst:
+            if isinstance(ev, dict):
+                ts, name, attrs = ev["ts_ns"], ev["name"], ev["attrs"]
+            else:
+                ts, name, attrs = ev[0], ev[1], ev[2]
+            nb = ev_name_memo.get(name)
+            if nb is None:
+                nb = ev_name_memo[name] = (
+                    _len_delim(2, name.encode("utf-8")) if name else b""
+                )
+            body = (
+                (b"\x09" + int(ts).to_bytes(8, "little") if ts else b"")
+                + nb
+                + _attrs_field(3, attrs)
+            )
+            parts.append(_len_delim(11, body))
+        return b"".join(parts)
+
     def ext_segments(i) -> tuple[bytes, bytes, bytes, bytes, str | None]:
         if not has_ext:
             return b"", b"", b"", b"", None
@@ -777,13 +873,11 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
                 if isinstance(ts, str) and ts
                 else b""
             )
-        ab = _attrs_field(9, _aslist(attrs_col[i]))
-        evb = b"".join(
-            _len_delim(11, _encode_event(e)) for e in _aslist(events_col[i])
-        )
-        lkb = b"".join(
-            _len_delim(13, _encode_link(ln)) for ln in _aslist(links_col[i])
-        )
+        ab = span_attrs_field(i)
+        ev = _aslist(events_col[i])
+        evb = encode_events_fast(ev) if ev else b""
+        lk = _aslist(links_col[i])
+        lkb = encode_links_fast(lk) if lk else b""
         sm = smsg_col[i]
         return tsb, ab, evb, lkb, (sm if isinstance(sm, str) else None)
 
