@@ -600,6 +600,56 @@ def _q_resource_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_resources"))
 
 
+def _q_resource_entities_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity WRITE path (r6; xpdata/entity/entity_attribute_map.go
+    PutStr/CanPut write-through semantics): the service entity claims a
+    derived 'svc.tier' description attribute (insert-or-update into the
+    SHARED resource map + key-list claim), then attempts a SAFE put on
+    'conv_id' — which belongs to the conversation entity, so CanPut is
+    false and every row keeps its original conv_id (a destructive put
+    would corrupt the other entity's identity; the oracle would catch
+    the hijack value). Output = entity view after writeback: the
+    service entities carry the new tier in descr_attrs; conversation
+    entities don't (not in their key list)."""
+    from opentelemetry_collector_spark.functions import entities, pdata
+
+    refs = (
+        entities.EntityRef("service", pdata.SCHEMA_URL, ("svc",)),
+        entities.EntityRef(
+            "conversation", pdata.SCHEMA_URL, ("conv_id",), ("svc",)
+        ),
+    )
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    resources = parsed.select("conv_id", "svc").distinct().select(
+        F.map_filter(
+            F.create_map(
+                F.lit("conv_id"), F.col("conv_id"), F.lit("svc"), F.col("svc")
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attributes")
+    )
+    tier = F.concat(
+        F.lit("tier-"),
+        (F.length(F.col("attributes")["svc"]) % 3).cast("string"),
+    )
+    resources, refs = entities.put_entity_attribute(
+        resources, refs, "service", "svc.tier", tier, kind="description"
+    )
+    # conflicting claim: conv_id is the conversation entity's identity
+    resources, refs = entities.put_entity_attribute(
+        resources, refs, "service", "conv_id", F.lit("HIJACK"),
+        kind="description", safe=True,
+    )
+    em = entities.entity_map(resources, refs, attrs_col="attributes")
+    return em.groupBy(
+        "entity_type",
+        F.coalesce(
+            F.col("id_attrs")["svc"], F.col("id_attrs")["conv_id"]
+        ).alias("id_value"),
+        F.col("descr_attrs")["svc.tier"].alias("tier"),
+    ).agg(F.count(F.lit(1)).alias("n_resources"))
+
+
 def _q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OTLP/protobuf wire format (pdata/plog/encoding.go): parsed rows →
     LogRecord wire bytes → decoded fields. The oracle reads the same
@@ -1427,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_roundtrip": _q_otlp_roundtrip,
         "logs_scoped_otlp": _q_logs_scoped_otlp,
         "resource_entities": _q_resource_entities,
+        "resource_entities_writeback": _q_resource_entities_writeback,
         "proto_roundtrip": _q_proto_roundtrip,
         "forward_merge": _q_forward_merge,
         "pipeline_multi": _q_pipeline_multi,
@@ -1870,6 +1921,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'conversation', conv_id, cast(count(*) AS bigint)
             FROM res GROUP BY conv_id""",
+        "resource_entities_writeback": f"""{_parsed_cte()},
+            res AS (SELECT DISTINCT conv_id, svc FROM parsed)
+            SELECT 'service' AS entity_type, svc AS id_value,
+                   'tier-' || cast(length(svc) % 3 AS varchar) AS tier,
+                   cast(count(*) AS bigint) AS n_resources
+            FROM res WHERE svc IS NOT NULL GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT 'conversation', conv_id, cast(NULL AS varchar),
+                   cast(count(*) AS bigint)
+            FROM res GROUP BY 1, 2, 3""",
         "proto_roundtrip": f"""{_parsed_cte()}
             SELECT conv_id, turn_idx, text AS body,
                    coalesce(level, '') AS severity_text,

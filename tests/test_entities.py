@@ -61,3 +61,103 @@ def test_entity_map_keeps_non_attr_columns(spark):
     df = _resources(spark).withColumn("rid", F.monotonically_increasing_id())
     out = entities.entity_map(df, REFS)
     assert "rid" in out.columns and "attributes" not in out.columns
+
+
+# ------------------------------------------------------- write path (r6)
+
+
+def _wp_resources(spark):
+    return spark.createDataFrame(
+        [({"conv_id": "c1", "svc": "api"},), ({"conv_id": "c2"},)],
+        "attributes map<string,string>",
+    )
+
+
+def _wp_refs():
+    return (
+        entities.EntityRef("service", "", ("svc",)),
+        entities.EntityRef("conversation", "", ("conv_id",), ("svc",)),
+    )
+
+
+def test_put_entity_attribute_writes_through_and_claims_key(spark):
+    """PutStr (entity_attribute_map.go:75-81): insert-or-update into
+    the SHARED map + key-list claim; the new description attribute is
+    visible through the entity view afterwards."""
+    res, refs = entities.put_entity_attribute(
+        _wp_resources(spark), _wp_refs(), "service", "svc.tier",
+        F.upper(F.col("attributes")["svc"]), kind="description",
+    )
+    svc_ref = [r for r in refs if r.type == "service"][0]
+    assert svc_ref.description_keys == ("svc.tier",)
+    rows = {r["attributes"].get("conv_id"): r["attributes"] for r in res.collect()}
+    assert rows["c1"]["svc.tier"] == "API"
+    assert rows["c2"]["svc.tier"] is None  # upper(NULL) writes NULL
+    em = entities.entity_map(res, refs, attrs_col="attributes")
+    svc_rows = [r for r in em.collect() if r["entity_type"] == "service"]
+    assert svc_rows and svc_rows[0]["descr_attrs"]["svc.tier"] == "API"
+
+
+def test_put_entity_attribute_destructive_vs_safe(spark):
+    """The reference Put is destructive across entities (its WARNING);
+    safe=True is the CanPut-guarded idiom — a key owned by another
+    entity survives untouched on every row."""
+    res, refs = entities.put_entity_attribute(
+        _wp_resources(spark), _wp_refs(), "service", "conv_id",
+        F.lit("HIJACK"), kind="description", safe=True,
+    )
+    vals = sorted(
+        r["attributes"]["conv_id"] for r in res.collect()
+    )
+    assert vals == ["c1", "c2"]  # safe: blocked everywhere
+    res2, _ = entities.put_entity_attribute(
+        _wp_resources(spark), _wp_refs(), "service", "conv_id",
+        F.lit("HIJACK"), kind="description", safe=False,
+    )
+    assert {r["attributes"]["conv_id"] for r in res2.collect()} == {"HIJACK"}
+
+
+def test_put_entity_attribute_update_existing_owned_key(spark):
+    """Insert-or-UPDATE: putting an already-owned key replaces the
+    value (and the key list gains no duplicate)."""
+    res, refs = entities.put_entity_attribute(
+        _wp_resources(spark), _wp_refs(), "conversation", "svc",
+        F.lit("patched"), kind="description", safe=True,
+    )
+    conv_ref = [r for r in refs if r.type == "conversation"][0]
+    assert conv_ref.description_keys == ("svc",)
+    assert {r["attributes"]["svc"] for r in res.collect()} == {"patched"}
+
+
+def test_remove_entity_attribute_unowned_is_noop(spark):
+    """Remove (entity_attribute_map.go:83-99): a key outside the
+    entity's key list never touches the shared map — unlike Put,
+    removing another entity's attribute through this view is
+    impossible."""
+    res, refs = entities.remove_entity_attribute(
+        _wp_resources(spark), _wp_refs(), "service", "conv_id"
+    )
+    assert refs == _wp_refs()
+    assert sorted(
+        r["attributes"].get("conv_id") for r in res.collect()
+    ) == ["c1", "c2"]
+    # owned key: leaves both the map and the key list
+    res2, refs2 = entities.remove_entity_attribute(
+        _wp_resources(spark), _wp_refs(), "conversation", "svc"
+    )
+    conv_ref = [r for r in refs2 if r.type == "conversation"][0]
+    assert conv_ref.description_keys == ()
+    assert all("svc" not in r["attributes"] for r in res2.collect())
+
+
+def test_can_put_predicate(spark):
+    """CanPut truth table: owned key → True; free key → True; key held
+    by the shared map but not owned → False."""
+    res = _wp_resources(spark)
+    refs = _wp_refs()
+    got = res.select(
+        entities.can_put(refs, "service", "svc").alias("owned"),
+        entities.can_put(refs, "service", "brand.new").alias("free"),
+        entities.can_put(refs, "service", "conv_id").alias("held"),
+    ).collect()
+    assert all(r["owned"] and r["free"] and not r["held"] for r in got)
