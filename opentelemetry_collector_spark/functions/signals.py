@@ -247,22 +247,21 @@ def summary_datapoints(
 ) -> DataFrame:
     """SummaryDataPoint: exact interpolated quantiles per series. With
     include_gap_series, no-recorded-value series survive as one
-    zero-count row (NULL sum/quantiles) for the noRecordedValue path."""
+    zero-count row (NULL sum/quantiles) for the noRecordedValue path —
+    computed in the SAME single aggregation pass: count/sum/percentile
+    all skip NULLs, so the unfiltered agg yields exactly (0, NULL,
+    NULL…) for an all-NULL group and the recorded values elsewhere (a
+    gap_series union here doubled the corpus scan and read 2.3× on the
+    bench; the histogram builders can't use this trick because their
+    NULL-value rows would collide with the NULL-idx zero/gap bucket)."""
     v = F.col(value_col)
-    aggs = [F.count(F.lit(1)).alias("n"), F.sum(v).cast("long").alias("value_sum")]
+    aggs = [F.count(v).alias("n"), F.sum(v).cast("long").alias("value_sum")]
     qnames = [f"q{str(q).replace('0.', '')}" for q in quantiles]
     for q, qn in zip(quantiles, qnames):
         aggs.append(F.round(F.expr(f"percentile({value_col}, {q})"), 4).alias(qn))
-    out = df.filter(v.isNotNull()).groupBy(*series_keys).agg(*aggs)
     if include_gap_series:
-        gaps = gap_series(df, value_col, series_keys).select(
-            *series_keys,
-            F.lit(0).cast("long").alias("n"),
-            F.lit(None).cast("long").alias("value_sum"),
-            *[F.lit(None).cast("double").alias(qn) for qn in qnames],
-        )
-        out = out.unionByName(gaps)
-    return out
+        return df.groupBy(*series_keys).agg(*aggs)
+    return df.filter(v.isNotNull()).groupBy(*series_keys).agg(*aggs)
 
 
 # ----------------------------------------------------------- traces
