@@ -25,6 +25,7 @@ from opentelemetry_collector_spark.operators import (
     order as order_mod,
     route as route_mod,
 )
+from opentelemetry_collector_spark.functions import signals as signals_mod
 from opentelemetry_collector_spark.functions import profiles as profiles_oracle
 from opentelemetry_collector_spark.functions import (
     profiles_otlp as profiles_otlp_oracle,
@@ -133,15 +134,20 @@ def _rich_spans_cte() -> str:
                  CASE WHEN parent_span_id IS NOT NULL
                       THEN parent_span_id || '#' ||
                            '~' || CASE WHEN parent_span_id = root_span_id
-                                       THEN 769 ELSE 257 END ||
+                                       THEN {signals_mod.ROOT_SPAN_FLAGS}
+                                       ELSE {signals_mod.CHILD_SPAN_FLAGS} END ||
                            '{{link.type=parent}}' END,
                  CASE WHEN root_span_id <> span_id
-                      THEN root_span_id || '#~769{{link.type=root}}' END)
+                      THEN root_span_id ||
+                           '#~{signals_mod.ROOT_SPAN_FLAGS}{{link.type=root}}'
+                      END)
                  AS links_sig,
                CASE WHEN level = 'ERROR' AND length(body) > 0
                     THEN substr(body, 1, 48) END AS status_message,
-               cast(CASE WHEN parent_span_id IS NULL THEN 769
-                         ELSE 257 END AS INTEGER) AS flags
+               cast(CASE WHEN parent_span_id IS NULL
+                         THEN {signals_mod.ROOT_SPAN_FLAGS}
+                         ELSE {signals_mod.CHILD_SPAN_FLAGS} END
+                    AS INTEGER) AS flags
         FROM spans1)"""
 
 

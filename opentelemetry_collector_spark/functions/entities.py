@@ -160,7 +160,11 @@ def put_entity_attribute(
             else ref.description_keys,
         )
         refs = tuple(new_ref if r.type == entity_type else r for r in refs)
-    attrs = F.col(attrs_col)
+    # a NULL attribute map must behave like the reference's empty map
+    # (PutStr inserts), not poison map_filter/map_concat into a silent
+    # no-op while the key list already claimed the key
+    map_type = resources.schema[attrs_col].dataType.simpleString()
+    attrs = F.coalesce(F.col(attrs_col), F.create_map().cast(map_type))
     updated = F.map_concat(
         F.map_filter(attrs, lambda k, _v: k != F.lit(key)),
         F.create_map(F.lit(key), value),

@@ -853,7 +853,13 @@ def flatten_histogram_metrics_from_otlp(
         "svc", "bucket_idx", "bucket_count", "count",
         "value_sum", "value_min", "value_max", "flags",
     )
-    gaps = dp.filter(F.coalesce(F.col("p.flags"), F.lit(0)) == 1).select(
+    # gap row ONLY for truly empty datapoints: a foreign document may
+    # legally set noRecordedValue on a point that still carries stale
+    # buckets — those rows survive through the recorded branch above
+    # and must not ALSO spawn a synthetic gap row
+    gaps = dp.filter(
+        (F.coalesce(F.col("p.flags"), F.lit(0)) == 1) & (F.col("p.count") == 0)
+    ).select(
         "svc",
         F.lit(None).cast("int").alias("bucket_idx"),
         F.lit(0).cast("long").alias("bucket_count"),
@@ -1164,7 +1170,9 @@ def flatten_exp_histogram_metrics_from_otlp(
         F.col("p.zeroCount").alias("bucket_count"),
         flags.alias("flags"),
     )
-    gaps = dp.filter(flags == 1).select(
+    # count==0 guard mirrors the histogram flatten: a foreign flagged
+    # datapoint with residual buckets keeps its rows, no synthetic gap
+    gaps = dp.filter((flags == 1) & (F.col("p.count") == 0)).select(
         "svc",
         F.lit(None).cast("int").alias("bucket_idx"),
         F.lit(0).cast("long").alias("bucket_count"),

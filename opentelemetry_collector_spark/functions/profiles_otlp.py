@@ -410,31 +410,68 @@ def flatten_dictionary_locations(
     d = nested.select(
         F.from_json(F.col(json_col), DICTIONARY_OTLP_SCHEMA).alias("d")
     ).select("d.*")
-    locs = d.select(
-        "stringTable",
-        "functionTable",
-        "mappingTable",
-        F.posexplode("locationTable").alias("_slot", "_loc"),
-    ).filter(F.col("_slot") > 0)
-    fn = F.col("functionTable")[F.col("_loc")["lines"][0]["functionIndex"]]
-    mp = F.col("mappingTable")[F.coalesce(F.col("_loc")["mappingIndex"], F.lit(0))]
-    return locs.select(
-        (F.col("_slot") - 1).cast("int").alias("location_id"),
-        (F.col("_loc")["lines"][0]["functionIndex"] - 1)
-        .cast("int")
-        .alias("function_id"),
-        F.col("_loc")["lines"][0]["line"].cast("int").alias("line"),
-        F.col("stringTable")[fn["nameStrindex"]].alias("name"),
-        F.col("stringTable")[fn["filenameStrindex"]].alias("filename"),
-        F.coalesce(F.col("_loc")["mappingIndex"], F.lit(0))
-        .cast("int")
-        .alias("mapping_id"),
-        # the reserved unknown-mapping row has NO filename (NULL, not "")
-        F.when(
-            mp["filenameStrindex"].isNotNull(),
-            F.col("stringTable")[mp["filenameStrindex"]],
-        ).alias("mapping_filename"),
-        F.coalesce(mp["memoryStart"], F.lit(0)).alias("memory_start"),
+    # each table explodes ONCE into its own (index, entry) frame and
+    # joins back by index — carrying the full parent arrays on every
+    # exploded location row would materialize O(tables × locations)
+    # bytes at the sizes the loud bound permits; the dim frames are
+    # dictionary-bounded, so every join broadcasts
+    strings = d.select(F.posexplode("stringTable").alias("_sidx", "_s"))
+    fns = d.select(F.posexplode("functionTable").alias("_fidx", "_fn")).select(
+        "_fidx",
+        F.col("_fn")["nameStrindex"].alias("_name_idx"),
+        F.col("_fn")["filenameStrindex"].alias("_file_idx"),
+    )
+    maps_t = d.select(F.posexplode("mappingTable").alias("_midx", "_mp")).select(
+        "_midx",
+        F.col("_mp")["filenameStrindex"].alias("_mfile_idx"),
+        F.coalesce(F.col("_mp")["memoryStart"], F.lit(0)).alias("memory_start"),
+    )
+    locs = (
+        d.select(F.posexplode("locationTable").alias("_slot", "_loc"))
+        .filter(F.col("_slot") > 0)
+        .select(
+            (F.col("_slot") - 1).cast("int").alias("location_id"),
+            F.col("_loc")["lines"][0]["functionIndex"].alias("_fidx"),
+            F.col("_loc")["lines"][0]["line"].cast("int").alias("line"),
+            F.coalesce(F.col("_loc")["mappingIndex"], F.lit(0))
+            .cast("int")
+            .alias("mapping_id"),
+        )
+    )
+    out = (
+        locs.join(F.broadcast(fns), "_fidx")
+        .join(
+            F.broadcast(strings.select(F.col("_sidx").alias("_name_idx"),
+                                       F.col("_s").alias("name"))),
+            "_name_idx",
+        )
+        .join(
+            F.broadcast(strings.select(F.col("_sidx").alias("_file_idx"),
+                                       F.col("_s").alias("filename"))),
+            "_file_idx",
+        )
+        .join(
+            F.broadcast(maps_t.withColumnRenamed("_midx", "mapping_id")),
+            "mapping_id",
+        )
+        .join(
+            # left: the reserved unknown-mapping row has NO filename
+            # (NULL strindex → NULL, not "")
+            F.broadcast(strings.select(F.col("_sidx").alias("_mfile_idx"),
+                                       F.col("_s").alias("mapping_filename"))),
+            "_mfile_idx",
+            "left",
+        )
+    )
+    return out.select(
+        "location_id",
+        (F.col("_fidx") - 1).cast("int").alias("function_id"),
+        "line",
+        "name",
+        "filename",
+        "mapping_id",
+        "mapping_filename",
+        "memory_start",
     )
 
 

@@ -299,11 +299,18 @@ def spans_from_turns(parsed: DataFrame) -> DataFrame:
 
 SLOW_EVENT_THRESHOLD_MS = 8000
 
-# W3C flag words the span derivations emit (signalwire.SPAN_FLAGS_*):
-# every fixture span is sampled with a known is-remote bit; roots are
-# remote (context arrived from the client), children are local.
-CHILD_SPAN_FLAGS = 0x101  # sampled | has-is-remote         = 257
-ROOT_SPAN_FLAGS = 0x301   # sampled | has-is-remote | is-remote = 769
+# W3C flag words the span derivations emit, COMPOSED from the wire
+# codec's bit constants (one definition of the layout): every fixture
+# span is sampled with a known is-remote bit; roots are remote (context
+# arrived from the client), children are local.
+from opentelemetry_collector_spark.functions.signalwire import (  # noqa: E402
+    SPAN_FLAGS_HAS_IS_REMOTE,
+    SPAN_FLAGS_IS_REMOTE,
+    SPAN_FLAGS_SAMPLED,
+)
+
+CHILD_SPAN_FLAGS = SPAN_FLAGS_SAMPLED | SPAN_FLAGS_HAS_IS_REMOTE  # 257
+ROOT_SPAN_FLAGS = CHILD_SPAN_FLAGS | SPAN_FLAGS_IS_REMOTE  # 769
 
 
 def _kv(k: Column, v: Column) -> Column:

@@ -855,7 +855,14 @@ def _encode_span_batch(pdf: pd.DataFrame) -> list[bytes]:
                     _len_delim(2, name.encode("utf-8")) if name else b""
                 )
             body = (
-                (b"\x09" + int(ts).to_bytes(8, "little") if ts else b"")
+                # two's-complement mask: pre-1970 ts must not OverflowError
+                # the whole batch (scalar _encode_event parity via _fixed64)
+                (
+                    b"\x09"
+                    + (int(ts) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+                    if ts
+                    else b""
+                )
                 + nb
                 + _attrs_field(3, attrs)
             )

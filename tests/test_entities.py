@@ -161,3 +161,18 @@ def test_can_put_predicate(spark):
         entities.can_put(refs, "service", "conv_id").alias("held"),
     ).collect()
     assert all(r["owned"] and r["free"] and not r["held"] for r in got)
+
+
+def test_put_entity_attribute_inserts_into_null_map(spark):
+    """A NULL attribute map behaves like the reference's empty map (r6
+    review): PutStr inserts rather than silently no-opping while the
+    key list already claimed the key."""
+    res = spark.createDataFrame(
+        [(None,), ({"conv_id": "c1"},)], "attributes map<string,string>"
+    )
+    out, _refs = entities.put_entity_attribute(
+        res, _wp_refs(), "service", "svc.tier", F.lit("t0"),
+        kind="description",
+    )
+    got = [r["attributes"] for r in out.collect()]
+    assert all(a is not None and a["svc.tier"] == "t0" for a in got)

@@ -425,3 +425,73 @@ def test_gap_series_norecordedvalue_all_three_aggregate_branches(spark):
     assert sgap[0]["q5"] is None
     rec = [r for r in sback if r["flags"] == 0]
     assert len(rec) == 1 and rec[0]["n"] == 2 and rec[0]["value_sum"] == 127
+
+
+def test_foreign_flagged_datapoint_with_residual_buckets_no_double_flatten(spark):
+    """A foreign OTLP document may legally set noRecordedValue on a
+    datapoint that still carries stale buckets (r6 review): the bucket
+    rows survive with flags=1 and NO synthetic gap row is added — the
+    gap row is only for truly empty (count=0) datapoints."""
+    import json
+
+    doc = json.dumps(
+        {
+            "resource": {"attributes": {"svc": "api"}},
+            "scopeMetrics": [
+                {
+                    "scope": {"name": "x"},
+                    "metrics": [
+                        {
+                            "name": "m",
+                            "histogram": {
+                                "aggregationTemporality": "AGGREGATION_TEMPORALITY_DELTA",
+                                "dataPoints": [
+                                    {
+                                        "count": 2,
+                                        "bucketCounts": [2, 0],
+                                        "explicitBounds": [10],
+                                        "flags": 1,
+                                    }
+                                ],
+                            },
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    nested = spark.createDataFrame([(doc,)], "otlp_json string")
+    rows = pdata.flatten_histogram_metrics_from_otlp(nested).collect()
+    assert len(rows) == 1  # the bucket row only, no synthetic gap
+    assert rows[0]["bucket_idx"] == 0 and rows[0]["flags"] == 1
+
+    edoc = json.dumps(
+        {
+            "resource": {"attributes": {"svc": "api"}},
+            "scopeMetrics": [
+                {
+                    "scope": {"name": "x"},
+                    "metrics": [
+                        {
+                            "name": "m",
+                            "exponentialHistogram": {
+                                "aggregationTemporality": "AGGREGATION_TEMPORALITY_DELTA",
+                                "dataPoints": [
+                                    {
+                                        "count": 3,
+                                        "scale": 0,
+                                        "zeroCount": 0,
+                                        "positive": {"offset": 1, "bucketCounts": [3]},
+                                        "flags": 1,
+                                    }
+                                ],
+                            },
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    enested = spark.createDataFrame([(edoc,)], "otlp_json string")
+    erows = pdata.flatten_exp_histogram_metrics_from_otlp(enested).collect()
+    assert len(erows) == 1 and erows[0]["bucket_idx"] == 1

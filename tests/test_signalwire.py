@@ -587,3 +587,36 @@ def test_datapoint_flags_golden_bytes_all_branches():
     s = W.encode_summary_point([], 0, 1, count=0, value_sum=0.0,
                                quantiles=[], flags=1)
     assert s.hex().endswith("4001") and W.decode_summary_point(s)["flags"] == 1
+
+
+def test_span_batch_encoder_negative_event_ts():
+    """A pre-1970 event timestamp must not OverflowError the whole
+    Arrow batch (r6 review): the fast event path masks to two's
+    complement exactly like the scalar _fixed64."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "trace_id": ["ab" * 16],
+            "span_id": ["cd" * 8],
+            "parent_span_id": [None],
+            "name": ["n"],
+            "kind": ["SPAN_KIND_CLIENT"],
+            "status": ["STATUS_CODE_OK"],
+            "start_ns": [10],
+            "end_ns": [20],
+            "trace_state": [None],
+            "attrs": [[]],
+            "events": [[{"ts_ns": -5, "name": "old", "attrs": []}]],
+            "links": [[]],
+            "status_message": [None],
+            "flags": [0],
+        }
+    )
+    got = W._encode_span_batch(pdf)[0]
+    ref = W.encode_span(
+        "ab" * 16, "cd" * 8, None, "n", "SPAN_KIND_CLIENT", 10, 20,
+        "STATUS_CODE_OK", events=[{"ts_ns": -5, "name": "old", "attrs": []}],
+    )
+    assert got == ref
+    assert W.decode_span(got)["events"][0]["ts_ns"] == -5
