@@ -102,6 +102,12 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "bpe_segment",
         "neardup_components",
         "corpus_pipeline",
+        # r6: profiles envelope + dictionary + mapping rollup, entity
+        # write path — the new signal surface must be perf-visible
+        "profiles_otlp_json",
+        "profiles_dictionary_otlp",
+        "profile_mapping_rollup",
+        "resource_entities_writeback",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))
