@@ -811,6 +811,35 @@ def _q_metrics_exp_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_metrics_exp_signed_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE bucket list of the ExponentialHistogramDataPoint (r6;
+    generated_exponentialhistogramdatapoint.go:138-146
+    Positive()/Negative(), plus the optional sum/min/max fields
+    :93-110): per-svc turn-latency DELTA series (latency - lag within
+    svc × hour slices — genuinely signed) → scale-0 buckets indexed
+    over |v| in the sign's own list, zero deltas in zeroCount →
+    document → flattened back to signed sparse rows."""
+    from pyspark.sql import Window
+
+    from opentelemetry_collector_spark.functions import pdata, signals
+
+    parsed = parse_mod.with_parsed(tables.read_transcripts(spark, sf_dir), "native")
+    w = Window.partitionBy("svc", "_hr").orderBy("ts_ns", "conv_id", "turn_idx")
+    deltas = (
+        parsed.select(
+            "conv_id", "turn_idx", "svc",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias("ts_ns"),
+            F.col("latency_ms").cast("long").alias("_v"),
+        )
+        .withColumn("_hr", F.expr("ts_ns div 3600000000000"))
+        .withColumn("delta", F.col("_v") - F.lag("_v").over(w))
+    )
+    dps = signals.signed_exp_histogram_datapoints(deltas)
+    return pdata.flatten_signed_exp_metrics_from_otlp(
+        pdata.nest_signed_exp_metrics_to_otlp(dps)
+    )
+
+
 def _q_metrics_summary_otlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Summary branch of the envelope: per-svc count/sum +
     quantileValues (0.5/0.9/0.99) → documents → flattened back,
@@ -1507,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_exemplars": _q_metrics_exemplars,
         "metrics_sum_otlp": _q_metrics_sum_otlp,
         "metrics_exp_otlp": _q_metrics_exp_otlp,
+        "metrics_exp_signed_otlp": _q_metrics_exp_signed_otlp,
         "metrics_summary_otlp": _q_metrics_summary_otlp,
         "logs_anyvalue_otlp": _q_logs_anyvalue_otlp,
         "profile_pprof_roundtrip": _q_profile_pprof_roundtrip,
@@ -1854,6 +1884,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(0 AS bigint) AS bucket_count,
                    cast(1 AS int) AS flags
             FROM parsed GROUP BY svc HAVING count(latency_ms) = 0""",
+        "metrics_exp_signed_otlp": f"""{_parsed_cte()},
+            d AS (SELECT svc,
+                   latency_ms - lag(latency_ms) OVER (
+                       PARTITION BY svc, epoch_ns(ts) // 3600000000000
+                       ORDER BY ts, conv_id, turn_idx) AS delta
+                  FROM parsed),
+            b AS (SELECT svc,
+                   cast(CASE WHEN delta > 0 THEN 1
+                             WHEN delta < 0 THEN -1 ELSE 0 END AS int)
+                     AS bucket_sign,
+                   cast(CASE WHEN abs(delta) > 0
+                        THEN ceil(log2(abs(delta))) - 1 END AS int)
+                     AS bucket_idx,
+                   cast(count(*) AS bigint) AS bucket_count,
+                   cast(sum(delta) AS bigint) AS sum_b,
+                   min(delta) AS min_b, max(delta) AS max_b
+                  FROM d WHERE delta IS NOT NULL GROUP BY 1, 2, 3),
+            s AS (SELECT svc, cast(sum(bucket_count) AS bigint) AS count,
+                   cast(sum(sum_b) AS bigint) AS value_sum,
+                   min(min_b) AS value_min, max(max_b) AS value_max
+                  FROM b GROUP BY 1)
+            SELECT b.svc, b.bucket_sign, b.bucket_idx, b.bucket_count,
+                   s.count, s.value_sum, s.value_min, s.value_max
+            FROM b JOIN s ON b.svc IS NOT DISTINCT FROM s.svc""",
         "metrics_summary_otlp": f"""{_parsed_cte()}
             SELECT svc, cast(count(*) AS bigint) AS n,
                    cast(sum(latency_ms) AS bigint) AS value_sum,

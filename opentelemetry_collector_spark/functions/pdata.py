@@ -1488,3 +1488,153 @@ def flatten_attrs_anyvalue_from_otlp(
             ";",
         ).alias("ctx_sig"),
     )
+
+
+# ------------------------- signed exponential histogram in the envelope
+
+SIGNED_EXP_METRICS_OTLP_SCHEMA = (
+    "struct<resource:struct<attributes:map<string,string>>,"
+    "scopeMetrics:array<struct<scope:struct<name:string>,"
+    "metrics:array<struct<name:string,"
+    "exponentialHistogram:struct<aggregationTemporality:string,"
+    "dataPoints:array<struct<count:bigint,sum:bigint,min:bigint,"
+    "max:bigint,scale:int,zeroCount:bigint,"
+    "positive:struct<offset:int,bucketCounts:array<bigint>>,"
+    "negative:struct<offset:int,bucketCounts:array<bigint>>>>>>>>>>"
+)
+
+
+def _signed_dense(sign: int, prefix: str):
+    """(map, lo, hi) aggregate expressions + the dense vector/offset
+    pair for ONE sign's bucket list."""
+    is_sign = F.col("bucket_sign") == sign
+    entries = F.map_from_entries(
+        F.collect_list(
+            F.when(
+                is_sign,
+                F.struct(F.col("bucket_idx").alias("k"),
+                         F.col("bucket_count").alias("v")),
+            )
+        )
+    ).alias(f"_{prefix}bc")
+    lo = F.min(F.when(is_sign, F.col("bucket_idx"))).alias(f"_{prefix}lo")
+    hi = F.max(F.when(is_sign, F.col("bucket_idx"))).alias(f"_{prefix}hi")
+    return entries, lo, hi
+
+
+def _dense_vec(prefix: str):
+    return F.when(
+        F.col(f"_{prefix}lo").isNotNull(),
+        F.transform(
+            F.sequence(F.col(f"_{prefix}lo"), F.col(f"_{prefix}hi")),
+            lambda i: F.coalesce(
+                F.try_element_at(F.col(f"_{prefix}bc"), i), F.lit(0).cast("long")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def nest_signed_exp_metrics_to_otlp(
+    dps: DataFrame,
+    metric_name: str = "turn_latency_delta_ms",
+) -> DataFrame:
+    """signals.signed_exp_histogram_datapoints rows → one document per
+    service with BOTH bucket lists of the
+    ExponentialHistogramDataPoint (generated_...go:138-146
+    Positive()/Negative() — same dense contract per list, indexed over
+    |v|) plus the OPTIONAL sum/min/max fields (generated_...go:93-110
+    HasSum presence: emitted whenever the series recorded values,
+    which a count>0 datapoint always did)."""
+    pos_entries, plo, phi = _signed_dense(1, "p")
+    neg_entries, nlo, nhi = _signed_dense(-1, "n")
+    per_svc = dps.groupBy("svc").agg(
+        pos_entries, plo, phi,
+        neg_entries, nlo, nhi,
+        F.sum("bucket_count").alias("_count"),
+        F.sum(
+            F.when(F.col("bucket_sign") == 0, F.col("bucket_count")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_zero"),
+        F.sum("value_sum").alias("_sum"),
+        F.min("value_min").alias("_min"),
+        F.max("value_max").alias("_max"),
+    )
+    dp = F.struct(
+        F.col("_count").cast("long").alias("count"),
+        F.col("_sum").cast("long").alias("sum"),
+        F.col("_min").cast("long").alias("min"),
+        F.col("_max").cast("long").alias("max"),
+        F.lit(0).alias("scale"),
+        F.col("_zero").cast("long").alias("zeroCount"),
+        F.struct(
+            F.coalesce(F.col("_plo"), F.lit(0)).alias("offset"),
+            _dense_vec("p").alias("bucketCounts"),
+        ).alias("positive"),
+        F.struct(
+            F.coalesce(F.col("_nlo"), F.lit(0)).alias("offset"),
+            _dense_vec("n").alias("bucketCounts"),
+        ).alias("negative"),
+    )
+    return per_svc.select(
+        F.col("svc"),
+        _resource_envelope(
+            F.col("svc"),
+            F.array(
+                F.struct(
+                    F.lit(metric_name).alias("name"),
+                    F.struct(
+                        F.lit("AGGREGATION_TEMPORALITY_DELTA").alias(
+                            "aggregationTemporality"
+                        ),
+                        F.array(dp).alias("dataPoints"),
+                    ).alias("exponentialHistogram"),
+                )
+            ),
+        ).alias("otlp_json"),
+    )
+
+
+def flatten_signed_exp_metrics_from_otlp(
+    nested: DataFrame, json_col: str = "otlp_json"
+) -> DataFrame:
+    """Inverse: documents → sparse (svc, bucket_sign, bucket_idx,
+    bucket_count) rows with the svc-level count/sum/min/max carried on
+    every row (bucket-level stats are not in the OTLP form). zeroCount
+    restores the sign-0 NULL-idx row."""
+    m = _explode_to_metrics(nested, SIGNED_EXP_METRICS_OTLP_SCHEMA, json_col)
+    dp = m.select(
+        F.col("_svc").alias("svc"),
+        F.explode("m.exponentialHistogram.dataPoints").alias("p"),
+    )
+    carried = [
+        F.col("p.count").alias("count"),
+        F.col("p.sum").alias("value_sum"),
+        F.col("p.min").alias("value_min"),
+        F.col("p.max").alias("value_max"),
+    ]
+
+    def side(field: str, sign: int) -> DataFrame:
+        return dp.select(
+            "svc",
+            *carried,
+            F.col(f"p.{field}.offset").alias("_off"),
+            F.posexplode(F.col(f"p.{field}.bucketCounts")).alias(
+                "_i", "bucket_count"
+            ),
+        ).select(
+            "svc",
+            F.lit(sign).cast("int").alias("bucket_sign"),
+            (F.col("_off") + F.col("_i")).cast("int").alias("bucket_idx"),
+            "bucket_count",
+            *[F.col(c) for c in ("count", "value_sum", "value_min", "value_max")],
+        ).filter(F.col("bucket_count") > 0)
+
+    zero = dp.filter(F.col("p.zeroCount") > 0).select(
+        "svc",
+        F.lit(0).cast("int").alias("bucket_sign"),
+        F.lit(None).cast("int").alias("bucket_idx"),
+        F.col("p.zeroCount").alias("bucket_count"),
+        *carried,
+    )
+    return side("positive", 1).unionByName(side("negative", -1)).unionByName(zero)

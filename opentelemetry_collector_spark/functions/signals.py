@@ -526,3 +526,38 @@ def span_content_signatures(df: DataFrame) -> DataFrame:
         )
         .drop("attrs", "events", "links")
     )
+
+
+def signed_exp_histogram_datapoints(
+    df: DataFrame,
+    value_col: str = "delta",
+    series_keys: tuple[str, ...] = ("svc",),
+) -> DataFrame:
+    """Scale-0 exponential histogram over a SIGNED series — the
+    Negative/Positive bucket pair
+    (pmetric/generated_exponentialhistogramdatapoint.go:138-146: both
+    lists share the bucket contract, indexed over |v|): index =
+    ceil(log2(|v|)) - 1 in the sign's own list, v == 0 → the zeroCount
+    bucket. Per-bucket sum/min/max ride each row (the
+    histogram_datapoints convention) so the envelope can reassemble the
+    datapoint's OPTIONAL sum/min/max fields (generated_...go:93-110
+    Sum/HasSum/RemoveSum) without a second scan. One shuffle on
+    (keys, sign, bucket)."""
+    v = F.col(value_col)
+    av = F.abs(v)
+    idx = (F.ceil(F.log2(av)) - 1).cast("int")
+    sign = (
+        F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .withColumn("bucket_sign", sign)
+        .withColumn("bucket_idx", F.when(av > 0, idx))
+        .groupBy(*series_keys, "bucket_sign", "bucket_idx")
+        .agg(
+            F.count(F.lit(1)).alias("bucket_count"),
+            F.sum(v).cast("long").alias("value_sum"),
+            F.min(v).alias("value_min"),
+            F.max(v).alias("value_max"),
+        )
+    )

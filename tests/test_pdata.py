@@ -495,3 +495,39 @@ def test_foreign_flagged_datapoint_with_residual_buckets_no_double_flatten(spark
     enested = spark.createDataFrame([(edoc,)], "otlp_json string")
     erows = pdata.flatten_exp_histogram_metrics_from_otlp(enested).collect()
     assert len(erows) == 1 and erows[0]["bucket_idx"] == 1
+
+
+def test_signed_exp_envelope_negative_buckets_and_optional_stats(spark):
+    """Negative bucket list + optional sum/min/max
+    (generated_exponentialhistogramdatapoint.go:93-146): a signed
+    series round-trips both dense lists, zero values restore as the
+    sign-0 row, and the svc-level stats ride every flattened row."""
+    import json
+
+    from opentelemetry_collector_spark.functions import signals
+
+    rows = [
+        ("api", 3), ("api", 5), ("api", -2), ("api", -16), ("api", 0),
+    ]
+    df = spark.createDataFrame(rows, "svc string, delta long")
+    dps = signals.signed_exp_histogram_datapoints(df)
+    nested = pdata.nest_signed_exp_metrics_to_otlp(dps)
+    doc = json.loads(nested.first()["otlp_json"])
+    dp = doc["scopeMetrics"][0]["metrics"][0]["exponentialHistogram"][
+        "dataPoints"
+    ][0]
+    assert dp["count"] == 5 and dp["zeroCount"] == 1
+    assert dp["sum"] == -10 and dp["min"] == -16 and dp["max"] == 5
+    # +3 → idx 1, +5 → idx 2 (ceil(log2(v))-1); dense [idx1..idx2]
+    assert dp["positive"] == {"offset": 1, "bucketCounts": [1, 1]}
+    # |-2| → idx 0, |-16| → idx 3; dense with zero slots between
+    assert dp["negative"] == {"offset": 0, "bucketCounts": [1, 0, 0, 1]}
+    back = pdata.flatten_signed_exp_metrics_from_otlp(nested).collect()
+    by = {(r["bucket_sign"], r["bucket_idx"]): r for r in back}
+    assert by[(1, 1)]["bucket_count"] == 1
+    assert by[(-1, 3)]["bucket_count"] == 1
+    assert by[(0, None)]["bucket_count"] == 1
+    assert all(
+        r["value_sum"] == -10 and r["value_min"] == -16 and r["count"] == 5
+        for r in back
+    )
