@@ -569,9 +569,18 @@ def encode_span(
     return bytes(out)
 
 
-def _decode_attr_list(bufs: list[bytes]) -> list[dict]:
+def _decode_attr_list(bufs: list[bytes], memo: dict | None = None) -> list[dict]:
     """KeyValue list preserving order + duplicates (the Span
-    attrs/events/links form; _decode_attrs' dict collapses both)."""
+    attrs/events/links form; _decode_attrs' dict collapses both). An
+    optional per-batch memo short-circuits repeated byte-identical
+    lists — span attrs are low-cardinality label sets (svc × tool) and
+    link attrs are constant labels, so the batch decoder pays the parse
+    once per distinct value set instead of once per row."""
+    if memo is not None:
+        key = tuple(bufs)
+        got = memo.get(key)
+        if got is not None:
+            return got
     out = []
     for buf in bufs:
         k = v = None
@@ -583,10 +592,12 @@ def _decode_attr_list(bufs: list[bytes]) -> list[dict]:
                     if f2 == 1:
                         v = v2.decode("utf-8")
         out.append({"key": k, "value": v})
+    if memo is not None:
+        memo[key] = out
     return out
 
 
-def _decode_event(buf: bytes) -> dict:
+def _decode_event(buf: bytes, memo: dict | None = None) -> dict:
     ev = {"ts_ns": 0, "name": "", "attrs": []}
     attr_bufs = []
     for f, _w, val in _fields(buf):
@@ -596,11 +607,11 @@ def _decode_event(buf: bytes) -> dict:
             ev["name"] = val.decode("utf-8")
         elif f == 3:
             attr_bufs.append(val)
-    ev["attrs"] = _decode_attr_list(attr_bufs)
+    ev["attrs"] = _decode_attr_list(attr_bufs, memo)
     return ev
 
 
-def _decode_link(buf: bytes) -> dict:
+def _decode_link(buf: bytes, memo: dict | None = None) -> dict:
     ln = {"trace_id": "", "span_id": "", "trace_state": None, "attrs": [],
           "flags": 0}
     attr_bufs = []
@@ -615,11 +626,11 @@ def _decode_link(buf: bytes) -> dict:
             attr_bufs.append(val)
         elif f == 6:
             ln["flags"] = val
-    ln["attrs"] = _decode_attr_list(attr_bufs)
+    ln["attrs"] = _decode_attr_list(attr_bufs, memo)
     return ln
 
 
-def decode_span(buf: bytes) -> dict:
+def decode_span(buf: bytes, _memo: dict | None = None) -> dict:
     rec: dict = {
         "trace_id": "", "span_id": "", "parent_span_id": None,
         "name": "", "kind": SPAN_KINDS[0], "start_ns": 0, "end_ns": 0,
@@ -647,9 +658,9 @@ def decode_span(buf: bytes) -> dict:
         elif f == 9:
             attr_bufs.append(val)
         elif f == 11:
-            rec["events"].append(_decode_event(val))
+            rec["events"].append(_decode_event(val, _memo))
         elif f == 13:
-            rec["links"].append(_decode_link(val))
+            rec["links"].append(_decode_link(val, _memo))
         elif f == 15:
             for f2, _w2, v2 in _fields(val):
                 if f2 == 2:
@@ -658,7 +669,7 @@ def decode_span(buf: bytes) -> dict:
                     rec["status"] = STATUS_CODES[v2]
         elif f == 16:
             rec["flags"] = val
-    rec["attrs"] = _decode_attr_list(attr_bufs)
+    rec["attrs"] = _decode_attr_list(attr_bufs, _memo)
     return rec
 
 
@@ -968,7 +979,11 @@ def encode_spans(df: DataFrame) -> DataFrame:
 def decode_spans(df: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decode_span(bytes(p)) for p in pdf["proto"]]
+            # shared per-batch attr-list memo: span/link attrs are
+            # low-cardinality label sets, parsed once per distinct
+            # byte-identical list instead of once per row
+            memo: dict = {}
+            rows = [decode_span(bytes(p), memo) for p in pdf["proto"]]
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
