@@ -108,6 +108,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]
         "profiles_dictionary_otlp",
         "profile_mapping_rollup",
         "resource_entities_writeback",
+        "metrics_exp_signed_otlp",
     ]
     # warm-up: JVM, codegen, parquet footers (small sf)
     _force(pipeline.flagship(spark, "/root/testdata/sf0.001"))

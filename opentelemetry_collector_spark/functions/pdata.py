@@ -1098,22 +1098,15 @@ def nest_exp_histogram_metrics_to_otlp(
             )
         ).alias("_zero"),
     )
-    dense = F.when(
-        F.col("_lo").isNotNull(),
-        F.transform(
-            F.sequence(F.col("_lo"), F.col("_hi")),
-            lambda i: F.coalesce(
-                F.try_element_at(F.col("_bc"), i), F.lit(0).cast("long")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # _dense_vec("") reads the same _bc/_lo/_hi columns — ONE dense-
+    # reconstruction contract shared with the signed nest (r6 review)
     dp = F.struct(
         F.col("_count").cast("long").alias("count"),
         F.lit(0).alias("scale"),
         F.col("_zero").cast("long").alias("zeroCount"),
         F.struct(
             F.coalesce(F.col("_lo"), F.lit(0)).alias("offset"),
-            dense.alias("bucketCounts"),
+            _dense_vec("").alias("bucketCounts"),
         ).alias("positive"),
         # noRecordedValue: zero recorded values in the series (a gap
         # row contributes bucket_count 0, so _count stays 0)

@@ -580,7 +580,10 @@ def _decode_attr_list(bufs: list[bytes], memo: dict | None = None) -> list[dict]
         key = tuple(bufs)
         got = memo.get(key)
         if got is not None:
-            return got
+            # copy-on-hit: rows must never alias the cached dicts — a
+            # post-decode in-place edit would otherwise corrupt every
+            # row sharing the entry (and only with a memo in play)
+            return [dict(d) for d in got]
     out = []
     for buf in bufs:
         k = v = None
@@ -658,7 +661,9 @@ def decode_span(buf: bytes, _memo: dict | None = None) -> dict:
         elif f == 9:
             attr_bufs.append(val)
         elif f == 11:
-            rec["events"].append(_decode_event(val, _memo))
+            # events carry per-row attrs (unique exception messages /
+            # latency values) — a memo there is all overhead, no hits
+            rec["events"].append(_decode_event(val))
         elif f == 13:
             rec["links"].append(_decode_link(val, _memo))
         elif f == 15:
