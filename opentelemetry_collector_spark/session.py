@@ -51,6 +51,33 @@ def get_spark(
         # parallelism matches the core count (on a real cluster the
         # default 128 MB is right — there the files are many and large)
         builder = builder.config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # r7 (guide §2.2/§6): the 16 MB cap alone still left the sf0.1
+        # transcript scan at 6 map tasks on a 32-core box (measured:
+        # the logs-envelope map stage burned 12 s of CPU across 6 tasks
+        # = 2 s wall with 26 cores idle). Scale-adaptively derive split
+        # size from input-size/parallelism instead of a constant:
+        # minPartitionNum floors scan parallelism at 2× the core count
+        # and openCostInBytes must drop below the default 4 MB or it
+        # re-floors every split at 4 MB. Cluster runs (master != local)
+        # keep the defaults — there files are many and large and the
+        # 128 MB split is right.
+        parallelism = int(master[6:-1]) if master[6:-1].isdigit() else int(cpus)
+        builder = builder.config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_MIN_PARTITION_NUM", str(2 * parallelism)),
+        ).config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_OPEN_COST_BYTES", str(1024 * 1024)),
+        ).config(
+            # AQE coalescing is byte-based; CPU-dense stages over narrow
+            # rows (134k candidate pairs × 64-dim cosine ≈ 4 MB) were
+            # coalesced to 1-4 partitions and ran serially (measured:
+            # embedding_dedup verify = one 3 s task). 64k keeps such
+            # stages wide locally; production inputs are orders larger,
+            # where the 1 MB default never binds on real data anyway.
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
