@@ -840,36 +840,42 @@ def flatten_histogram_metrics_from_otlp(
     dp = m.select(
         F.col("_svc").alias("svc"), F.explode("m.histogram.dataPoints").alias("p")
     )
+    flags = F.coalesce(F.col("p.flags"), F.lit(0))
+    # ONE pass (r7, guide §2.4): the r6 recorded/gap union re-evaluated
+    # the whole upstream (parse → nest → from_json) once per branch;
+    # assemble both row kinds per datapoint and explode once instead
+    empty = F.array().cast("array<struct<bucket_idx:int,bucket_count:bigint>>")
+    ent = lambda idx, cnt: F.struct(  # noqa: E731
+        idx.cast("int").alias("bucket_idx"), cnt.cast("bigint").alias("bucket_count")
+    )
+    recorded = F.coalesce(
+        F.filter(
+            F.transform(F.col("p.bucketCounts"), lambda c, i: ent(i, c)),
+            lambda x: x["bucket_count"] > 0,
+        ),
+        empty,
+    )
+    # gap row ONLY for truly empty datapoints: a foreign document may
+    # legally set noRecordedValue on a point that still carries stale
+    # buckets — those rows survive through the recorded entries above
+    # and must not ALSO spawn a synthetic gap row
+    gaps = F.when(
+        (flags == 1) & (F.col("p.count") == 0),
+        F.array(ent(F.lit(None).cast("int"), F.lit(0))),
+    ).otherwise(empty)
     rows = dp.select(
         "svc",
         F.col("p.count").alias("count"),
         F.col("p.sum").alias("value_sum"),
         F.col("p.min").alias("value_min"),
         F.col("p.max").alias("value_max"),
-        F.coalesce(F.col("p.flags"), F.lit(0)).alias("flags"),
-        F.posexplode(F.col("p.bucketCounts")).alias("bucket_idx", "bucket_count"),
+        flags.alias("flags"),
+        F.explode(F.concat(recorded, gaps)).alias("x"),
     )
-    recorded = rows.filter(F.col("bucket_count") > 0).select(
-        "svc", "bucket_idx", "bucket_count", "count",
+    return rows.select(
+        "svc", F.col("x.bucket_idx"), F.col("x.bucket_count"), "count",
         "value_sum", "value_min", "value_max", "flags",
     )
-    # gap row ONLY for truly empty datapoints: a foreign document may
-    # legally set noRecordedValue on a point that still carries stale
-    # buckets — those rows survive through the recorded branch above
-    # and must not ALSO spawn a synthetic gap row
-    gaps = dp.filter(
-        (F.coalesce(F.col("p.flags"), F.lit(0)) == 1) & (F.col("p.count") == 0)
-    ).select(
-        "svc",
-        F.lit(None).cast("int").alias("bucket_idx"),
-        F.lit(0).cast("long").alias("bucket_count"),
-        F.col("p.count").alias("count"),
-        F.col("p.sum").alias("value_sum"),
-        F.col("p.min").alias("value_min"),
-        F.col("p.max").alias("value_max"),
-        F.col("p.flags").alias("flags"),
-    )
-    return recorded.unionByName(gaps)
 
 
 HIST_EXEMPLAR_OTLP_SCHEMA = (
@@ -1146,32 +1152,40 @@ def flatten_exp_histogram_metrics_from_otlp(
         F.explode("m.exponentialHistogram.dataPoints").alias("p"),
     )
     flags = F.coalesce(F.col("p.flags"), F.lit(0))
-    pos = dp.select(
-        "svc",
-        F.col("p.positive.offset").alias("_off"),
-        flags.alias("flags"),
-        F.posexplode(F.col("p.positive.bucketCounts")).alias("_i", "bucket_count"),
-    ).select(
-        "svc",
-        (F.col("_off") + F.col("_i")).cast("int").alias("bucket_idx"),
-        F.col("bucket_count"),
-        F.col("flags"),
-    ).filter(F.col("bucket_count") > 0)
-    zero = dp.filter(F.col("p.zeroCount") > 0).select(
-        "svc",
-        F.lit(None).cast("int").alias("bucket_idx"),
-        F.col("p.zeroCount").alias("bucket_count"),
-        flags.alias("flags"),
+    # ONE pass (r7, guide §2.4): the r6 three-way union re-evaluated the
+    # whole upstream (parse → nest → from_json) once per branch; the
+    # sparse rows + zero bucket + gap marker are assembled per datapoint
+    # as arrays and exploded once instead
+    empty = F.array().cast("array<struct<bucket_idx:int,bucket_count:bigint>>")
+    ent = lambda idx, cnt: F.struct(  # noqa: E731
+        idx.cast("int").alias("bucket_idx"), cnt.cast("bigint").alias("bucket_count")
     )
+    pos = F.coalesce(
+        F.filter(
+            F.transform(
+                F.col("p.positive.bucketCounts"),
+                lambda c, i: ent(F.col("p.positive.offset") + i, c),
+            ),
+            lambda x: x["bucket_count"] > 0,
+        ),
+        empty,
+    )
+    zero = F.when(
+        F.col("p.zeroCount") > 0,
+        F.array(ent(F.lit(None).cast("int"), F.col("p.zeroCount"))),
+    ).otherwise(empty)
     # count==0 guard mirrors the histogram flatten: a foreign flagged
     # datapoint with residual buckets keeps its rows, no synthetic gap
-    gaps = dp.filter((flags == 1) & (F.col("p.count") == 0)).select(
-        "svc",
-        F.lit(None).cast("int").alias("bucket_idx"),
-        F.lit(0).cast("long").alias("bucket_count"),
-        flags.alias("flags"),
+    gaps = F.when(
+        (flags == 1) & (F.col("p.count") == 0),
+        F.array(ent(F.lit(None).cast("int"), F.lit(0))),
+    ).otherwise(empty)
+    rows = dp.select(
+        "svc", flags.alias("flags"), F.explode(F.concat(pos, zero, gaps)).alias("x")
     )
-    return pos.unionByName(zero).unionByName(gaps)
+    return rows.select(
+        "svc", F.col("x.bucket_idx"), F.col("x.bucket_count"), "flags"
+    )
 
 
 SUMMARY_METRICS_OTLP_SCHEMA = (
@@ -1607,27 +1621,46 @@ def flatten_signed_exp_metrics_from_otlp(
         F.col("p.max").alias("value_max"),
     ]
 
-    def side(field: str, sign: int) -> DataFrame:
-        return dp.select(
-            "svc",
-            *carried,
-            F.col(f"p.{field}.offset").alias("_off"),
-            F.posexplode(F.col(f"p.{field}.bucketCounts")).alias(
-                "_i", "bucket_count"
-            ),
-        ).select(
-            "svc",
-            F.lit(sign).cast("int").alias("bucket_sign"),
-            (F.col("_off") + F.col("_i")).cast("int").alias("bucket_idx"),
-            "bucket_count",
-            *[F.col(c) for c in ("count", "value_sum", "value_min", "value_max")],
-        ).filter(F.col("bucket_count") > 0)
-
-    zero = dp.filter(F.col("p.zeroCount") > 0).select(
-        "svc",
-        F.lit(0).cast("int").alias("bucket_sign"),
-        F.lit(None).cast("int").alias("bucket_idx"),
-        F.col("p.zeroCount").alias("bucket_count"),
-        *carried,
+    # ONE pass (r7, guide §2.4): the r6 positive/negative/zero union
+    # re-evaluated the whole upstream (lag-window deltas → nest →
+    # from_json) once per branch; assemble all three row kinds per
+    # datapoint and explode once instead
+    empty = F.array().cast(
+        "array<struct<bucket_sign:int,bucket_idx:int,bucket_count:bigint>>"
     )
-    return side("positive", 1).unionByName(side("negative", -1)).unionByName(zero)
+    ent = lambda sign, idx, cnt: F.struct(  # noqa: E731
+        sign.cast("int").alias("bucket_sign"),
+        idx.cast("int").alias("bucket_idx"),
+        cnt.cast("bigint").alias("bucket_count"),
+    )
+
+    def side(field: str, sign: int):
+        return F.coalesce(
+            F.filter(
+                F.transform(
+                    F.col(f"p.{field}.bucketCounts"),
+                    lambda c, i: ent(
+                        F.lit(sign), F.col(f"p.{field}.offset") + i, c
+                    ),
+                ),
+                lambda x: x["bucket_count"] > 0,
+            ),
+            empty,
+        )
+
+    zero = F.when(
+        F.col("p.zeroCount") > 0,
+        F.array(ent(F.lit(0), F.lit(None).cast("int"), F.col("p.zeroCount"))),
+    ).otherwise(empty)
+    rows = dp.select(
+        "svc",
+        *carried,
+        F.explode(
+            F.concat(side("positive", 1), side("negative", -1), zero)
+        ).alias("x"),
+    )
+    return rows.select(
+        "svc", F.col("x.bucket_sign"), F.col("x.bucket_idx"),
+        F.col("x.bucket_count"),
+        "count", "value_sum", "value_min", "value_max",
+    )

@@ -142,29 +142,45 @@ def histogram_datapoints(
     no-bucket row (NULL bucket_idx, zero count) that the envelope
     marks noRecordedValue."""
     v = F.col(value_col)
-    vtype = df.schema[value_col].dataType
+    if not include_gap_series:
+        return (
+            df.filter(v.isNotNull())
+            .withColumn("bucket_idx", _bucket_expr(v, bounds))
+            .groupBy(*series_keys, "bucket_idx")
+            .agg(
+                F.count(F.lit(1)).alias("bucket_count"),
+                F.sum(v).cast("long").alias("value_sum"),
+                F.min(v).alias("value_min"),
+                F.max(v).alias("value_max"),
+            )
+        )
+    # Gap rows in the SAME aggregation pass (r7, guide §2.3 "aggregate
+    # before you shuffle" / one scan not two): NULL values bucket under
+    # a NULL idx; count(v)/sum/min/max all skip NULLs, so that group is
+    # exactly (0, NULL, NULL, NULL). Keep it only for series whose total
+    # recorded count is zero — the genuine gap — via a window over the
+    # bounded per-series aggregate (cardinality = key space, never the
+    # row count). The r6 shape union'd a second full corpus scan.
+    from pyspark.sql import Window
+
     out = (
-        df.filter(v.isNotNull())
-        .withColumn("bucket_idx", _bucket_expr(v, bounds))
+        df.withColumn(
+            "bucket_idx", F.when(v.isNotNull(), _bucket_expr(v, bounds))
+        )
         .groupBy(*series_keys, "bucket_idx")
         .agg(
-            F.count(F.lit(1)).alias("bucket_count"),
+            F.count(v).alias("bucket_count"),
             F.sum(v).cast("long").alias("value_sum"),
             F.min(v).alias("value_min"),
             F.max(v).alias("value_max"),
         )
     )
-    if include_gap_series:
-        gaps = gap_series(df, value_col, series_keys).select(
-            *series_keys,
-            F.lit(None).cast("int").alias("bucket_idx"),
-            F.lit(0).cast("long").alias("bucket_count"),
-            F.lit(None).cast("long").alias("value_sum"),
-            F.lit(None).cast(vtype).alias("value_min"),
-            F.lit(None).cast(vtype).alias("value_max"),
-        )
-        out = out.unionByName(gaps)
-    return out
+    w = Window.partitionBy(*series_keys)
+    return (
+        out.withColumn("_tot", F.sum("bucket_count").over(w))
+        .filter(F.col("bucket_idx").isNotNull() | (F.col("_tot") == 0))
+        .drop("_tot")
+    )
 
 
 def histogram_datapoints_with_exemplars(
@@ -222,20 +238,37 @@ def exp_histogram_datapoints(
     are the separate zerocount bucket."""
     v = F.col(value_col)
     idx = (F.ceil(F.log2(v)) - 1).cast("int")
-    out = (
-        df.filter(v.isNotNull())
-        .withColumn("bucket_idx", F.when(v > 0, idx).otherwise(F.lit(None)))
-        .groupBy(*series_keys, "bucket_idx")
-        .agg(F.count(F.lit(1)).alias("bucket_count"))
-    )
-    if include_gap_series:
-        gaps = gap_series(df, value_col, series_keys).select(
-            *series_keys,
-            F.lit(None).cast("int").alias("bucket_idx"),
-            F.lit(0).cast("long").alias("bucket_count"),
+    if not include_gap_series:
+        return (
+            df.filter(v.isNotNull())
+            .withColumn("bucket_idx", F.when(v > 0, idx).otherwise(F.lit(None)))
+            .groupBy(*series_keys, "bucket_idx")
+            .agg(F.count(F.lit(1)).alias("bucket_count"))
         )
-        out = out.unionByName(gaps)
-    return out
+    # One scan, not two (r7 — same single-pass shape as
+    # histogram_datapoints): NULL values fold into the NULL-idx group
+    # alongside the zero bucket; count(v) counts only recorded values,
+    # so the NULL-idx row's count is the zero-bucket total (or 0 for an
+    # all-NULL series). Keep the NULL-idx row when it holds real zeros
+    # OR the whole series recorded nothing (the gap marker); drop the
+    # empty artifact a partially-NULL series would otherwise add.
+    from pyspark.sql import Window
+
+    out = (
+        df.withColumn("bucket_idx", F.when(v.isNotNull() & (v > 0), idx))
+        .groupBy(*series_keys, "bucket_idx")
+        .agg(F.count(v).alias("bucket_count"))
+    )
+    w = Window.partitionBy(*series_keys)
+    return (
+        out.withColumn("_tot", F.sum("bucket_count").over(w))
+        .filter(
+            F.col("bucket_idx").isNotNull()
+            | (F.col("bucket_count") > 0)
+            | (F.col("_tot") == 0)
+        )
+        .drop("_tot")
+    )
 
 
 def summary_datapoints(
