@@ -1473,8 +1473,52 @@ def _q_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration ORDER is part of the external gate: the driver's
+    # correctness check samples the FIRST 50 entries. r7 rotation
+    # (VERDICT r6 #1): pipeline_e2e stays first for headline
+    # continuity; positions 2-35 are the 34 queries that had never had
+    # a driver-gate row across rounds 1-6 (the OTLP envelope family,
+    # profiles, corpus-text, components, incremental dedup — computed
+    # as queries() minus the union of CORRECTNESS_r01..r06 keys); the
+    # 56 previously-gated keys follow in their prior relative order.
     return {
         "pipeline_e2e": _q_pipeline_e2e,
+        # --- never-driver-gated before r7 ---
+        "spans_roundtrip": _q_spans_roundtrip,
+        "spans_otlp_json": _q_spans_otlp_json,
+        "metrics_roundtrip": _q_metrics_roundtrip,
+        "metrics_otlp_json": _q_metrics_otlp_json,
+        "metrics_histogram_otlp": _q_metrics_histogram_otlp,
+        "metrics_exemplars": _q_metrics_exemplars,
+        "metrics_sum_otlp": _q_metrics_sum_otlp,
+        "metrics_exp_otlp": _q_metrics_exp_otlp,
+        "metrics_exp_signed_otlp": _q_metrics_exp_signed_otlp,
+        "metrics_summary_otlp": _q_metrics_summary_otlp,
+        "logs_anyvalue_otlp": _q_logs_anyvalue_otlp,
+        "profile_pprof_roundtrip": _q_profile_pprof_roundtrip,
+        "profile_hot_functions": _q_profile_hot_functions,
+        "profile_span_hotspots": _q_profile_span_hotspots,
+        "profile_attr_units": _q_profile_attr_units,
+        "profile_mapping_rollup": _q_profile_mapping_rollup,
+        "profiles_otlp_json": _q_profiles_otlp_json,
+        "profiles_dictionary_otlp": _q_profiles_dictionary_otlp,
+        "vocab_topk": _q_vocab_topk,
+        "text_repetition": _q_text_repetition,
+        "text_redact": _q_text_redact,
+        "lm_score": _q_lm_score,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_bucketed": _q_dedup_incremental_bucketed,
+        "docs_quality": _q_docs_quality,
+        "sample_mix": _q_sample_mix,
+        "contamination_check": _q_contamination_check,
+        "sequence_pack": _q_sequence_pack,
+        "bpe_merges": _q_bpe_merges,
+        "neardup_components": _q_neardup_components,
+        "neardup_components_star": _q_neardup_components_star,
+        "corpus_pipeline": _q_corpus_pipeline,
+        "bpe_segment": _q_bpe_segment,
+        "tfidf_topterms": _q_tfidf_topterms,
+        # --- previously gated (r1-r6 driver artifacts) ---
         "pipeline_e2e_salted": _q_pipeline_e2e_salted,
         "pipeline_e2e_arrow": _q_pipeline_e2e_arrow,
         "parse_turns": _q_parse_turns,
@@ -1528,43 +1572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_exp_histogram": _q_metrics_exp_histogram,
         "metrics_summary": _q_metrics_summary,
         "trace_spans": _q_trace_spans,
-        "spans_roundtrip": _q_spans_roundtrip,
-        "spans_otlp_json": _q_spans_otlp_json,
-        "metrics_roundtrip": _q_metrics_roundtrip,
-        "metrics_otlp_json": _q_metrics_otlp_json,
-        "metrics_histogram_otlp": _q_metrics_histogram_otlp,
-        "metrics_exemplars": _q_metrics_exemplars,
-        "metrics_sum_otlp": _q_metrics_sum_otlp,
-        "metrics_exp_otlp": _q_metrics_exp_otlp,
-        "metrics_exp_signed_otlp": _q_metrics_exp_signed_otlp,
-        "metrics_summary_otlp": _q_metrics_summary_otlp,
-        "logs_anyvalue_otlp": _q_logs_anyvalue_otlp,
-        "profile_pprof_roundtrip": _q_profile_pprof_roundtrip,
         "docs_clean_pipeline": _q_docs_clean_pipeline,
         "turn_gaps": _q_turn_gaps,
         "first_turns": _q_first_turns,
-        "profile_hot_functions": _q_profile_hot_functions,
-        "profile_span_hotspots": _q_profile_span_hotspots,
-        "profile_attr_units": _q_profile_attr_units,
-        "profile_mapping_rollup": _q_profile_mapping_rollup,
-        "profiles_otlp_json": _q_profiles_otlp_json,
-        "profiles_dictionary_otlp": _q_profiles_dictionary_otlp,
-        "vocab_topk": _q_vocab_topk,
-        "text_repetition": _q_text_repetition,
-        "text_redact": _q_text_redact,
-        "lm_score": _q_lm_score,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_incremental_bucketed": _q_dedup_incremental_bucketed,
-        "docs_quality": _q_docs_quality,
-        "sample_mix": _q_sample_mix,
-        "contamination_check": _q_contamination_check,
-        "sequence_pack": _q_sequence_pack,
-        "bpe_merges": _q_bpe_merges,
-        "neardup_components": _q_neardup_components,
-        "neardup_components_star": _q_neardup_components_star,
-        "corpus_pipeline": _q_corpus_pipeline,
-        "bpe_segment": _q_bpe_segment,
-        "tfidf_topterms": _q_tfidf_topterms,
     }
 
 
