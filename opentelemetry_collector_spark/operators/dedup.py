@@ -1509,6 +1509,15 @@ def neardup_components(
         .persist()
     )
     labels = ids.withColumn("comp", F.col("id")).localCheckpoint()
+
+    def _label_sum(frame: DataFrame):
+        # exact decimal sum — ids are non-negative longs, so Σcomp fits
+        # decimal(38,0) at any corpus size where ids fit a long at all
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     rounds = 0
     new_labels = None
@@ -1532,18 +1541,22 @@ def neardup_components(
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.withColumnRenamed("comp", "new_comp")
-                .join(labels, "id")
-                .filter(F.col("new_comp") != F.col("comp"))
-                .count()
-            )
+            # convergence via the label-sum invariant (r7): comp is
+            # least(old, neighbors) per round, so labels are monotone
+            # non-increasing and ANY change strictly decreases Σcomp —
+            # changed == 0 ⟺ Σcomp unchanged. One map-side-combined agg
+            # over the checkpointed frame replaces the r6 per-round
+            # new-vs-old join + filter + count (one shuffle per round
+            # on the O(log-diameter) critical path).
+            new_sum = _label_sum(new_labels)
+            changed = new_sum != prev_sum
+            prev_sum = new_sum
             # superseded round's checkpoint blocks: freed NOW (new_labels
             # is eager-materialized), not whenever the ContextCleaner gets
             # to them — repeated invocations must not accumulate storage
             _free_local_checkpoint(labels)
             labels = new_labels
-            if changed == 0:
+            if not changed:
                 converged = True
                 break
         if not converged:
