@@ -531,3 +531,123 @@ def test_signed_exp_envelope_negative_buckets_and_optional_stats(spark):
         r["value_sum"] == -10 and r["value_min"] == -16 and r["count"] == 5
         for r in back
     )
+
+
+def test_flatten_single_pass_absent_bucket_lists(spark):
+    """r7 single-pass flattens (array-concat + one explode): a foreign
+    datapoint with an ABSENT bucketCounts list must still emit its
+    zero-bucket / gap rows — under the r6 union shape posexplode of the
+    null list simply produced no rows in that branch; the r7 concat
+    must coalesce the null piece to empty instead of nulling the whole
+    concat (concat(NULL, x) is NULL, which would swallow the zero row
+    and the gap marker with it)."""
+    import json
+
+    edoc = json.dumps(
+        {
+            "resource": {"attributes": {"svc": "api"}},
+            "scopeMetrics": [
+                {
+                    "scope": {"name": "x"},
+                    "metrics": [
+                        {
+                            "name": "m",
+                            "exponentialHistogram": {
+                                "aggregationTemporality": "AGGREGATION_TEMPORALITY_DELTA",
+                                "dataPoints": [
+                                    # zero-only point, no positive list
+                                    {"count": 4, "scale": 0, "zeroCount": 4},
+                                    # truly empty flagged point, no lists
+                                    {"count": 0, "scale": 0, "zeroCount": 0,
+                                     "flags": 1},
+                                ],
+                            },
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    enested = spark.createDataFrame([(edoc,)], "otlp_json string")
+    erows = sorted(
+        pdata.flatten_exp_histogram_metrics_from_otlp(enested).collect(),
+        key=lambda r: (r["flags"], r["bucket_count"]),
+    )
+    assert len(erows) == 2
+    zero = [r for r in erows if r["bucket_count"] == 4]
+    gap = [r for r in erows if r["flags"] == 1]
+    assert zero and zero[0]["bucket_idx"] is None and zero[0]["flags"] == 0
+    assert gap and gap[0]["bucket_idx"] is None and gap[0]["bucket_count"] == 0
+
+    hdoc = json.dumps(
+        {
+            "resource": {"attributes": {"svc": "api"}},
+            "scopeMetrics": [
+                {
+                    "scope": {"name": "x"},
+                    "metrics": [
+                        {
+                            "name": "m",
+                            "histogram": {
+                                "aggregationTemporality": "AGGREGATION_TEMPORALITY_DELTA",
+                                "dataPoints": [
+                                    {"count": 0, "flags": 1}  # no vector
+                                ],
+                            },
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    hnested = spark.createDataFrame([(hdoc,)], "otlp_json string")
+    hrows = pdata.flatten_histogram_metrics_from_otlp(hnested).collect()
+    assert len(hrows) == 1
+    assert hrows[0]["bucket_idx"] is None and hrows[0]["flags"] == 1
+
+
+def test_dictionary_flatten_malformed_entries_surface_as_null_rows(spark):
+    """r7 flatten_dictionary_locations (single-pass element_at form,
+    ADVICE r6 #3): a foreign dictionary whose location references a
+    missing function or an out-of-range strindex yields a
+    NULL-symbolized row rather than silently vanishing (the r6 inner
+    joins dropped it); a negative (malformed) index must not wrap into
+    end-relative array access."""
+    import json
+
+    from opentelemetry_collector_spark.functions import profiles_otlp
+
+    doc = json.dumps(
+        {
+            "stringTable": ["", "fn_a", "file_a"],
+            "functionTable": [
+                {},
+                {"nameStrindex": 1, "filenameStrindex": 2},
+                {"nameStrindex": 99, "filenameStrindex": -3},  # dangling
+            ],
+            "locationTable": [
+                {},
+                {"lines": [{"functionIndex": 1, "line": 10}]},   # resolves
+                {"lines": [{"functionIndex": 2, "line": 20}]},   # dangling strs
+                {"lines": [{"functionIndex": 77, "line": 30}]},  # missing fn
+                {"mappingIndex": 0},                              # absent lines
+            ],
+            "stackTable": [{}],
+            "linkTable": [{}],
+            "attributeTable": [{}],
+            "mappingTable": [{"filenameStrindex": 0}],
+        }
+    )
+    nested = spark.createDataFrame([(doc,)], "otlp_json string")
+    rows = {r["location_id"]: r
+            for r in profiles_otlp.flatten_dictionary_locations(nested).collect()}
+    assert set(rows) == {0, 1, 2, 3}  # every real location survives
+    assert rows[0]["name"] == "fn_a" and rows[0]["filename"] == "file_a"
+    # dangling strindexes (99 out of range, -3 negative) → NULL, not a
+    # wrapped end-relative string
+    assert rows[1]["name"] is None and rows[1]["filename"] is None
+    # missing function entry → NULL symbolization, row kept
+    assert rows[2]["name"] is None and rows[2]["function_id"] == 76
+    # absent lines array → NULL function/line, reserved mapping carried
+    assert rows[3]["function_id"] is None and rows[3]["line"] is None
+    assert rows[3]["mapping_id"] == 0 and rows[3]["memory_start"] == 0
