@@ -93,10 +93,28 @@ def _two_level_running(
     shard_cols = [F.col(k) for k in shard_keys]
     order_cols = [F.col(k) for k in order_keys]
     w = (weight if weight is not None else F.lit(1)).cast("long")
+    # ONE materialization of the ranged frame (r7). `rp` feeds TWO plan
+    # subtrees (the offsets aggregate and the probe side of the join),
+    # and _pid = spark_partition_id() is only meaningful if both see
+    # the SAME partitioning. Two independent evaluations do not
+    # guarantee that: AQE re-optimizes each range exchange separately
+    # (byte-based coalescing can differ), and RangePartitioner's
+    # boundary sampling is seeded from the RDD id, which differs per
+    # evaluation — either desyncs _pid and lands offsets on the wrong
+    # shard slices (caught by tests/test_batch.py as flaky batch-size
+    # violations when scan-split configs changed). The eager
+    # localCheckpoint pins one partitioning for both consumers AND
+    # replaces the second range exchange with a block read — one
+    # shuffle of the data instead of two. The explicit partition count
+    # keeps _pid replay-stable (user-specified counts are exempt from
+    # AQE coalescing); blocks are ContextCleaner-reclaimed when the
+    # frame is dereferenced (the lsh_candidate_pairs convention).
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     rp = (
-        df.repartitionByRange(*shard_cols, *order_cols)
+        df.repartitionByRange(n_parts, *shard_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_w", w)
+        .localCheckpoint()
     )
     sums = rp.groupBy("_pid", *shard_cols).agg(F.sum("_w").alias("_s"))
     w_off = Window.partitionBy(*shard_cols).orderBy("_pid")
