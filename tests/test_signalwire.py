@@ -620,3 +620,121 @@ def test_span_batch_encoder_negative_event_ts():
     )
     assert got == ref
     assert W.decode_span(got)["events"][0]["ts_ns"] == -5
+
+
+# ------------------------- r7: wire-level fuzz parity (VERDICT r6 #8)
+
+_hex_id = lambda nbytes: st.binary(  # noqa: E731
+    min_size=nbytes, max_size=nbytes
+).map(lambda b: b.hex())
+_attr_kv = st.tuples(st.text(max_size=8), st.text(max_size=12))
+_attr_list = st.lists(_attr_kv, max_size=4)
+_opt_text = st.one_of(st.none(), st.text(min_size=1, max_size=10))
+
+
+@given(
+    trace_id=_hex_id(16),
+    span_id=_hex_id(8),
+    parent=st.one_of(st.none(), _hex_id(8)),
+    name=st.text(max_size=16),
+    kind=st.sampled_from(W.SPAN_KINDS),
+    start_ns=st.integers(min_value=0, max_value=2**62),
+    end_ns=st.integers(min_value=0, max_value=2**62),
+    status=st.sampled_from(W.STATUS_CODES),
+    trace_state=_opt_text,
+    attrs=_attr_list,
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),  # 0 → omitted → 0
+            st.text(max_size=10),                       # '' → omitted → ''
+            _attr_list,
+        ),
+        max_size=3,
+    ),
+    links=st.lists(
+        st.tuples(
+            _hex_id(16), _hex_id(8), _opt_text, _attr_list,
+            st.integers(min_value=0, max_value=2**32 - 1),
+        ),
+        max_size=3,
+    ),
+    status_message=_opt_text,
+    flags=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_full_span_wire_roundtrip_property(
+    trace_id, span_id, parent, name, kind, start_ns, end_ns, status,
+    trace_state, attrs, events, links, status_message, flags,
+):
+    """Property round-trip over the FULL Span surface (trace.proto
+    fields 1-9,11,13,15,16): every generated value must survive
+    encode_span → decode_span, including presence edges the golden
+    bytes can't enumerate (absent parent, zero flags, empty event
+    names, unicode attrs, multi-event/multi-link spans)."""
+    buf = W.encode_span(
+        trace_id, span_id, parent, name, kind, start_ns, end_ns, status,
+        trace_state=trace_state, attrs=attrs, events=events, links=links,
+        status_message=status_message, flags=flags,
+    )
+    rec = W.decode_span(buf)
+    assert rec["trace_id"] == trace_id
+    assert rec["span_id"] == span_id
+    assert rec["parent_span_id"] == parent
+    assert rec["name"] == name
+    assert rec["kind"] == kind
+    assert rec["start_ns"] == start_ns and rec["end_ns"] == end_ns
+    assert rec["status"] == status
+    # '' trace_state is omitted on the wire (proto3 default) → None
+    assert rec["trace_state"] == (trace_state or None)
+    assert rec["attrs"] == [{"key": k, "value": v} for k, v in attrs]
+    assert rec["events"] == [
+        {"ts_ns": ts, "name": nm,
+         "attrs": [{"key": k, "value": v} for k, v in a]}
+        for ts, nm, a in events
+    ]
+    assert rec["links"] == [
+        {"trace_id": t, "span_id": s, "trace_state": ts or None,
+         "attrs": [{"key": k, "value": v} for k, v in a], "flags": fl}
+        for t, s, ts, a, fl in links
+    ]
+    assert rec["status_message"] == (status_message or None)
+    assert rec["flags"] == flags
+
+
+@given(
+    attrs=st.dictionaries(
+        st.text(max_size=8), st.text(max_size=8), max_size=3
+    ),
+    start_ns=st.integers(min_value=0, max_value=2**62),
+    ts_ns=st.integers(min_value=0, max_value=2**62),
+    count=st.integers(min_value=0, max_value=2**62),
+    scale=st.integers(min_value=-128, max_value=127),  # zigzag, signed
+    zero_count=st.integers(min_value=0, max_value=2**62),
+    positive_offset=st.integers(min_value=-(2**30), max_value=2**30),
+    positive_counts=st.lists(
+        st.integers(min_value=0, max_value=2**62), max_size=8
+    ),
+    flags=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_exp_histogram_point_wire_roundtrip_property(
+    attrs, start_ns, ts_ns, count, scale, zero_count,
+    positive_offset, positive_counts, flags,
+):
+    """Property round-trip for the full ExponentialHistogramDataPoint
+    wire surface: signed zigzag scale/offset (both signs), empty and
+    large packed bucket lists, optional startTime/flags presence."""
+    buf = W.encode_exp_histogram_point(
+        list(attrs.items()), start_ns, ts_ns, count, scale, zero_count,
+        positive_offset, positive_counts, flags,
+    )
+    rec = W.decode_exp_histogram_point(buf)
+    assert rec["attributes"] == attrs
+    assert rec["start_ns"] == start_ns
+    assert rec["ts_ns"] == ts_ns
+    assert rec["count"] == count
+    assert rec["scale"] == scale
+    assert rec["zero_count"] == zero_count
+    assert rec["positive_offset"] == positive_offset
+    assert rec["positive_counts"] == positive_counts
+    assert rec["flags"] == flags
