@@ -191,9 +191,17 @@ def batch_counts(
     Invariants (batch_processor_test.go count-parity tests): every batch
     has ≤ send_batch_size rows; only the last batch of a shard may be
     smaller; sum over batches == shard row count.
+
+    Column-pruned up front (r7, guide §2.3): batch_id is a pure
+    function of (shard_keys, conv_id, turn_idx), and the two-level
+    sequencer materializes its ranged frame (localCheckpoint) — an
+    opaque boundary Catalyst cannot prune through — so the count path
+    must not drag the payload columns (`text` is ~90% of the row) into
+    that materialization.
     """
+    slim = df.select(*dict.fromkeys([*shard_keys, "conv_id", "turn_idx"]))
     return (
-        assign_batches(df, send_batch_size, shard_keys)
+        assign_batches(slim, send_batch_size, shard_keys)
         .groupBy(*shard_keys, "batch_id")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
