@@ -266,12 +266,24 @@ def _q_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_batch_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-capped batching (Sizer=bytes MergeSplit analog): per-shard
-    batches split at 64 KiB of payload bytes."""
+    batches split at 64 KiB of payload bytes.
+
+    The payload never enters the sequencer (r7, guide §2.3 "shuffle
+    keys and metadata instead of payloads"): batch_id and bytes_sum
+    depend only on octet_length(text), so the 8-byte size column rides
+    the range shuffle + checkpoint instead of the text bytes
+    (~150 B/row). Result-identical — same oracle."""
     df = tables.read_transcripts(spark, sf_dir)
-    out = batch_mod.assign_batches_by_bytes(df, max_batch_bytes=64 * 1024)
+    slim = df.select(
+        "role", "tool", "conv_id", "turn_idx",
+        F.octet_length("text").alias("_sz"),
+    )
+    out = batch_mod.assign_batches_by_bytes(
+        slim, max_batch_bytes=64 * 1024, size=F.col("_sz").cast("long")
+    )
     return out.groupBy("role", "tool", "batch_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.octet_length("text")).alias("bytes_sum"),
+        F.sum("_sz").alias("bytes_sum"),
     )
 
 
